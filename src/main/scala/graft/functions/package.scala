@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.bridge
+
+/** Column <-> Expression bridge (Spark 4.x classic API) + the library's
+  * public Column functions, mirroring org.apache.spark.sql.functions style.
+  */
+package object functions {
+
+  def expression(c: Column): Expression = bridge.expression(c)
+
+  def column(e: Expression): Column = bridge.column(e)
+
+  /** Fused grok parse of a transcript turn: struct(op, db, tbl, payload). */
+  def parse_turn(c: Column): Column = column(ParseTurn(expression(c)))
+}

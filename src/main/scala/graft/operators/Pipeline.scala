@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.parse_turn
+
+/** The log-pipeline operators: parse → filter → enrich → route → aggregate,
+  * plus render/flatten/DDL stages — the Spark-native re-expression of the
+  * reference's scan→filter→hash-route→transform→sink dataflow
+  * (SURVEY.md §2; /root/reference/main.go:84-107,
+  * /root/reference/transformer/transformer.go:15-319).
+  *
+  * Everything is declarative DataFrame API so Catalyst gets full pushdown /
+  * pruning / whole-stage-codegen; the only custom surface is the fused
+  * ParseTurn expression. No collect(), no RDDs, no driver-side loops — each
+  * stage is a distributed transform that scales by partition count.
+  */
+object Pipeline {
+
+  /** Reference op whitelist analog (/root/reference/constants/enums.go:11-15). */
+  val allowedOps: Seq[String] = Seq("INS", "UPD", "DEL")
+
+  /** Reference db blacklist (/root/reference/constants/enums.go:17-21). */
+  val deniedDbs: Seq[String] = Seq("admin", "config", "local")
+
+  // ---------------------------------------------------------------- parse
+
+  /** Parse stage (S1/T7 analog): one fused pass over `text`.
+    * Single narrow projection — no shuffle; filter/pruning push through it.
+    */
+  def parse(turns: DataFrame): DataFrame =
+    turns
+      .withColumn("p", parse_turn(col("text")))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("ts"), col("p.op").as("op"), col("p.db").as("db"),
+        col("p.tbl").as("tbl"), col("p.payload").as("payload"))
+
+  private def validCond: Column =
+    col("op").isin(allowedOps: _*) && !col("db").isin(deniedDbs: _*)
+
+  /** Filter stage (P1): op whitelist + db blacklist
+    * (/root/reference/main.go:273-277). Pure narrow filter.
+    */
+  def filterValid(parsed: DataFrame): DataFrame = parsed.filter(validCond)
+
+  /** Dead-letter path (P3, unknown-op guard transformer.go:26-28). */
+  def rejects(parsed: DataFrame): DataFrame = parsed.filter(!validCond)
+
+  // --------------------------------------------------------------- enrich
+
+  /** Enrich stage: attach tool metadata via broadcast hash join — the dim
+    * side is tiny (≤ thousands of tools) so this is a map-side join with NO
+    * shuffle of the 10^12-turn fact side at any scale.
+    */
+  def enrich(parsed: DataFrame, toolDim: DataFrame): DataFrame =
+    parsed.join(broadcast(toolDim), Seq("tool"), "left")
+
+  // ---------------------------------------------------------------- route
+
+  /** Router (T1 dispatch + R3 fan-out): sink id keyed on (op-analog,
+    * tool_kind) per the north rule. A pure projection; the partition-level
+    * fan-out happens at write time (partitionBy(sink)) so each sink is a
+    * directory/Iceberg-partition — no per-sink job loop.
+    */
+  def route(enriched: DataFrame): DataFrame =
+    enriched.withColumn("sink",
+      concat_ws("_",
+        when(col("op") === "INS", "ins")
+          .when(col("op") === "UPD", "upd")
+          .otherwise("del"),
+        coalesce(col("tool_kind"), lit("unknown"))))
+
+  /** Per-sink count aggregate — Spark HashAggregate is inherently two-phase
+    * (partial per partition, final after shuffle on `sink`), exactly the
+    * partial+final contract the north rule demands. Sink cardinality is
+    * tiny (|ops|×|kinds|) so the shuffle moves only partial maps.
+    */
+  def sinkCounts(routed: DataFrame): DataFrame =
+    routed.groupBy(col("sink")).agg(count(lit(1)).as("n"))
+
+  // --------------------------------------------------------------- render
+  // Deterministic SQL-text rendering (T3-T6): sorted column order and typed
+  // literal binding, strictly stronger than the reference whose INSERT
+  // column order is Go-map-random (transformer.go:154-174; SURVEY.md §5).
+
+  /** Payload keys this corpus can carry, in sorted order (deterministic
+    * column ordering replaces Go map iteration). The generic mechanism —
+    * probe key, render typed literal — is schema-driven, not hard-coded
+    * per query.
+    */
+  private val insertKeys = Seq("_id", "extra", "k")
+
+  private def jval(key: String): Column =
+    get_json_object(col("payload"), "$." + key)
+
+  /** Typed literal binding (T6, transformer.go:34-52): integers bare,
+    * strings quoted with '' escaping — the reference's renderer, made
+    * deterministic.
+    */
+  private def sqlLiteral(v: Column): Column =
+    when(v.rlike("^-?[0-9]+$"), v)
+      .otherwise(concat(lit("'"), regexp_replace(v, "'", "''"), lit("'")))
+
+  /** INSERT synthesis (T3) over parsed+filtered INS turns. */
+  def renderInsert(parsed: DataFrame): DataFrame = {
+    val present = insertKeys.map(k => (k, jval(k)))
+    val colsList = concat_ws(", ",
+      present.map { case (k, v) => when(v.isNotNull, lit(k)) }: _*)
+    val valsList = concat_ws(", ",
+      present.map { case (_, v) => when(v.isNotNull, sqlLiteral(v)) }: _*)
+    parsed.filter(col("op") === "INS")
+      .withColumn("stmt",
+        concat(lit("INSERT INTO "), col("db"), lit("."), col("tbl"),
+          lit(" ("), colsList, lit(") VALUES ("), valsList, lit(");")))
+      .select("conv_id", "turn_idx", "stmt")
+  }
+
+  /** UPDATE synthesis (T4, transformer.go:255-299): diff.u → SET k=v,
+    * diff.d → SET k=NULL, WHERE from the o2 key. Sorted SET order.
+    */
+  def renderUpdate(parsed: DataFrame): DataFrame = {
+    val setKeys = Seq("k", "obsolete") // sorted; u-keys ∪ d-keys of corpus
+    val setParts = setKeys.map { k =>
+      val u = get_json_object(col("payload"), "$.diff.u." + k)
+      val d = get_json_object(col("payload"), "$.diff.d." + k)
+      when(u.isNotNull, concat(lit(k + " = "), sqlLiteral(u)))
+        .when(d.isNotNull, lit(k + " = NULL"))
+    }
+    parsed.filter(col("op") === "UPD")
+      .withColumn("stmt",
+        concat(lit("UPDATE "), col("db"), lit("."), col("tbl"), lit(" SET "),
+          concat_ws(", ", setParts: _*),
+          lit(" WHERE _id = "), sqlLiteral(jval("_id")), lit(";")))
+      .select("conv_id", "turn_idx", "stmt")
+  }
+
+  /** DELETE synthesis (T5, transformer.go:301-319): WHERE from all keys. */
+  def renderDelete(parsed: DataFrame): DataFrame =
+    parsed.filter(col("op") === "DEL")
+      .withColumn("stmt",
+        concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
+          lit(" WHERE _id = "), sqlLiteral(jval("_id")), lit(";")))
+      .select("conv_id", "turn_idx", "stmt")
+
+  // -------------------------------------------------------------- flatten
+
+  /** Nested-value flatten (F1, transformer.go:69-108): payload arrays become
+    * child-table rows with a carried parent FK — a projection after
+    * posexplode, deliberately join-free like the reference. Surrogate keys
+    * are deterministic sha2 (T2 fixed: reference used uuid.New at
+    * transformer.go:131, untestable + non-idempotent).
+    */
+  def flattenChildren(parsed: DataFrame): DataFrame = {
+    val tags = from_json(jval("tags"),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    parsed.filter(col("op") === "INS")
+      .select(col("conv_id"), col("turn_idx"), col("db"), col("tbl"),
+        jval("_id").as("parent_id"), posexplode(tags).as(Seq("pos", "value")))
+      .withColumn("child_tbl", concat(col("tbl"), lit("_tags")))
+      .withColumn("_id",
+        sha2(concat_ws("|", col("parent_id"), col("child_tbl"), col("pos")), 256))
+      .select("conv_id", "turn_idx", "db", "child_tbl", "_id", "parent_id",
+        "pos", "value")
+  }
+
+  // ------------------------------------------------------------------ DDL
+
+  /** First-seen row per (db,tbl) — the distributed replacement for the
+    * reference's mutex-guarded first-writer-wins registry
+    * (/root/reference/constants/config_manager.go:31-52): deterministic
+    * (ts, conv_id, turn_idx) order instead of goroutine arrival race.
+    */
+  private def firstSeen(ins: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("db"), col("tbl"))
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+    ins.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** CREATE SCHEMA dedup (D1, transformer.go:62-67,230-232). */
+  def ddlCreateSchemas(parsed: DataFrame): DataFrame =
+    filterValid(parsed).select(col("db")).distinct()
+      .withColumn("stmt",
+        concat(lit("CREATE SCHEMA IF NOT EXISTS "), col("db"), lit(";")))
+
+  /** CREATE TABLE from first-seen doc (D2, transformer.go:205-228): column
+    * set and inferred types from the first insert, `_id` as PRIMARY KEY.
+    */
+  def ddlCreateTables(parsed: DataFrame): DataFrame =
+    firstSeen(parsed.filter(col("op") === "INS"))
+      .withColumn("stmt",
+        concat(lit("CREATE TABLE "), col("db"), lit("."), col("tbl"),
+          lit(" (_id VARCHAR(255) PRIMARY KEY"),
+          when(jval("extra").isNotNull, lit(", extra VARCHAR(255)")).otherwise(lit("")),
+          lit(", k INTEGER);")))
+      .select("db", "tbl", "stmt")
+
+  /** ALTER TABLE schema drift (D3, transformer.go:176-195): emit ADD COLUMN
+    * for keys present in later docs but absent from the first-seen doc.
+    * Distributed form: per-table aggregate of (first-doc key set) vs
+    * (union of all key sets) — one shuffle on (db,tbl).
+    */
+  def ddlAlterTables(parsed: DataFrame): DataFrame = {
+    val ins = parsed.filter(col("op") === "INS")
+      .withColumn("has_extra", jval("extra").isNotNull)
+    val w = Window.partitionBy(col("db"), col("tbl"))
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+    ins.withColumn("rn", row_number().over(w))
+      .groupBy(col("db"), col("tbl"))
+      .agg(
+        max(when(col("rn") === 1, col("has_extra"))).as("first_has"),
+        max(col("has_extra")).as("any_has"))
+      .filter(col("any_has") && !col("first_has"))
+      .withColumn("stmt",
+        concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),
+          lit(" ADD extra VARCHAR(255);")))
+      .select("db", "tbl", "stmt")
+  }
+
+  // ------------------------------------------------------ ordering / state
+
+  /** Stable per-conversation ordering (R2 contract): window over conv_id
+    * ordered by turn_idx. Demonstrated as role-transition counts (lag).
+    */
+  def turnTransitions(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    turns
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .filter(col("prev_role").isNotNull)
+      .groupBy(col("prev_role"), col("role")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Sessionization: per-conversation gap > 30 min starts a new session.
+    * lag + running sum over the conv window; then per-session turn counts.
+    */
+  def sessionize(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+    turns
+      .withColumn("boundary", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("boundary")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("conv_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"), max(col("turn_idx")).as("last_turn"))
+  }
+}
