@@ -75,6 +75,112 @@ object SparkEntry {
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
     }),
+    "q2_join_broadcast" -> ((s, dir) => {
+      // two broadcast hash joins: dims are tiny at ANY scale — zero
+      // shuffle of the fact side
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+    "q3_join_shuffle" -> ((s, dir) => {
+      // fact-fact shuffle hash join on orderkey; AQE picks the strategy
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+    "q4_semi_join" -> ((s, dir) => {
+      // EXISTS as left_semi: no payload columns of the right side move
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+    "q5_anti_join" -> ((s, dir) => {
+      // NOT EXISTS as left_anti (delete-analog materialization, SURVEY T5)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q6_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk"))
+    }),
+    "q7_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1994)
+        .select(col("o_custkey")).distinct()
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+      a.except(b).withColumn("tag", lit("only_1994"))
+        .unionByName(a.intersect(b).withColumn("tag", lit("both")))
+        .unionByName(b.except(a).withColumn("tag", lit("only_f")))
+    }),
+    "q8_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }),
+    "q9_topk" -> ((s, dir) =>
+      // global top-k = per-partition top-k then merge (TakeOrderedAndProject)
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    "q10_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"))),
+    // ------------------------------ training-data ops (documents/embeddings)
+    "d1_dedup_exact" -> ((s, dir) =>
+      operators.TextOps.exactDedup(t(s, dir, "documents"))),
+    "d2_dedup_minhash" -> ((s, dir) =>
+      operators.TextOps.minhashCandidates(t(s, dir, "documents"))),
+    "d3_dedup_simhash" -> ((s, dir) =>
+      operators.TextOps.simhashPairs(t(s, dir, "documents"))),
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      operators.TextOps.ngramJaccardPairs(t(s, dir, "documents"))),
+    "d5_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.rolling_hash(col("text")).as("rhash"),
+        graft.functions.simhash64(split(col("text"), " ")).as("simhash"))),
+    "t1_lang_id" -> ((s, dir) =>
+      operators.TextOps.langId(t(s, dir, "documents"))),
+    "t2_quality_counts" -> ((s, dir) =>
+      operators.TextOps.qualityCounts(t(s, dir, "documents"))),
+    "t3_token_count" -> ((s, dir) =>
+      operators.TextOps.tokenCounts(t(s, dir, "documents"))),
+    "e1_knn_brute" -> ((s, dir) =>
+      operators.Similarity.knnBrute(t(s, dir, "embeddings"))),
+    "e2_knn_lsh" -> ((s, dir) =>
+      operators.Similarity.knnLsh(t(s, dir, "embeddings"))),
+    "m1_media_meta" -> ((s, dir) =>
+      operators.Multimodal.decodeMeta(s,
+        operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
   )
 
   /** DuckDB equivalents over the same parquet tables (events-derived
@@ -204,5 +310,141 @@ object SparkEntry {
                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_join_broadcast" -> """
+      SELECT r_name, n_name, count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""",
+    "q3_join_shuffle" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(DISTINCT o_orderkey) AS n_orders
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority""",
+    "q4_semi_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+    "q5_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')""",
+    "q6_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders)
+      WHERE rnk <= 3""",
+    "q7_setops" -> """
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1994),
+           b AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderstatus = 'F')
+      SELECT o_custkey, 'only_1994' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, 'only_f' AS tag FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""",
+    "q8_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""",
+    "q9_topk" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q10_distinct_agg" -> """
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        count(*) AS n_orders, max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus""",
+    // d2/d3/d5/e2 are engine-hash-specific (Spark murmur3/xxhash64, custom
+    // SimHash/rolling-hash exprs) — not DuckDB-expressible; rows-only checks.
+    "d1_dedup_exact" -> """
+      SELECT doc_id, sha256(text) AS fingerprint,
+        row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) > 1
+          AS is_duplicate
+      FROM documents""",
+    "d4_ngram_jaccard" -> """
+      WITH sh AS (
+        SELECT DISTINCT doc_id, lang, CAST(n_chars / 300 AS INT) AS lb,
+               unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                 i -> string_split(text, ' ')[i] || ' '
+                      || string_split(text, ' ')[i+1] || ' '
+                      || string_split(text, ' ')[i+2])) AS shingle
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.lb = b.lb
+             AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc1, doc2, inter, s1.n_sh AS n1, s2.n_sh AS n2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = doc1
+      JOIN sizes s2 ON s2.doc_id = doc2
+      WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7""",
+    "t1_lang_id" -> """
+      WITH c AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS c_en,
+          len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS c_de,
+          len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et'))) AS c_fr,
+          len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y'))) AS c_es,
+          len(list_filter(string_split(text,' '), x -> x IN ('de','shi','le'))) AS c_zh
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN m = 0 THEN 'und'
+             WHEN c_en = m THEN 'en' WHEN c_de = m THEN 'de'
+             WHEN c_fr = m THEN 'fr' WHEN c_es = m THEN 'es'
+             ELSE 'zh' END AS guess,
+        CAST(m AS INT) AS marker_hits
+      FROM (SELECT *, greatest(c_en, c_de, c_fr, c_es, c_zh) AS m FROM c)""",
+    "t2_quality_counts" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN ('the','a','of','and','to','in'))) AS INT) AS n_stop,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS INT) AS n_nonalpha
+      FROM documents""",
+    "t3_token_count" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS word_tokens,
+        CAST(length(text) AS INT) AS n_chars
+      FROM documents""",
+    "e1_knn_brute" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                 WHERE vec_id < 10),
+      d AS (
+        SELECT qid, e.vec_id AS nid,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(round(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT)
+                 * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000) AS BIGINT)))
+            AS BIGINT) AS dot
+        FROM q, embeddings e WHERE e.vec_id != qid)
+      SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY dot DESC, nid) AS rnk
+            FROM d)
+      WHERE rnk <= 5""",
+    "m1_media_meta" -> """
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        CAST(length(text) AS INT) AS n_bytes,
+        CAST(length(text) % 640 + 1 AS INT) AS width,
+        CAST((length(text) * 7) % 480 + 1 AS INT) AS height,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END
+          AS INT) AS n_frames
+      FROM documents""",
   )
 }

@@ -15,4 +15,10 @@ package object functions {
 
   /** Fused grok parse of a transcript turn: struct(op, db, tbl, payload). */
   def parse_turn(c: Column): Column = column(ParseTurn(expression(c)))
+
+  /** 64-bit SimHash document fingerprint over a token array. */
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+
+  /** Karp-Rabin rolling polynomial fingerprint of a string. */
+  def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float], unit-norm in
+  * the test corpus, so dot product == cosine).
+  *
+  * Determinism note: scores are computed on int64-quantized components
+  * (round(x*10000)) so the sum is exact integer arithmetic — order-free,
+  * overflow-free (64 dims × (3e4)² ≈ 5.8e10 « 2^63), and bit-identical
+  * to the DuckDB oracle. Float dot products would differ in ulps across
+  * engines and make top-k nondeterministic at ties.
+  */
+object Similarity {
+
+  private def quantized(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 10000).cast("long"))
+
+  /** Exact top-k by quantized dot product, brute force: broadcast the
+    * query set (small) against the full corpus — one pass, no shuffle of
+    * the corpus side; the only exchange is the final per-query top-k
+    * (TakeOrdered-style via window over qid).
+    */
+  def knnBrute(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("nid"),
+      quantized(col("embedding")).as("qe_n"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
+    val dot = aggregate(
+      zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("nid"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", dot)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim) —
+    * shared arithmetic, no RNG state (workflows must be replayable).
+    */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(((lit(plane * 131) + dim * 31) % 7) % 2 === 0, 1).otherwise(-1)
+
+  /** LSH-bucketed ANN — the scale path: nPlanes random-hyperplane sign bits
+    * form a bucket id; candidates share the bucket, then exact quantized
+    * dot re-ranks. Probe cost drops from O(corpus) to O(bucket); recall is
+    * tunable by nPlanes (and multi-probe, not implemented here).
+    */
+  def knnLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nPlanes: Int = 8): DataFrame = {
+    val q = quantized(col("embedding"))
+    def signature(e: Column): Column =
+      (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(e, sequence(lit(0), size(e) - 1),
+            (x, i) => x * planeSign(p, i)),
+          lit(0L), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val corpus = emb.select(col("vec_id").as("nid"), q.as("qe_n"),
+      signature(q).as("sig"))
+    val queries = corpus.filter(col("nid") < nQueries)
+      .select(col("nid").as("qid"), col("qe_n").as("qe_q"), col("sig"))
+    val dot = aggregate(
+      zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("nid"))
+    corpus.join(broadcast(queries), Seq("sig"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", dot)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface a 100 TB corpus needs. All are
+  * declarative (HOFs over token arrays, window keep-first, explode-join
+  * set intersection) so they distribute, codegen, and push down.
+  */
+object TextOps {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup: content fingerprint (sha256) → keep-first by doc_id.
+    * At scale: groupBy(fingerprint) shuffles only (hash, doc_id) pairs —
+    * project before shuffling; never shuffle full text.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("fingerprint"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("fingerprint"),
+        (col("rn") > 1).as("is_duplicate"))
+  }
+
+  // ---------------------------------------------------------- n-gram jaccard
+
+  /** Word 3-gram shingles per doc, deduped, bucketed by (lang, length/300)
+    * so candidate pairs are generated only within buckets — the exact
+    * (non-LSH) tier of the near-dup ladder. Output one row per
+    * (doc, shingle).
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val t = tokens
+    val shingles = transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    docs.select(col("doc_id"), col("lang"),
+        (col("n_chars") / 300).cast("int").as("lb"),
+        explode(array_distinct(shingles)).as("shingle"))
+  }
+
+  /** Near-duplicate pairs by exact 3-gram Jaccard >= 0.7, computed with
+    * pure integer arithmetic (cross-multiplied threshold — no float
+    * division, so the DuckDB oracle matches bit-for-bit).
+    *
+    * Shape: explode → shuffle on shingle (co-groups shared shingles) →
+    * pair-count aggregate. The bucket keys keep the self-join from going
+    * quadratic; at 100 TB you run d2 (MinHash LSH) first and this exact
+    * pass only inside LSH candidate buckets.
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("n_sh", "n2"), "doc2")
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
+      .select(col("doc1"), col("doc2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  // ------------------------------------------------------------- MinHash LSH
+
+  /** MinHash signature (k hashes) + banded LSH candidate pairs — the scale
+    * path for near-dedup: cost is linear in corpus size (k×|shingles| per
+    * doc, then a groupBy on band buckets), vs quadratic all-pairs.
+    *
+    * k=32 hashes in b=8 bands of r=4: collision prob at jaccard s is
+    * 1-(1-s^4)^8 — steep S-curve around s≈0.6.
+    *
+    * xxhash64(seed_i, shingle) keeps everything codegen'd (no UDF).
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    val t = tokens
+    val shingles = array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2))))
+    val sig = array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+    docs.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH over the minhash signature. */
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** SimHash near-dup pairs: 64-bit fingerprint (custom codegen'd
+    * expression), banded into 4×16-bit LSH keys — docs within Hamming
+    * distance ~3 share at least one exact band w.h.p.; exact bit_count
+    * confirms. groupBy-shaped like minhashCandidates: linear scale cost.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      graft.functions.simhash64(split(col("text"), " ")).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------------- quality / stats
+
+  /** Token counts: whitespace tokens + regex word tokens (BPE-ish pre-token
+    * split). Pure per-row projections — embarrassingly parallel.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("([a-z0-9]+)"))).as("word_tokens"),
+      length(col("text")).as("n_chars"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality-score ingredients as exact integers (ratios are assembled by
+    * the caller; integer outputs keep the oracle bit-exact).
+    */
+  def qualityCounts(docs: DataFrame): DataFrame = {
+    val t = tokens
+    docs.select(col("doc_id"),
+      size(t).as("n_tokens"),
+      size(filter(t, x => x.isin(stopwords: _*))).as("n_stop"),
+      length(col("text")).as("n_chars"),
+      length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  /** Language-ID heuristic: per-language marker-token counts, argmax with
+    * deterministic order tie-break (list order above), 'und' when all zero.
+    * (On the synthetic corpus most rows fall through to 'und'/'en' — the
+    * operator shape, not the model, is what scales.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens
+    val counts = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(t, x => x.isin(ms: _*)))
+    }
+    val best = counts.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bc), (lang, c)) => (when(c > bc, lang).otherwise(bl), greatest(c, bc))
+    }
+    docs.select(col("doc_id"), col("lang"),
+      best._1.as("guess"), best._2.as("marker_hits"))
+  }
+}
