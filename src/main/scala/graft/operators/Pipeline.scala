@@ -84,27 +84,30 @@ object Pipeline {
   // literal binding, strictly stronger than the reference whose INSERT
   // column order is Go-map-random (transformer.go:154-174; SURVEY.md §5).
 
-  /** Payload keys this corpus can carry, in sorted order (deterministic
-    * column ordering replaces Go map iteration). The generic mechanism —
-    * probe key, render typed literal — is schema-driven, not hard-coded
-    * per query.
+  /** Payload keys the bench corpus carries, in sorted order (deterministic
+    * column ordering replaces Go map iteration). The mechanism — probe
+    * key, render typed literal — is schema-driven via the `keys` params.
     */
-  private val insertKeys = Seq("_id", "extra", "k")
+  val insertKeys: Seq[String] = Seq("_id", "extra", "k")
+  val updateSetKeys: Seq[String] = Seq("k", "obsolete")
 
   private def jval(key: String): Column =
     get_json_object(col("payload"), "$." + key)
 
-  /** Typed literal binding (T6, transformer.go:34-52): integers bare,
-    * strings quoted with '' escaping — the reference's renderer, made
-    * deterministic.
+  /** Typed literal binding (T6, transformer.go:34-52): ints/floats bare
+    * (%d/%f at :40-43), bools bare (%t at :44-45), strings quoted with ''
+    * escaping (:38-39) — the reference's renderer, made deterministic.
+    * (Conscious fix vs the reference: floats keep their JSON form instead
+    * of being forced through %f's 6 decimals — SURVEY.md §1.1 quirk.)
     */
-  private def sqlLiteral(v: Column): Column =
-    when(v.rlike("^-?[0-9]+$"), v)
+  def sqlLiteral(v: Column): Column =
+    when(v.rlike("^-?[0-9]+([.][0-9]+)?$") || v.isin("true", "false"), v)
       .otherwise(concat(lit("'"), regexp_replace(v, "'", "''"), lit("'")))
 
   /** INSERT synthesis (T3) over parsed+filtered INS turns. */
-  def renderInsert(parsed: DataFrame): DataFrame = {
-    val present = insertKeys.map(k => (k, jval(k)))
+  def renderInsert(parsed: DataFrame,
+                   keys: Seq[String] = insertKeys): DataFrame = {
+    val present = keys.sorted.map(k => (k, jval(k)))
     val colsList = concat_ws(", ",
       present.map { case (k, v) => when(v.isNotNull, lit(k)) }: _*)
     val valsList = concat_ws(", ",
@@ -119,13 +122,16 @@ object Pipeline {
   /** UPDATE synthesis (T4, transformer.go:255-299): diff.u → SET k=v,
     * diff.d → SET k=NULL, WHERE from the o2 key. Sorted SET order.
     */
-  def renderUpdate(parsed: DataFrame): DataFrame = {
-    val setKeys = Seq("k", "obsolete") // sorted; u-keys ∪ d-keys of corpus
-    val setParts = setKeys.map { k =>
+  def renderUpdate(parsed: DataFrame,
+                   setKeys: Seq[String] = updateSetKeys): DataFrame = {
+    // diff.d KEY PRESENCE drives SET NULL — the value is ignored, and may
+    // itself be JSON null (transformer.go:279-282), so probe the key set,
+    // not the value.
+    val dKeys = json_object_keys(get_json_object(col("payload"), "$.diff.d"))
+    val setParts = setKeys.sorted.map { k =>
       val u = get_json_object(col("payload"), "$.diff.u." + k)
-      val d = get_json_object(col("payload"), "$.diff.d." + k)
       when(u.isNotNull, concat(lit(k + " = "), sqlLiteral(u)))
-        .when(d.isNotNull, lit(k + " = NULL"))
+        .when(dKeys.isNotNull && array_contains(dKeys, k), lit(k + " = NULL"))
     }
     parsed.filter(col("op") === "UPD")
       .withColumn("stmt",
@@ -164,6 +170,45 @@ object Pipeline {
         "pos", "value")
   }
 
+  /** Generic nested-OBJECT flatten (F1 obj branch, transformer.go:74-82):
+    * one child row per parent whose payload has `key` as a JSON object;
+    * child table `<tbl>_<key>`, FK carried in-row, sha2 surrogate key.
+    */
+  def flattenObjectChild(parsed: DataFrame, key: String,
+                         childKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(childKeys.map(k => StructField(k, StringType)))
+    parsed.filter(col("op") === "INS" && jval(key).startsWith("{"))
+      .select(col("conv_id"), col("turn_idx"), col("db"), col("tbl"),
+        jval("_id").as("parent_id"), from_json(jval(key), schema).as("child"))
+      .withColumn("child_tbl", concat(col("tbl"), lit("_" + key)))
+      .withColumn("_id",
+        sha2(concat_ws("|", col("parent_id"), col("child_tbl"), lit(0)), 256))
+      .select(Seq(col("conv_id"), col("turn_idx"), col("db"),
+        col("child_tbl"), col("_id"), col("parent_id")) ++
+        childKeys.map(k => col("child." + k).as(k)): _*)
+  }
+
+  /** Generic nested ARRAY-of-objects flatten (F1 array branch,
+    * transformer.go:83-107): one child row per element, position-stable
+    * surrogate keys.
+    */
+  def flattenArrayChild(parsed: DataFrame, key: String,
+                        childKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val schema = ArrayType(StructType(childKeys.map(k => StructField(k, StringType))))
+    parsed.filter(col("op") === "INS" && jval(key).startsWith("["))
+      .select(col("conv_id"), col("turn_idx"), col("db"), col("tbl"),
+        jval("_id").as("parent_id"),
+        posexplode(from_json(jval(key), schema)).as(Seq("pos", "child")))
+      .withColumn("child_tbl", concat(col("tbl"), lit("_" + key)))
+      .withColumn("_id",
+        sha2(concat_ws("|", col("parent_id"), col("child_tbl"), col("pos")), 256))
+      .select(Seq(col("conv_id"), col("turn_idx"), col("db"),
+        col("child_tbl"), col("_id"), col("parent_id"), col("pos")) ++
+        childKeys.map(k => col("child." + k).as(k)): _*)
+  }
+
   // ------------------------------------------------------------------ DDL
 
   /** First-seen row per (db,tbl) — the distributed replacement for the
@@ -200,22 +245,41 @@ object Pipeline {
     * Distributed form: per-table aggregate of (first-doc key set) vs
     * (union of all key sets) — one shuffle on (db,tbl).
     */
-  def ddlAlterTables(parsed: DataFrame): DataFrame = {
-    val ins = parsed.filter(col("op") === "INS")
-      .withColumn("has_extra", jval("extra").isNotNull)
+  def ddlAlterTables(parsed: DataFrame,
+                     driftKeys: Seq[String] = Seq("extra")): DataFrame = {
     val w = Window.partitionBy(col("db"), col("tbl"))
       .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
-    ins.withColumn("rn", row_number().over(w))
-      .groupBy(col("db"), col("tbl"))
-      .agg(
-        max(when(col("rn") === 1, col("has_extra"))).as("first_has"),
-        max(col("has_extra")).as("any_has"))
-      .filter(col("any_has") && !col("first_has"))
-      .withColumn("stmt",
-        concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),
-          lit(" ADD extra VARCHAR(255);")))
-      .select("db", "tbl", "stmt")
+    val ins = parsed.filter(col("op") === "INS")
+      .withColumn("rn", row_number().over(w))
+    val perKey = driftKeys.sorted.map { k =>
+      val has = jval(k).isNotNull
+      ins.groupBy(col("db"), col("tbl"))
+        .agg(max(when(col("rn") === 1, has)).as("first_has"),
+          max(has).as("any_has"))
+        .filter(col("any_has") && !col("first_has"))
+        .withColumn("stmt",
+          concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),
+            lit(s" ADD $k VARCHAR(255);")))
+        .select("db", "tbl", "stmt")
+    }
+    perKey.reduce(_.unionByName(_))
   }
+
+  // ----------------------------------------------------------------- skew
+
+  /** Salted repartition for hot conversations (north rule): one conv_id
+    * holding half the corpus would pin one task in a plain
+    * repartition(conv_id) — the reference has the same problem with its
+    * FNV(ns) mod 10 channels (/root/reference/main.go:305-310) and never
+    * addresses it. Salting by pmod(hash(turn_idx), buckets) spreads a hot
+    * key over `saltBuckets` partitions; per-conv ordering is restored
+    * downstream by sortWithinPartitions or a window over (conv_id,
+    * turn_idx), both of which only need co-location per (conv_id, salt).
+    */
+  def saltedRepartition(df: DataFrame, numPartitions: Int,
+                        saltBuckets: Int): DataFrame =
+    df.repartition(numPartitions, col("conv_id"),
+      pmod(hash(col("turn_idx")), lit(saltBuckets)))
 
   // ------------------------------------------------------ ordering / state
 

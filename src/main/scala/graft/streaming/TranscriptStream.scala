@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.{Checkpoint, Pipeline}
+
+/** Structured Streaming variant of the pipeline — the direct analog of the
+  * reference's tailing mode (oplog cursor → channels → transform → sink,
+  * /root/reference/database/mongodb/mongo.go:31-77 + main.go:84-107), with
+  * Spark-native checkpointing in place of the hand-rolled gob state
+  * (/root/reference/constants/global_variable.go:11-62).
+  */
+object TranscriptStream {
+
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-source stream of transcript turns (new parquet files under
+    * `inputDir` are discovered per micro-batch — the oplog-tail analog).
+    */
+  def readTurns(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(turnSchema).parquet(inputDir)
+
+  /** parse→filter→enrich→route over a streaming DF (same operators as
+    * batch — they are all narrow, so they lift to streaming unchanged).
+    */
+  def routed(turns: DataFrame, toolDim: DataFrame): DataFrame =
+    Pipeline.route(Pipeline.enrich(
+      Pipeline.filterValid(Pipeline.parse(turns)), toolDim))
+
+  /** Routing stream with exactly-once sinks: foreachBatch commits each
+    * micro-batch idempotently (overwrite-by-batch-id, Checkpoint analog of
+    * an Iceberg snapshot commit); Spark's checkpointLocation provides
+    * offset tracking/resume (reference K1-K3).
+    */
+  def startRouting(turns: DataFrame, toolDim: DataFrame, sinkPath: String,
+                   ledgerPath: String, checkpointDir: String): StreamingQuery =
+    routed(turns, toolDim).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          Checkpoint.commitBatch(batch, sinkPath, ledgerPath, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Event-time windowed per-sink counts with a watermark: late turns
+    * beyond 10 minutes are dropped; append mode emits only finalized
+    * windows.
+    */
+  def windowedSinkCounts(turns: DataFrame, toolDim: DataFrame): DataFrame =
+    routed(turns, toolDim)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("sink"), col("n"))
+
+  // ----------------------------------------------------- stateful sessions
+
+  case class TurnEvent(conv_id: String, turn_idx: Int, ts: Timestamp)
+  case class ConvState(nTurns: Long, lastTurn: Int)
+  case class ConvUpdate(conv_id: String, n_turns: Long, last_turn: Int)
+
+  /** Custom per-conversation state via mapGroupsWithState — the streaming
+    * analog of the reference's per-namespace serial consumer state
+    * (/root/reference/main.go:49-58): running turn count + last turn index
+    * per conv_id, emitted each micro-batch in Update mode.
+    */
+  def sessionState(spark: SparkSession, turns: DataFrame): Dataset[ConvUpdate] = {
+    import spark.implicits._
+    turns.select(col("conv_id"), col("turn_idx"), col("ts")).as[TurnEvent]
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (convId: String, events: Iterator[TurnEvent], state: GroupState[ConvState]) =>
+          val prev = state.getOption.getOrElse(ConvState(0L, -1))
+          val evs = events.toSeq
+          val next = ConvState(prev.nTurns + evs.size,
+            math.max(prev.lastTurn, if (evs.isEmpty) -1 else evs.map(_.turn_idx).max))
+          state.update(next)
+          ConvUpdate(convId, next.nTurns, next.lastTurn)
+      }
+  }
+}

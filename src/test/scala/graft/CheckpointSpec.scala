@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Checkpoint, Pipeline}
+import graft.sources.Transcripts
+
+/** Checkpoint/resume semantics (reference K1-K3, main_test.go:60-91
+  * pipeline-level analog): kill-resume equals single-run, replays are
+  * no-ops — exactly-once where the reference is at-least-once.
+  */
+class CheckpointSpec extends SparkSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+
+  private lazy val allTurns = Transcripts.transcripts(spark, "/root/testdata/sf0.001")
+  private lazy val toolDim = Transcripts.toolDim(spark)
+
+  test("incremental runs equal single-run; no duplicates; replay is a no-op") {
+    val base = tmp()
+    val sink = s"$base/sink"
+    val ledger = s"$base/ledger"
+    val cut = "2024-01-15 00:00:00"
+    val half1 = allTurns.filter(col("ts") <= lit(cut).cast("timestamp"))
+
+    // batch 0: only the first half has arrived
+    val n1 = Checkpoint.runIncrement(half1, toolDim, sink, ledger)
+    assert(n1 > 0)
+    // batch 1: full table visible — watermark must exclude the first half
+    val n2 = Checkpoint.runIncrement(allTurns, toolDim, sink, ledger)
+    assert(n2 > 0)
+
+    val expected = Pipeline.route(Pipeline.enrich(
+      parsedValid(allTurns), toolDim))
+    assert(n1 + n2 == expected.count())
+
+    val committed = spark.read.parquet(sink)
+    assert(committed.count() == expected.count())
+    // no dupes: (conv_id, turn_idx) unique
+    assert(committed.select("conv_id", "turn_idx").distinct().count() ==
+      committed.count())
+    // per-sink counts equal the single-run pipeline (north rule invariant)
+    val got = committed.groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Pipeline.sinkCounts(expected).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+
+    // replay: nothing newer than the watermark → zero rows, ledger stable
+    val n3 = Checkpoint.runIncrement(allTurns, toolDim, sink, ledger)
+    assert(n3 == 0L)
+    assert(Checkpoint.committedBatches(spark, ledger) == 2L)
+    assert(spark.read.parquet(sink).count() == expected.count())
+  }
+
+  test("commitBatch is idempotent: same batch id overwrites, never duplicates") {
+    val base = tmp()
+    val sink = s"$base/sink"
+    val ledger = s"$base/ledger"
+    val routed = Pipeline.route(Pipeline.enrich(
+      parsedValid(allTurns), toolDim)).cache()
+    val n = routed.count()
+    Checkpoint.commitBatch(routed, sink, ledger, 0L)
+    Checkpoint.commitBatch(routed, sink, ledger, 0L) // crash-replay analog
+    assert(spark.read.parquet(sink).count() == n)
+    routed.unpersist()
+  }
+}

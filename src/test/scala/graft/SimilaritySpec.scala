@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Similarity
+
+/** ANN correctness on constructed clusters: brute force must return the
+  * true cluster; LSH must agree with brute force on clear separations.
+  */
+class SimilaritySpec extends SparkSuite {
+
+  // two orthogonal clusters in R^4, unit-ish vectors, 10 per cluster
+  private lazy val emb: DataFrame = {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      val cluster = i % 2 // even → A(1,0,0,0)-ish, odd → B(0,1,0,0)-ish
+      val eps = 0.01f * (i / 2)
+      val v =
+        if (cluster == 0) Array(1.0f, eps, 0.0f, 0.0f)
+        else Array(eps, 1.0f, 0.0f, 0.0f)
+      (i.toLong, v, cluster)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k returns only same-cluster neighbors, rank-ordered") {
+    val res = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
+    assert(res.length == 6)
+    res.foreach { r =>
+      val qid = r.getLong(0); val nid = r.getLong(1)
+      assert(qid % 2 == nid % 2, s"query $qid got cross-cluster neighbor $nid")
+    }
+    // ranks are 1..k per query and dots non-increasing
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+      val dots = sorted.map(_.getLong(2)).toSeq
+      assert(dots == dots.sorted.reverse)
+    }
+  }
+
+  test("LSH recall: on clearly separated clusters it matches brute force") {
+    val brute = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(emb, nQueries = 2, k = 3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH hit is a true same-cluster pair...
+    lsh.foreach { case (q, n) => assert(q % 2 == n % 2) }
+    // ...and recall on this easy geometry is at least 2/3 of brute's set
+    assert(lsh.intersect(brute).size * 3 >= brute.size * 2,
+      s"lsh=$lsh brute=$brute")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.Transcripts
+import graft.streaming.TranscriptStream
+
+/** Streaming variant: file-source micro-batches through the same operators,
+  * exactly-once foreachBatch sinks, watermarked windows, and custom
+  * per-conversation state.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_stream").toString
+
+  private lazy val batchTurns =
+    Transcripts.transcripts(spark, "/root/testdata/sf0.001").cache()
+  private lazy val toolDim = Transcripts.toolDim(spark)
+
+  test("streaming routing equals batch pipeline; restart resumes, no dupes") {
+    val base = tmp()
+    val in = s"$base/in"
+    val sink = s"$base/sink"
+    val ledger = s"$base/ledger"
+    val ckpt = s"$base/ckpt"
+
+    val half1 = batchTurns.filter(col("ts") <= lit("2024-01-15").cast("timestamp"))
+    half1.write.mode("append").parquet(in)
+
+    val q1 = TranscriptStream.startRouting(
+      TranscriptStream.readTurns(spark, in), toolDim, sink, ledger, ckpt)
+    q1.awaitTermination()
+
+    // second tranche arrives; a NEW query resumes from the same checkpoint
+    batchTurns.filter(col("ts") > lit("2024-01-15").cast("timestamp"))
+      .write.mode("append").parquet(in)
+    val q2 = TranscriptStream.startRouting(
+      TranscriptStream.readTurns(spark, in), toolDim, sink, ledger, ckpt)
+    q2.awaitTermination()
+
+    val expected = Pipeline.route(Pipeline.enrich(
+      parsedValid(batchTurns), toolDim))
+    val committed = spark.read.parquet(sink)
+    assert(committed.count() == expected.count())
+    assert(committed.select("conv_id", "turn_idx").distinct().count() ==
+      committed.count())
+    val got = committed.groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Pipeline.sinkCounts(expected).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("watermarked windowed per-sink counts match batch windows") {
+    val base = tmp()
+    val in = s"$base/in"
+    batchTurns.write.mode("append").parquet(in)
+
+    val q = TranscriptStream.windowedSinkCounts(
+        TranscriptStream.readTurns(spark, in), toolDim)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // normalize LTZ (stream file source) vs NTZ (batch derivation) window
+    // starts through CAST AS STRING in the UTC session
+    val got = spark.sql(
+        "SELECT CAST(win_start AS STRING) w, sink, n FROM win_counts")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Pipeline.route(Pipeline.enrich(parsedValid(batchTurns), toolDim))
+      .groupBy(window(col("ts"), "1 hour"), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("sink"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("mapGroupsWithState tracks per-conversation running state") {
+    val base = tmp()
+    val in = s"$base/in"
+    batchTurns.write.mode("append").parquet(in)
+
+    val q = TranscriptStream.sessionState(spark,
+        TranscriptStream.readTurns(spark, in))
+      .toDF()
+      .writeStream.format("memory").queryName("conv_state")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT conv_id, n_turns, last_turn FROM conv_state")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val want = batchTurns.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), max(col("turn_idx")).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got == want)
+  }
+}

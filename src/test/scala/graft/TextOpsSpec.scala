@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.functions.TextHashes
+import graft.operators.TextOps
+
+/** Dedup ladder correctness on constructed near/exact/far documents. */
+class TextOpsSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val base = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"z$i").mkString(" ")
+
+  test("exactDedup flags only true copies, keep-first by doc_id") {
+    val d = TextOps.exactDedup(docs(1L -> base, 2L -> base, 3L -> nearDup))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(d == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("ngramJaccardPairs: near-dup pair found, unrelated not") {
+    val pairs = TextOps.ngramJaccardPairs(
+        docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhashCandidates: LSH surfaces the near-dup candidate only") {
+    val cand = TextOps.minhashCandidates(
+        docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("simhashPairs: hamming-close pair found; fingerprints behave") {
+    val pairs = TextOps.simhashPairs(
+        docs(1L -> base, 2L -> nearDup, 3L -> unrelated), maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+
+    // fingerprint-level sanity straight through the static fns
+    def fp(s: String): Long = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      TextHashes.simhash64(new GenericArrayData(
+        s.split(" ").map(UTF8String.fromString): Array[Any]))
+    }
+    assert(TextHashes.hamming(fp(base), fp(nearDup)) <
+      TextHashes.hamming(fp(base), fp(unrelated)))
+  }
+
+  test("rollingHash: deterministic, order-sensitive, stable") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = TextHashes.rollingHash(UTF8String.fromString("ab cd"))
+    val b = TextHashes.rollingHash(UTF8String.fromString("cd ab"))
+    assert(a != b)
+    assert(a == TextHashes.rollingHash(UTF8String.fromString("ab cd")))
+    assert(a >= 0L && a < (1L << 61) - 1)
+  }
+
+  test("tokenCounts / qualityCounts / langId shapes on a marker doc") {
+    val d = docs(1L -> "the fast el cat and the dog a 42x")
+    val tc = TextOps.tokenCounts(d).collect()(0)
+    assert(tc.getInt(1) == 9) // ws tokens
+    assert(tc.getInt(2) == 9) // word tokens ([a-z0-9]+ keeps '42x' whole)
+    val li = TextOps.langId(d).collect()(0)
+    assert(li.getString(2) == "en") // 'the'×2 + 'and' beat es ('el')
+  }
+}
