@@ -1,24 +1,81 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.Transcripts
+
+/** Per-round benchmark: headline = end-to-end parse→enrich→route→aggregate
+  * throughput (turns/sec) on a deterministically scaled-up transcript
+  * table (BASELINE.json metric), plus per-query timings for every
+  * SparkEntry query at the given sf. Prints exactly ONE JSON line.
+  */
 object Bench {
+
+  /** Deterministic scale-up: multiplier × events-derived turns, new
+    * conv/turn ids per replica (pure column arithmetic, seed-free). The
+    * result is materialized as splittable parquet so the measured job is
+    * scan→pipeline only, like reading a real Iceberg transcript table.
+    */
+  def materializeTurns(spark: SparkSession, sfDir: String, mult: Int,
+                       path: String, partitions: Int): Long = {
+    val base = Transcripts.transcripts(spark, sfDir)
+    val big = base
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .withColumn("conv_id", concat_ws("#", col("conv_id"), col("rep")))
+      .drop("rep")
+    big.repartition(partitions).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).count()
+  }
+
+  /** The measured headline job. */
+  def headline(spark: SparkSession, turnsPath: String): Array[(String, Long)] = {
+    val turns = spark.read.parquet(turnsPath)
+    Pipeline.sinkCounts(Pipeline.route(Pipeline.enrich(
+        Pipeline.filterValid(Pipeline.parse(turns)),
+        Transcripts.toolDim(spark))))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+  }
+
+  def timeIt[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "100").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- headline: turns/sec on the materialized big table
+    val turnsPath = s"target/bench_turns_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
+    val nTurns = materializeTurns(spark, sfDir, mult, turnsPath, cpus.toInt * 4)
+    headline(spark, turnsPath) // warmup (codegen + footer cache)
+    val (_, tHead) = timeIt(headline(spark, turnsPath))
+    val throughput = nTurns / tHead
+
+    // ---- per-query timings (one warmup action for session state)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, t) = timeIt {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = tHead + results.map(_._2).sum
+    println(
+      s"""{"metric":"parse_route_aggregate_throughput","value":$throughput,"unit":"turns_per_sec","headline_turns":$nTurns,"headline_sec":$tHead,"total_sec":$total,"queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.Transcripts
+
+/** Plan auditor: prints the formatted physical plan of the headline
+  * pipeline and key queries, and greps for the properties that must hold
+  * at scale — broadcast join on the enrich dim, pushed filters / pruned
+  * schema on scans, whole-stage codegen coverage. Dev/CI aid.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+              expect: Seq[String]): Unit = {
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // AQE hides codegen stages until execution: materialize, then unwrap
+      // the FINAL adaptive plan
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.finalPhysicalPlan.toString
+        case p => p.toString
+      }
+      val plan = formatted + "\n" + executed
+      println(s"===== $name =====")
+      println(formatted)
+      expect.foreach { e =>
+        val ok = plan.contains(e)
+        println(s"[audit] $name ${if (ok) "HAS" else "MISSING"} <$e>")
+      }
+    }
+
+    val turns = Transcripts.transcripts(spark, sfDir)
+    val headline = Pipeline.sinkCounts(Pipeline.route(Pipeline.enrich(
+      Pipeline.filterValid(Pipeline.parse(turns)), Transcripts.toolDim(spark))))
+    // "*(" = whole-stage-codegen stage marker in the executed plan tree
+    audit("headline", headline,
+      Seq("BroadcastHashJoin", "*(", "HashAggregate"))
+
+    // scan-level pushdown: a selective filter + narrow projection on events
+    val pushed = Transcripts.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select("event_id", "ts")
+    audit("scan_pushdown", pushed, Seq("PushedFilters: [IsNotNull(event_type)",
+      "ReadSchema: struct<event_id:bigint,ts"))
+
+    val q9 = SparkEntry.queries("q9_topk")(spark, sfDir)
+    audit("q9_topk", q9, Seq("TakeOrderedAndProject"))
+
+    val q4 = SparkEntry.queries("q4_semi_join")(spark, sfDir)
+    audit("q4_semi", q4, Seq("LeftSemi", "PushedFilters: [IsNotNull(o_totalprice)"))
+
+    spark.stop()
+  }
+}

@@ -83,7 +83,12 @@ object TextOps {
     * k=32 hashes in b=8 bands of r=4: collision prob at jaccard s is
     * 1-(1-s^4)^8 — steep S-curve around s≈0.6.
     *
-    * xxhash64(seed_i, shingle) keeps everything codegen'd (no UDF).
+    * Shape matters: explode shingles once, then ONE hash-aggregate taking
+    * k mins — partial aggregation absorbs the fan-out map-side, so the
+    * shuffle carries one k-wide row per doc. (A per-row expression
+    * `array(k × array_min(transform(shingles, …)))` re-inlines the shingle
+    * construction k times after projection collapse — measured 100×
+    * slower.) xxhash64(seed_i, shingle) keeps it codegen'd, no UDF.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
     val t = tokens
@@ -91,10 +96,13 @@ object TextOps {
       sequence(lit(1), greatest(size(t) - 2, lit(0))),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2))))
-    val sig = array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
-    docs.select(col("doc_id"), sig.as("sig"))
+    val sh = docs.select(col("doc_id"), explode(shingles).as("shingle"))
+    val mins = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("shingle"))).as("h0"),
+      (1 until k).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+    mins.select(col("doc_id"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** Candidate pairs from banded LSH over the minhash signature. */

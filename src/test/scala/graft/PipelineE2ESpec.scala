@@ -87,6 +87,19 @@ class PipelineE2ESpec extends SparkSuite {
     assert(tr(("system", "user")) == 1L) // c3
   }
 
+  test("SQL-file sink (W1 analog): golden file content in deterministic order") {
+    val p = parsedValid(fixture)
+    val all = Pipeline.renderInsert(p)
+      .unionByName(Pipeline.renderUpdate(p))
+      .unionByName(Pipeline.renderDelete(p))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlsink").toString + "/out"
+    graft.operators.SqlFileSink.write(all, dir)
+    val lines = graft.operators.SqlFileSink.readBack(spark, dir)
+    assert(lines.size == 16)
+    assert(lines.head == "INSERT INTO test.student (_id, k) VALUES ('s1', 1);")
+    assert(lines.last == "DELETE FROM test.employee WHERE _id = 'e11';")
+  }
+
   test("flagship entry() runs green on sf0.001 with rows > 0") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0)
