@@ -63,7 +63,8 @@ object Metrics {
     df.observe(stage,
       count(lit(1)).as("rows"),
       min(col("ts")).as("min_ts"),
-      max(col("ts")).as("max_ts"))
+      max(col("ts")).as("max_ts"),
+      approx_count_distinct(col("conv_id")).as("approx_convs"))
 
   /** Fully-instrumented pipeline: parse→filter→enrich→route with an
     * observation point at each stage boundary.

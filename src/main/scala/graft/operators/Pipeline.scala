@@ -123,7 +123,8 @@ object Pipeline {
     * diff.d → SET k=NULL, WHERE from the o2 key. Sorted SET order.
     */
   def renderUpdate(parsed: DataFrame,
-                   setKeys: Seq[String] = updateSetKeys): DataFrame = {
+                   setKeys: Seq[String] = updateSetKeys,
+                   whereKeys: Seq[String] = Seq("_id")): DataFrame = {
     // diff.d KEY PRESENCE drives SET NULL — the value is ignored, and may
     // itself be JSON null (transformer.go:279-282), so probe the key set,
     // not the value.
@@ -137,16 +138,27 @@ object Pipeline {
       .withColumn("stmt",
         concat(lit("UPDATE "), col("db"), lit("."), col("tbl"), lit(" SET "),
           concat_ws(", ", setParts: _*),
-          lit(" WHERE _id = "), sqlLiteral(jval("_id")), lit(";")))
+          lit(" WHERE "), whereClause(whereKeys), lit(";")))
       .select("conv_id", "turn_idx", "stmt")
   }
 
-  /** DELETE synthesis (T5, transformer.go:301-319): WHERE from all keys. */
-  def renderDelete(parsed: DataFrame): DataFrame =
+  /** WHERE from all present key columns joined " and "
+    * (transformer.go:284-297 update / :308-316 delete).
+    */
+  private def whereClause(keys: Seq[String]): Column =
+    concat_ws(" and ", keys.sorted.map { k =>
+      when(jval(k).isNotNull, concat(lit(k + " = "), sqlLiteral(jval(k))))
+    }: _*)
+
+  /** DELETE synthesis (T5, transformer.go:301-319): WHERE from all present
+    * payload keys joined " and ".
+    */
+  def renderDelete(parsed: DataFrame,
+                   whereKeys: Seq[String] = Seq("_id")): DataFrame =
     parsed.filter(col("op") === "DEL")
       .withColumn("stmt",
         concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
-          lit(" WHERE _id = "), sqlLiteral(jval("_id")), lit(";")))
+          lit(" WHERE "), whereClause(whereKeys), lit(";")))
       .select("conv_id", "turn_idx", "stmt")
 
   // -------------------------------------------------------------- flatten

@@ -106,6 +106,14 @@ tool_dim AS (
   def toolDim(spark: SparkSession): DataFrame =
     spark.sql(s"WITH $toolDimCte SELECT * FROM tool_dim")
 
+  /** Typed face of the transcript table (input_hint: "typed
+    * Dataset/DataFrame + Catalyst throughout").
+    */
+  def typedTurns(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[graft.model.Turn] = {
+    import spark.implicits._
+    transcripts(spark, sfDir).as[graft.model.Turn]
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 

@@ -71,6 +71,19 @@ class GoldenSpec extends SparkSuite {
     assert(got == Seq(s"DELETE FROM test.student WHERE _id = '$id';"))
   }
 
+  test("multi-key WHERE joins with ' and ' (transformer.go:284-297,308-316)") {
+    val df = turns(
+      ("c1", 1, "tool", """DEL test.t {"_id":"x1","k":5}""", "tool_0", T),
+      ("c1", 2, "assistant",
+        """UPD test.t {"_id":"x1","k":5,"diff":{"u":{"v":7}}}""", "tool_0", T))
+    val del = stmtsOrdered(
+      Pipeline.renderDelete(parsedValid(df), Seq("_id", "k")))
+    assert(del == Seq("DELETE FROM test.t WHERE _id = 'x1' and k = 5;"))
+    val upd = stmtsOrdered(
+      Pipeline.renderUpdate(parsedValid(df), Seq("v"), Seq("_id", "k")))
+    assert(upd == Seq("UPDATE test.t SET v = 7 WHERE _id = 'x1' and k = 5;"))
+  }
+
   test("nestedObject1 (transformer_test.go:89-115): object + array flatten with FK") {
     val payload =
       s"""{"_id":"$id","name":"Selena Miller","phone":{"personal":"7678456640","work":"8130097989"},""" +
