@@ -372,7 +372,7 @@ object SparkEntry {
       FROM documents""",
     "d4_ngram_jaccard" -> """
       WITH sh AS (
-        SELECT DISTINCT doc_id, lang, CAST(n_chars / 300 AS INT) AS lb,
+        SELECT DISTINCT doc_id, lang, CAST(n_chars // 300 AS INT) AS lb,
                unnest(list_transform(
                  range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
                  i -> string_split(text, ' ')[i] || ' '

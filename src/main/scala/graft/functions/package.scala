@@ -21,4 +21,18 @@ package object functions {
 
   /** Karp-Rabin rolling polynomial fingerprint of a string. */
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+
+  /** Register the library's expressions in the session's function registry
+    * so plain SQL can call them: parse_turn(text), simhash64(arr),
+    * rolling_hash(text).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("parse_turn",
+      exprs => ParseTurn(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head), "scala_udf")
+  }
 }

@@ -13,6 +13,18 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Word 3-gram shingle array. Guarded: docs with < 3 tokens get an empty
+    * array — an unguarded sequence(1, size-2) DESCENDS ([1,0]) on short
+    * docs and fabricates null-padded shingles (found by the sf0.1 oracle
+    * sweep).
+    */
+  private def shingles3(t: Column): Column =
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: content fingerprint (sha256) → keep-first by doc_id.
@@ -34,16 +46,12 @@ object TextOps {
     * (non-LSH) tier of the near-dup ladder. Output one row per
     * (doc, shingle).
     */
-  private def shingleRows(docs: DataFrame): DataFrame = {
-    val t = tokens
-    val shingles = transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(0))),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2)))
+  private def shingleRows(docs: DataFrame): DataFrame =
+    // floor(), not a bare double->int cast: DuckDB CAST(double AS INT)
+    // rounds where Spark truncates — integer-exact bucket keys only
     docs.select(col("doc_id"), col("lang"),
-        (col("n_chars") / 300).cast("int").as("lb"),
-        explode(array_distinct(shingles)).as("shingle"))
-  }
+      floor(col("n_chars") / 300).cast("int").as("lb"),
+      explode(array_distinct(shingles3(tokens))).as("shingle"))
 
   /** Near-duplicate pairs by exact 3-gram Jaccard >= 0.7, computed with
     * pure integer arithmetic (cross-multiplied threshold — no float
@@ -91,12 +99,8 @@ object TextOps {
     * slower.) xxhash64(seed_i, shingle) keeps it codegen'd, no UDF.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
-    val t = tokens
-    val shingles = array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(0))),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-        element_at(t, i + 2))))
-    val sh = docs.select(col("doc_id"), explode(shingles).as("shingle"))
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles3(tokens))).as("shingle"))
     val mins = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("shingle"))).as("h0"),
       (1 until k).map(i =>

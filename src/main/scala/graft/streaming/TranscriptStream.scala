@@ -70,6 +70,40 @@ object TranscriptStream {
   case class ConvState(nTurns: Long, lastTurn: Int)
   case class ConvUpdate(conv_id: String, n_turns: Long, last_turn: Int)
 
+  case class SessionOut(conv_id: String, n_turns: Long, closed: Boolean)
+
+  /** Event-time session windows with timeout: a conversation's session
+    * closes when its event time falls 30 min behind the stream watermark —
+    * flatMapGroupsWithState + EventTimeTimeout, emitting a final row per
+    * closed session (the stateful-streaming tier of SURVEY.md §2.7).
+    */
+  def eventTimeSessions(spark: SparkSession, turns: DataFrame)
+      : Dataset[SessionOut] = {
+    import spark.implicits._
+    turns.withWatermark("ts", "10 minutes")
+      .select(col("conv_id"), col("turn_idx"), col("ts")).as[TurnEvent]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (convId: String, events: Iterator[TurnEvent],
+         state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val out = SessionOut(convId, state.get.nTurns, closed = true)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption.getOrElse(ConvState(0L, -1))
+            val next = ConvState(prev.nTurns + evs.size,
+              math.max(prev.lastTurn, evs.map(_.turn_idx).max))
+            state.update(next)
+            val maxEventMs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(maxEventMs + 30 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom per-conversation state via mapGroupsWithState — the streaming
     * analog of the reference's per-namespace serial consumer state
     * (/root/reference/main.go:49-58): running turn count + last turn index

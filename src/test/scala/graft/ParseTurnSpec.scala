@@ -51,6 +51,16 @@ class ParseTurnSpec extends SparkSuite {
     assert(got == texts.map(evalParse))
   }
 
+  test("SQL registration: parse_turn/simhash64/rolling_hash callable from spark.sql") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT parse_turn('INS db0.t1 {"k":1}').op AS op,
+                simhash64(array('a','b')) AS sh,
+                rolling_hash('abc') AS rh""").collect()(0)
+    assert(r.getString(0) == "INS")
+    assert(r.getLong(1) != 0L && r.getLong(2) != 0L)
+  }
+
   test("null input yields null struct (UnaryExpression null contract)") {
     import spark.implicits._
     val got = Seq[String](null).toDF("text")

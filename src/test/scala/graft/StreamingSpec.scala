@@ -80,6 +80,40 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("event-time sessions close via timeout; late data beyond watermark is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TranscriptStream.TurnEvent
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[TurnEvent]
+    val q = graft.streaming.TranscriptStream
+      .eventTimeSessions(spark, ms.toDF())
+      .toDF()
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // batch 1: conv A gets 2 turns at 10:00/10:05
+    ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
+      TurnEvent("A", 2, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // batch 2: conv B far later → watermark jumps past A's timeout (10:35)
+    ms.addData(TurnEvent("B", 1, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 3: drives timeout processing under the advanced watermark; the
+    // A-turn here is LATE (event time far behind watermark 11:50) and must
+    // NOT reopen a counted session row with wrong counts
+    ms.addData(TurnEvent("B", 2, t("2024-01-01 12:10:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.sql("SELECT conv_id, n_turns FROM sessions WHERE closed")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(closed.get("A").contains(2L), s"closed=$closed")
+    assert(!closed.contains("B")) // B's session still open at stop
+  }
+
   test("mapGroupsWithState tracks per-conversation running state") {
     val base = tmp()
     val in = s"$base/in"
