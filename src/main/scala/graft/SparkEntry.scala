@@ -17,9 +17,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Transcripts.table(s, dir, name)
 
-  /** Parsed+filtered transcript turns — the pipeline front half. */
+  /** Parsed+filtered transcript turns — the pipeline front half. text is
+    * dropped so query outputs keep the oracle-matched column set.
+    */
   private def valid(s: SparkSession, dir: String): DataFrame =
     Pipeline.filterValid(Pipeline.parse(Transcripts.transcripts(s, dir)))
+      .drop("text")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full parse→enrich→route→aggregate pipeline.

@@ -22,6 +22,9 @@ package object functions {
   /** Karp-Rabin rolling polynomial fingerprint of a string. */
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
 
+  /** Single-pass op-whitelist + db-blacklist admission predicate. */
+  def valid_turn(c: Column): Column = column(ValidTurn(expression(c)))
+
   /** Register the library's expressions in the session's function registry
     * so plain SQL can call them: parse_turn(text), simhash64(arr),
     * rolling_hash(text).

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.parse_turn
+import graft.functions.{parse_turn, valid_turn}
 
 /** The log-pipeline operators: parse → filter → enrich → route → aggregate,
   * plus render/flatten/DDL stages — the Spark-native re-expression of the
@@ -33,11 +33,17 @@ object Pipeline {
     turns
       .withColumn("p", parse_turn(col("text")))
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
-        col("ts"), col("p.op").as("op"), col("p.db").as("db"),
+        col("ts"), col("text"), col("p.op").as("op"), col("p.db").as("db"),
         col("p.tbl").as("tbl"), col("p.payload").as("payload"))
 
-  private def validCond: Column =
-    col("op").isin(allowedOps: _*) && !col("db").isin(deniedDbs: _*)
+  /** Admission predicate — the fused single-pass ValidTurn expression.
+    * Equivalent by construction (ParseTurnSpec asserts it) to
+    *   col("op").isin(allowedOps) && !col("db").isin(deniedDbs)
+    * but evaluates text ONCE: predicate pushdown would otherwise inline
+    * parse_turn(text).op / .db below the projection and re-parse each row
+    * 2-3× in the hot filter (~55% of headline time, see BENCH.md).
+    */
+  private def validCond: Column = valid_turn(col("text"))
 
   /** Filter stage (P1): op whitelist + db blacklist
     * (/root/reference/main.go:273-277). Pure narrow filter.

@@ -61,6 +61,37 @@ class ParseTurnSpec extends SparkSuite {
     assert(r.getLong(1) != 0L && r.getLong(2) != 0L)
   }
 
+  test("valid_turn is equivalent to the parsed-column predicate (3-valued)") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val texts = Seq(
+      "INS db0.t1 {}", "UPD admin.x {}", "DEL config.y {}", "SYS db0.t1 {}",
+      "INS db0t1 {}",      // no dot: db = whole ns
+      "INS admin {}",      // no dot, denied db
+      "INS",               // no space: db null -> NULL -> dropped both sides
+      "garbage", "DEL local.z {}", "INS  {}" /* empty ns */)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => ("c", i, "user", t, "tool_0") }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("ts", org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp"))
+    val parsed = Pipeline.parse(df)
+    val colForm = parsed.filter(
+      col("op").isin(Pipeline.allowedOps: _*) &&
+        !col("db").isin(Pipeline.deniedDbs: _*))
+      .select("turn_idx").collect().map(_.getInt(0)).toSet
+    val fused = Pipeline.filterValid(parsed)
+      .select("turn_idx").collect().map(_.getInt(0)).toSet
+    assert(fused == colForm)
+    // reject side equivalence too (NULL rows drop from both sides)
+    val colRejects = parsed.filter(
+      !(col("op").isin(Pipeline.allowedOps: _*) &&
+        !col("db").isin(Pipeline.deniedDbs: _*)))
+      .select("turn_idx").collect().map(_.getInt(0)).toSet
+    val fusedRejects = Pipeline.rejects(parsed)
+      .select("turn_idx").collect().map(_.getInt(0)).toSet
+    assert(fusedRejects == colRejects)
+  }
+
   test("null input yields null struct (UnaryExpression null contract)") {
     import spark.implicits._
     val got = Seq[String](null).toDF("text")
