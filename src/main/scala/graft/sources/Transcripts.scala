@@ -92,16 +92,22 @@ tool_dim AS (
   private def registerEvents(spark: SparkSession, sfDir: String): Unit =
     spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
 
+  // the derived table is immutable per (session, sfDir): cache it so each
+  // of the driver's 36 queries doesn't re-run the derivation window
+  private val derived =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The transcript table, derived in Spark from the same SQL text the
     * oracle uses. Scan-level note: derivation is a projection over a single
     * parquet scan plus one window; at real scale the transcripts are a
     * pre-materialized Iceberg table and this function is replaced by a
     * partition-pruned scan (SURVEY.md §7.6).
     */
-  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
-    registerEvents(spark, sfDir)
-    spark.sql(s"WITH $derivationCte SELECT * FROM transcripts")
-  }
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame =
+    derived.getOrElseUpdate((spark, sfDir), {
+      registerEvents(spark, sfDir)
+      spark.sql(s"WITH $derivationCte SELECT * FROM transcripts").cache()
+    })
 
   def toolDim(spark: SparkSession): DataFrame =
     spark.sql(s"WITH $toolDimCte SELECT * FROM tool_dim")
