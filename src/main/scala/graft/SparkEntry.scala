@@ -158,6 +158,34 @@ object SparkEntry {
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
           count(lit(1)).as("n_orders"),
           max(col("o_totalprice")).as("max_price"))),
+    "q11_datetime" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(hour(col("ts"))).as("max_hour"),
+          min(month(col("ts"))).as("min_month"))),
+    "q12_strings" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("len"),
+        reverse(col("c_name")).as("rname"),
+        translate(col("c_name"), "aeiou", "AEIOU").as("tname"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).as("lev"))),
+    "q13_outer_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val a = o.filter(year(col("o_orderdate")) === 1994)
+        .select(col("o_custkey").as("k")).distinct()
+        .withColumn("in_1994", lit(1))
+      val b = c.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k")).distinct()
+        .withColumn("in_neg", lit(1))
+      a.join(b, Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("in_1994"), lit(0)).as("in_1994"),
+          coalesce(col("in_neg"), lit(0)).as("in_neg"))
+    }),
     // ------------------------------ training-data ops (documents/embeddings)
     "d1_dedup_exact" -> ((s, dir) =>
       operators.TextOps.exactDedup(t(s, dir, "documents"))),
@@ -167,6 +195,8 @@ object SparkEntry {
       operators.TextOps.simhashPairs(t(s, dir, "documents"))),
     "d4_ngram_jaccard" -> ((s, dir) =>
       operators.TextOps.ngramJaccardPairs(t(s, dir, "documents"))),
+    "d6_dedup_embedding" -> ((s, dir) =>
+      operators.Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"))),
     "d5_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.rolling_hash(col("text")).as("rhash"),
@@ -366,6 +396,35 @@ object SparkEntry {
       SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
         count(*) AS n_orders, max(o_totalprice) AS max_price
       FROM orders GROUP BY o_orderstatus""",
+    "q11_datetime" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        count(DISTINCT user_id) AS n_users,
+        CAST(max(hour(ts)) AS INT) AS max_hour,
+        CAST(min(month(ts)) AS INT) AS min_month
+      FROM events GROUP BY 1""",
+    "q12_strings" -> """
+      SELECT c_custkey, upper(c_name) AS uname,
+        CAST(length(c_name) AS INT) AS len, reverse(c_name) AS rname,
+        translate(c_name, 'aeiou', 'AEIOU') AS tname,
+        CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS lev
+      FROM customer""",
+    "q13_outer_join" -> """
+      WITH a AS (SELECT DISTINCT o_custkey AS k, 1 AS in_1994 FROM orders
+                 WHERE year(o_orderdate) = 1994),
+           b AS (SELECT DISTINCT c_custkey AS k, 1 AS in_neg FROM customer
+                 WHERE c_acctbal < 0)
+      SELECT COALESCE(a.k, b.k) AS k, COALESCE(in_1994, 0) AS in_1994,
+             COALESCE(in_neg, 0) AS in_neg
+      FROM a FULL OUTER JOIN b ON a.k = b.k""",
+    "d6_dedup_embedding" -> """
+      SELECT * FROM (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                 * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 10000) AS BIGINT)))
+            AS BIGINT) AS qdot
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      WHERE qdot >= 40000000""",
     // d2/d3/d5/e2 are engine-hash-specific (Spark murmur3/xxhash64, custom
     // SimHash/rolling-hash exprs) — not DuckDB-expressible; rows-only checks.
     "d1_dedup_exact" -> """

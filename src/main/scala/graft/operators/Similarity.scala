@@ -41,6 +41,26 @@ object Similarity {
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs quantized dot
+    * above an integer threshold (unit-norm corpus ⇒ dot == cosine;
+    * threshold 0.40 on this corpus (its max pairwise cosine is 0.48) ⇒ qdot ≥ 0.40·10⁴·10⁴). Exact tier — at corpus scale
+    * run [[knnLsh]]-style bucketing first and this verify inside buckets
+    * (same ladder as TextOps d2→d4).
+    */
+  def embeddingNearDupPairs(emb: DataFrame,
+                            threshold: Long = 40000000L): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"),
+      quantized(col("embedding")).as("q1"))
+    val b = emb.select(col("vec_id").as("id2"),
+      quantized(col("embedding")).as("q2"))
+    val dot = aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("qdot", dot)
+      .filter(col("qdot") >= threshold)
+      .select(col("id1"), col("id2"), col("qdot"))
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim) —
     * shared arithmetic, no RNG state (workflows must be replayable).
     */
