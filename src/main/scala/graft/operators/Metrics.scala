@@ -66,6 +66,14 @@ object Metrics {
       max(col("ts")).as("max_ts"),
       approx_count_distinct(col("conv_id")).as("approx_convs"))
 
+  /** Per-partition row counts — partition-level lineage for skew and
+    * balance audits (north rule "per-partition lineage"); a tiny aggregate,
+    * usable as a side observation on any stage.
+    */
+  def perPartitionCounts(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+
   /** Fully-instrumented pipeline: parse→filter→enrich→route with an
     * observation point at each stage boundary.
     */

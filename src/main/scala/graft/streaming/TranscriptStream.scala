@@ -70,6 +70,16 @@ object TranscriptStream {
   case class ConvState(nTurns: Long, lastTurn: Int)
   case class ConvUpdate(conv_id: String, n_turns: Long, last_turn: Int)
 
+  /** Replay dedup: an at-least-once upstream (the reference's resume
+    * semantics, $gte at mongo.go:89-91, replays in-flight records) becomes
+    * exactly-once-per-turn by keying on (conv_id, turn_idx) within the
+    * watermark horizon — state is bounded by the watermark, not corpus
+    * size.
+    */
+  def dedupedTurns(turns: DataFrame): DataFrame =
+    turns.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   case class SessionOut(conv_id: String, n_turns: Long, closed: Boolean)
 
   /** Event-time session windows with timeout: a conversation's session

@@ -40,4 +40,14 @@ class MetricsSpec extends SparkSuite {
       assert(withFiles.exists(_.inputFiles.exists(_.contains("events.parquet"))))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("per-partition lineage counts sum to the total and expose balance") {
+    val turns = graft.sources.Transcripts
+      .transcripts(spark, "/root/testdata/sf0.001")
+    val salted = graft.operators.Pipeline.saltedRepartition(turns, 4, 8)
+    val per = graft.operators.Metrics.perPartitionCounts(salted).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(per.values.sum == turns.count())
+    assert(per.keys.forall(p => p >= 0 && p < 4))
+  }
 }

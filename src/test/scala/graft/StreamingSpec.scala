@@ -114,6 +114,33 @@ class StreamingSpec extends SparkSuite {
     assert(!closed.contains("B")) // B's session still open at stop
   }
 
+  test("replay dedup: at-least-once duplicates collapse within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TranscriptStream.TurnEvent
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[TurnEvent]
+    val q = graft.streaming.TranscriptStream
+      .dedupedTurns(ms.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+
+    ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
+      TurnEvent("A", 2, t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // replay batch: same turns again (the reference's $gte resume overlap)
+    ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
+      TurnEvent("A", 3, t("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT conv_id, turn_idx FROM deduped").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq(("A", 1), ("A", 2), ("A", 3)))
+  }
+
   test("mapGroupsWithState tracks per-conversation running state") {
     val base = tmp()
     val in = s"$base/in"
