@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** Replays the reference's OWN e2e corpus (`example-input.json`, 16 oplog
+  * entries) through this engine and checks the result against its
+  * committed `example-output.sql` (45 statements): per-op routed counts,
+  * the full statement census (2 CREATE SCHEMA / 4 CREATE TABLE / 2 ALTER /
+  * 35 INSERT / 1 UPDATE / 1 DELETE), child-row fan-out, and exact text
+  * equality for the statements the reference itself renders
+  * deterministically (DELETE; UPDATE modulo the documented float quirk —
+  * the reference's %f prints 23 as 23.000000, SURVEY.md §1.1).
+  *
+  * The adapter maps one oplog entry to one transcript turn (the SURVEY
+  * §7.1 graft): ns→conv_id, op→role/op-token, o(+o2 key)→payload JSON,
+  * ts.T→ts, file order→turn_idx.
+  */
+class ReferenceReplaySpec extends SparkSuite {
+
+  private lazy val turnsDf: DataFrame = {
+    val oplog = spark.read.option("multiLine", true)
+      .json("/root/reference/example-input.json")
+    val opToken = when(col("op") === "i", "INS")
+      .when(col("op") === "u", "UPD").otherwise("DEL")
+    val role = when(col("op") === "i", "user")
+      .when(col("op") === "u", "assistant").otherwise("tool")
+    // updates carry the WHERE key in o2 (models/model.go:14); fold it into
+    // the payload so the turn is self-contained
+    val payload = when(col("op") === "u",
+      to_json(struct(col("o2._id").as("_id"), col("o.diff").as("diff"))))
+      .otherwise(to_json(col("o")))
+    val w = Window.orderBy(col("ts.T"), col("ts.I"))
+    oplog.select(
+      col("ns").as("conv_id"),
+      row_number().over(w).as("turn_idx"),
+      role.as("role"),
+      concat(opToken, lit(" "), col("ns"), lit(" "), payload).as("text"),
+      lit("tool_0").as("tool"),
+      to_timestamp(col("ts.T")).as("ts"))
+  }
+
+  private lazy val p = parsedValid(turnsDf)
+
+  private val scalarInsertKeys = Seq("_id", "age", "is_graduated", "name",
+    "position", "salary", "subject", "workhours")
+
+  test("per-op routed counts match the 14i/1u/1d mix (example-input.json)") {
+    val byOp = p.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp == Map("INS" -> 14L, "UPD" -> 1L, "DEL" -> 1L))
+  }
+
+  test("statement census equals example-output.sql: 2+4+2+35+1+1 = 45") {
+    val schemas = Pipeline.ddlCreateSchemas(p).collect().map(_.getString(0))
+    assert(schemas.toSet == Set("student", "employee")) // 2 CREATE SCHEMA
+
+    val parentTables = p.filter(col("op") === "INS")
+      .select("db", "tbl").distinct().count()
+    val phone = Pipeline.flattenObjectChild(p, "phone", Seq("personal", "work"))
+    val address = Pipeline.flattenArrayChild(p, "address", Seq("line1", "zip"))
+    val childTables = phone.select("db", "child_tbl").distinct()
+      .unionByName(address.select("db", "child_tbl").distinct()).distinct().count()
+    assert(parentTables + childTables == 4) // 4 CREATE TABLE
+
+    val alters = Pipeline.ddlAlterTables(p, Seq("workhours", "is_graduated"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(alters == Set(("employee", "employees"), ("student", "students"))) // 2 ALTER
+
+    val parentInserts = Pipeline.renderInsert(p, scalarInsertKeys).count()
+    assert(parentInserts == 14)
+    assert(phone.count() == 7)
+    assert(address.count() == 14)
+    assert(parentInserts + phone.count() + address.count() == 35) // 35 INSERT
+
+    assert(Pipeline.renderUpdate(p, Seq("Age")).count() == 1)   // 1 UPDATE
+    assert(Pipeline.renderDelete(p).count() == 1)               // 1 DELETE
+  }
+
+  test("deterministic reference statements match text-for-text") {
+    val del = stmtsOrdered(Pipeline.renderDelete(p))
+    // identical to example-output.sql line
+    assert(del == Seq(
+      "DELETE FROM student.students WHERE _id = '64798c213f273a7ca2cf516a';"))
+
+    val upd = stmtsOrdered(Pipeline.renderUpdate(p, Seq("Age")))
+    // reference renders 'Age = 23.000000' through its float64 quirk;
+    // ours keeps the JSON integer form (conscious fix, SURVEY §1.1)
+    assert(upd == Seq(
+      "UPDATE employee.employees SET Age = 23 WHERE _id = '64798c213f273a7ca2cf5171';"))
+  }
+
+  test("child rows carry the parent FK exactly like the reference flatten") {
+    val phone = Pipeline.flattenObjectChild(p, "phone", Seq("personal", "work"))
+    val parents = p.filter(col("op") === "INS" && col("tbl") === "employees")
+      .select(get_json_object(col("payload"), "$._id")).collect()
+      .map(_.getString(0)).toSet
+    val fks = phone.select("parent_id").collect().map(_.getString(0)).toSet
+    assert(fks.subsetOf(parents) && fks.size == 7)
+  }
+}
