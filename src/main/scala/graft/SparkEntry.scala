@@ -197,6 +197,8 @@ object SparkEntry {
       operators.TextOps.ngramJaccardPairs(t(s, dir, "documents"))),
     "d6_dedup_embedding" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"))),
+    "d7_neardup_ladder" -> ((s, dir) =>
+      operators.TextOps.nearDupLadder(t(s, dir, "documents"))),
     "d5_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.rolling_hash(col("text")).as("rhash"),
@@ -211,6 +213,8 @@ object SparkEntry {
       operators.Similarity.knnBrute(t(s, dir, "embeddings"))),
     "e2_knn_lsh" -> ((s, dir) =>
       operators.Similarity.knnLsh(t(s, dir, "embeddings"))),
+    "e3_knn_ivf" -> ((s, dir) =>
+      operators.Similarity.knnIvf(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
       operators.Multimodal.decodeMeta(s,
         operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),

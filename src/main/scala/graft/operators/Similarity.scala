@@ -61,6 +61,43 @@ object Similarity {
       .select(col("id1"), col("id2"), col("qdot"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = a seeded
+    * subsample of the corpus, vec_id % stride == 0) assigns every vector
+    * to its nearest centroid; a query probes its own cell plus the
+    * (nProbe-1) next-nearest cells, then exact quantized dot re-ranks
+    * within the probed cells. Probe cost ≈ nProbe/|centroids| of the
+    * corpus. Centroid assignment is a broadcast argmin — no shuffle of the
+    * corpus beyond one pass.
+    */
+  def knnIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             centroidStride: Int = 37, nProbe: Int = 3): DataFrame = {
+    val q = quantized(col("embedding"))
+    val centroids = emb.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), q.as("cvec"))
+    val dotC = aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    def cellRank = Window.partitionBy(col("vid")).orderBy(col("cdot").desc, col("cid"))
+    // nearest-centroid assignment for the corpus (rank 1) and the probe
+    // list for queries (rank <= nProbe)
+    val ranked = emb.select(col("vec_id").as("vid"), q.as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdot", dotC)
+      .withColumn("crnk", row_number().over(cellRank))
+    val assigned = ranked.filter(col("crnk") === 1)
+      .select(col("vid").as("nid"), col("qv").as("qe_n"), col("cid").as("cell"))
+    val probes = ranked.filter(col("vid") < nQueries && col("crnk") <= nProbe)
+      .select(col("vid").as("qid"), col("qv").as("qe_q"), col("cid").as("cell"))
+    val dot = aggregate(zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", dot)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim) —
     * shared arithmetic, no RNG state (workflows must be replayable).
     */

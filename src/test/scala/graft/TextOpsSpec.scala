@@ -38,6 +38,16 @@ class TextOpsSpec extends SparkSuite {
     assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
   }
 
+  test("nearDupLadder: LSH→exact ladder finds the near-dup, subset of exact tier") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val ladder = TextOps.nearDupLadder(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ladder == Set((1L, 2L)))
+    val exact = TextOps.ngramJaccardPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ladder.subsetOf(exact))
+  }
+
   test("simhashPairs: hamming-close pair found; fingerprints behave") {
     val pairs = TextOps.simhashPairs(
         docs(1L -> base, 2L -> nearDup, 3L -> unrelated), maxHamming = 16)
