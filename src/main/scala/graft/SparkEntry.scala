@@ -46,14 +46,14 @@ object SparkEntry {
     "p4_route_counts" -> ((s, dir) =>
       Pipeline.sinkCounts(Pipeline.route(
         Pipeline.enrich(valid(s, dir), Transcripts.toolDim(s))))),
-    "p5_render_insert" -> ((s, dir) => Pipeline.renderInsert(valid(s, dir))),
-    "p6_render_update" -> ((s, dir) => Pipeline.renderUpdate(valid(s, dir))),
-    "p7_render_delete" -> ((s, dir) => Pipeline.renderDelete(valid(s, dir))),
+    "p5_render_insert" -> ((s, dir) => Pipeline.renderInsertDynamic(valid(s, dir))),
+    "p6_render_update" -> ((s, dir) => Pipeline.renderUpdateDynamic(valid(s, dir))),
+    "p7_render_delete" -> ((s, dir) => Pipeline.renderDeleteDynamic(valid(s, dir))),
     "p8_flatten_children" -> ((s, dir) => Pipeline.flattenChildren(valid(s, dir))),
     "p9_ddl_schemas" -> ((s, dir) =>
       Pipeline.ddlCreateSchemas(Pipeline.parse(Transcripts.transcripts(s, dir)))),
-    "p10_ddl_tables" -> ((s, dir) => Pipeline.ddlCreateTables(valid(s, dir))),
-    "p11_ddl_alter" -> ((s, dir) => Pipeline.ddlAlterTables(valid(s, dir))),
+    "p10_ddl_tables" -> ((s, dir) => Pipeline.ddlCreateTablesDynamic(valid(s, dir))),
+    "p11_ddl_alter" -> ((s, dir) => Pipeline.ddlAlterTablesDynamic(valid(s, dir))),
     "p12_transitions" -> ((s, dir) =>
       Pipeline.turnTransitions(Transcripts.transcripts(s, dir))),
     "p13_dead_letter" -> ((s, dir) =>

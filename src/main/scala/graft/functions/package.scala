@@ -25,6 +25,15 @@ package object functions {
   /** Single-pass op-whitelist + db-blacklist admission predicate. */
   def valid_turn(c: Column): Column = column(ValidTurn(expression(c)))
 
+  /** get_json_object with a DYNAMIC path column (the public function only
+    * accepts a literal String path; the Catalyst expression itself takes
+    * any expression — non-foldable paths re-compile per row, which is the
+    * price of schema-on-read).
+    */
+  def get_json_dyn(json: Column, path: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+      expression(json), expression(path)))
+
   /** Register the library's expressions in the session's function registry
     * so plain SQL can call them: parse_turn(text), simhash64(arr),
     * rolling_hash(text).

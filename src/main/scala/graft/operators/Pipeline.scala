@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{parse_turn, valid_turn}
+import graft.functions.{get_json_dyn, parse_turn, valid_turn}
 
 /** The log-pipeline operators: parse → filter → enrich → route → aggregate,
   * plus render/flatten/DDL stages — the Spark-native re-expression of the
@@ -166,6 +166,126 @@ object Pipeline {
         concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
           lit(" WHERE "), whereClause(whereKeys), lit(";")))
       .select("conv_id", "turn_idx", "stmt")
+
+  // ----------------------------------------- dynamic (schema-on-read) forms
+  // The keyed renderers above are the explicit-schema fast path; these
+  // derive the column set from each document at runtime — the reference's
+  // true semantics (map[string]interface{} payloads, transformer.go:54-114)
+  // with deterministic sorted ordering instead of Go map iteration.
+
+  private def dynKeys: Column = array_sort(json_object_keys(col("payload")))
+
+  private def dynVal(k: Column): Column =
+    get_json_dyn(col("payload"), concat(lit("$."), k))
+
+  /** Nested object/array values are flattened to child tables (F1), never
+    * rendered inline — mirror of the reference deleting nested keys from
+    * the parent doc (transformer.go:82,93).
+    */
+  private def dynScalarKeys: Column =
+    filter(dynKeys, k => dynVal(k).isNotNull &&
+      !dynVal(k).startsWith("{") && !dynVal(k).startsWith("["))
+
+  /** Type inference from the literal shape (T7, transformer.go:234-253) —
+    * conscious fix: JSON integers become INTEGER, not the reference's
+    * FLOAT-via-float64 quirk (SURVEY §1.1).
+    */
+  private def sqlTypeOf(v: Column): Column =
+    when(v.rlike("^-?[0-9]+$"), "INTEGER")
+      .when(v.rlike("^-?[0-9]+[.][0-9]+$"), "FLOAT")
+      .when(v.isin("true", "false"), "BOOLEAN")
+      .otherwise("VARCHAR(255)")
+
+  /** INSERT synthesis with runtime-derived columns. */
+  def renderInsertDynamic(parsed: DataFrame): DataFrame =
+    parsed.filter(col("op") === "INS")
+      .withColumn("stmt",
+        concat(lit("INSERT INTO "), col("db"), lit("."), col("tbl"),
+          lit(" ("), array_join(dynScalarKeys, ", "),
+          lit(") VALUES ("),
+          array_join(transform(dynScalarKeys, k => sqlLiteral(dynVal(k))), ", "),
+          lit(");")))
+      .select("conv_id", "turn_idx", "stmt")
+
+  private def dynWhere: Column = {
+    val keys = filter(dynScalarKeys, k => k =!= "diff")
+    array_join(transform(keys,
+      k => concat(k, lit(" = "), sqlLiteral(dynVal(k)))), " and ")
+  }
+
+  /** UPDATE synthesis with runtime-derived SET (diff.u ∪ diff.d) and WHERE
+    * (all scalar root keys — the o2 analog).
+    */
+  def renderUpdateDynamic(parsed: DataFrame): DataFrame = {
+    val empty = array().cast("array<string>")
+    val uKeys = coalesce(
+      json_object_keys(get_json_object(col("payload"), "$.diff.u")), empty)
+    val dKeys = coalesce(
+      json_object_keys(get_json_object(col("payload"), "$.diff.d")), empty)
+    val setKeys = array_sort(array_union(uKeys, dKeys))
+    val uVal = (k: Column) =>
+      get_json_dyn(col("payload"), concat(lit("$.diff.u."), k))
+    val setParts = transform(setKeys, k =>
+      when(uVal(k).isNotNull, concat(k, lit(" = "), sqlLiteral(uVal(k))))
+        .otherwise(concat(k, lit(" = NULL"))))
+    parsed.filter(col("op") === "UPD")
+      .withColumn("stmt",
+        concat(lit("UPDATE "), col("db"), lit("."), col("tbl"), lit(" SET "),
+          array_join(setParts, ", "), lit(" WHERE "), dynWhere, lit(";")))
+      .select("conv_id", "turn_idx", "stmt")
+  }
+
+  /** DELETE synthesis: WHERE from ALL payload keys (transformer.go:301-319). */
+  def renderDeleteDynamic(parsed: DataFrame): DataFrame =
+    parsed.filter(col("op") === "DEL")
+      .withColumn("stmt",
+        concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
+          lit(" WHERE "), dynWhere, lit(";")))
+      .select("conv_id", "turn_idx", "stmt")
+
+  /** CREATE TABLE from the first-seen doc with runtime-derived columns and
+    * inferred types; _id leads as PRIMARY KEY (transformer.go:205-228).
+    */
+  def ddlCreateTablesDynamic(parsed: DataFrame): DataFrame = {
+    val others = filter(dynScalarKeys, k => k =!= "_id")
+    val defs = array_join(transform(others,
+      k => concat(k, lit(" "), sqlTypeOf(dynVal(k)))), ", ")
+    firstSeen(parsed.filter(col("op") === "INS"))
+      .withColumn("stmt",
+        concat(lit("CREATE TABLE "), col("db"), lit("."), col("tbl"),
+          lit(" (_id VARCHAR(255) PRIMARY KEY"),
+          when(defs === "", lit("")).otherwise(concat(lit(", "), defs)),
+          lit(");")))
+      .select("db", "tbl", "stmt")
+  }
+
+  /** ALTER synthesis with runtime-derived drift keys: any scalar key absent
+    * from the table's first-seen doc but present later gets ADD COLUMN with
+    * the type inferred from its EARLIEST occurrence (deterministic
+    * replacement for the registry race, transformer.go:176-195).
+    */
+  def ddlAlterTablesDynamic(parsed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("db"), col("tbl"))
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+    val ins = parsed.filter(col("op") === "INS")
+      .withColumn("rn", row_number().over(w))
+    val keyRows = ins.select(col("db"), col("tbl"), col("rn"), col("ts"),
+        col("conv_id"), col("turn_idx"), col("payload"),
+        explode(dynScalarKeys).as("key"))
+      .withColumn("ktype",
+        sqlTypeOf(get_json_dyn(col("payload"), concat(lit("$."), col("key")))))
+    val firstDocKeys = keyRows.filter(col("rn") === 1)
+      .select(col("db"), col("tbl"), col("key"))
+    val earliest = keyRows
+      .groupBy(col("db"), col("tbl"), col("key"))
+      .agg(min(struct(col("ts"), col("conv_id"), col("turn_idx"),
+        col("ktype"))).as("m"))
+    earliest.join(firstDocKeys, Seq("db", "tbl", "key"), "left_anti")
+      .withColumn("stmt",
+        concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),
+          lit(" ADD "), col("key"), lit(" "), col("m.ktype"), lit(";")))
+      .select("db", "tbl", "stmt")
+  }
 
   // -------------------------------------------------------------- flatten
 

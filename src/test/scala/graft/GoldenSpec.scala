@@ -17,15 +17,23 @@ class GoldenSpec extends SparkSuite {
     val df = turns(("c1", 1, "user",
       s"""INS test.student {"_id":"$id","date_of_birth":"2000-01-30","is_graduated":false,"name":"Selena Miller","roll_no":51}""",
       "tool_0", T))
-    val keys = Seq("_id", "date_of_birth", "is_graduated", "name", "roll_no")
-    val got = stmtsOrdered(Pipeline.renderInsert(parsedValid(df), keys))
-    // conscious divergences from the reference, both documented in
-    // SURVEY.md §1.1/§5: int stays 25-style bare INTEGER (reference emits
-    // 51.000000 via the float64 quirk), column order is sorted (reference
-    // is map-random and thus un-goldenable)
+    // fully dynamic: the column set is derived from the document at
+    // runtime, not passed in. Conscious divergences from the reference,
+    // documented in SURVEY.md §1.1/§5: int stays bare INTEGER (reference
+    // emits 51.000000 via the float64 quirk), column order is sorted
+    // (reference is map-random and thus un-goldenable)
+    val got = stmtsOrdered(Pipeline.renderInsertDynamic(parsedValid(df)))
     assert(got == Seq(
       s"INSERT INTO test.student (_id, date_of_birth, is_graduated, name, roll_no) " +
         s"VALUES ('$id', '2000-01-30', false, 'Selena Miller', 51);"))
+
+    // CREATE TABLE from the same first doc, types inferred per value shape
+    val ddl = Pipeline.ddlCreateTablesDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(ddl == Seq(
+      "CREATE TABLE test.student (_id VARCHAR(255) PRIMARY KEY, " +
+        "date_of_birth VARCHAR(255), is_graduated BOOLEAN, " +
+        "name VARCHAR(255), roll_no INTEGER);"))
   }
 
   test("insertSingleNewColumn (transformer_test.go:27-40): ALTER on drift") {
@@ -36,7 +44,8 @@ class GoldenSpec extends SparkSuite {
       ("c1", 2, "user",
         s"""INS test.student {"_id":"a2","name":"Jane","phone":"+91-81254966457","roll_no":52}""",
         "tool_0", "2024-01-01 10:05:00"))
-    val alters = Pipeline.ddlAlterTables(parsedValid(df), Seq("phone"))
+    // dynamic drift detection: no drift-key list — 'phone' is discovered
+    val alters = Pipeline.ddlAlterTablesDynamic(parsedValid(df))
       .select("stmt").collect().map(_.getString(0)).toSeq
     assert(alters == Seq("ALTER TABLE test.student ADD phone VARCHAR(255);"))
   }
@@ -45,8 +54,7 @@ class GoldenSpec extends SparkSuite {
     val df = turns(("c1", 1, "assistant",
       s"""UPD test.student {"_id":"$id","diff":{"u":{"is_graduated":true,"name":"dummy_name"}}}""",
       "tool_0", T))
-    val got = stmtsOrdered(
-      Pipeline.renderUpdate(parsedValid(df), Seq("is_graduated", "name")))
+    val got = stmtsOrdered(Pipeline.renderUpdateDynamic(parsedValid(df)))
     // matches the reference golden string exactly (modulo its trailing \n\n)
     assert(got == Seq(
       s"UPDATE test.student SET is_graduated = true, name = 'dummy_name' WHERE _id = '$id';"))
@@ -58,8 +66,7 @@ class GoldenSpec extends SparkSuite {
     val df = turns(("c1", 1, "assistant",
       s"""UPD test.student {"_id":"$id","diff":{"d":{"roll_no":false,"name":null}}}""",
       "tool_0", T))
-    val got = stmtsOrdered(
-      Pipeline.renderUpdate(parsedValid(df), Seq("name", "roll_no")))
+    val got = stmtsOrdered(Pipeline.renderUpdateDynamic(parsedValid(df)))
     assert(got == Seq(
       s"UPDATE test.student SET name = NULL, roll_no = NULL WHERE _id = '$id';"))
   }
@@ -67,7 +74,7 @@ class GoldenSpec extends SparkSuite {
   test("deleteQuery (transformer_test.go:79-88): exact reference golden") {
     val df = turns(("c1", 1, "tool",
       s"""DEL test.student {"_id":"$id"}""", "tool_0", T))
-    val got = stmtsOrdered(Pipeline.renderDelete(parsedValid(df)))
+    val got = stmtsOrdered(Pipeline.renderDeleteDynamic(parsedValid(df)))
     assert(got == Seq(s"DELETE FROM test.student WHERE _id = '$id';"))
   }
 
@@ -76,12 +83,16 @@ class GoldenSpec extends SparkSuite {
       ("c1", 1, "tool", """DEL test.t {"_id":"x1","k":5}""", "tool_0", T),
       ("c1", 2, "assistant",
         """UPD test.t {"_id":"x1","k":5,"diff":{"u":{"v":7}}}""", "tool_0", T))
-    val del = stmtsOrdered(
-      Pipeline.renderDelete(parsedValid(df), Seq("_id", "k")))
+    // dynamic: WHERE keys discovered from the document (both of them)
+    val del = stmtsOrdered(Pipeline.renderDeleteDynamic(parsedValid(df)))
     assert(del == Seq("DELETE FROM test.t WHERE _id = 'x1' and k = 5;"))
-    val upd = stmtsOrdered(
-      Pipeline.renderUpdate(parsedValid(df), Seq("v"), Seq("_id", "k")))
+    val upd = stmtsOrdered(Pipeline.renderUpdateDynamic(parsedValid(df)))
     assert(upd == Seq("UPDATE test.t SET v = 7 WHERE _id = 'x1' and k = 5;"))
+    // the keyed (explicit-schema) API stays equivalent
+    assert(del == stmtsOrdered(
+      Pipeline.renderDelete(parsedValid(df), Seq("_id", "k"))))
+    assert(upd == stmtsOrdered(
+      Pipeline.renderUpdate(parsedValid(df), Seq("v"), Seq("_id", "k"))))
   }
 
   test("nestedObject1 (transformer_test.go:89-115): object + array flatten with FK") {

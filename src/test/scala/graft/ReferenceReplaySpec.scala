@@ -44,9 +44,6 @@ class ReferenceReplaySpec extends SparkSuite {
 
   private lazy val p = parsedValid(turnsDf)
 
-  private val scalarInsertKeys = Seq("_id", "age", "is_graduated", "name",
-    "position", "salary", "subject", "workhours")
-
   test("per-op routed counts match the 14i/1u/1d mix (example-input.json)") {
     val byOp = p.groupBy("op").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -65,27 +62,46 @@ class ReferenceReplaySpec extends SparkSuite {
       .unionByName(address.select("db", "child_tbl").distinct()).distinct().count()
     assert(parentTables + childTables == 4) // 4 CREATE TABLE
 
-    val alters = Pipeline.ddlAlterTables(p, Seq("workhours", "is_graduated"))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(alters == Set(("employee", "employees"), ("student", "students"))) // 2 ALTER
+    // drift keys DISCOVERED from the corpus, not listed: exactly the two
+    // ALTERs the reference emitted (workhours int→our INTEGER vs its FLOAT
+    // quirk; is_graduated BOOLEAN in both)
+    val alters = Pipeline.ddlAlterTablesDynamic(p)
+      .select("stmt").collect().map(_.getString(0)).toSet
+    assert(alters == Set(
+      "ALTER TABLE employee.employees ADD workhours INTEGER;",
+      "ALTER TABLE student.students ADD is_graduated BOOLEAN;")) // 2 ALTER
 
-    val parentInserts = Pipeline.renderInsert(p, scalarInsertKeys).count()
+    val parentInserts = Pipeline.renderInsertDynamic(p).count()
     assert(parentInserts == 14)
     assert(phone.count() == 7)
     assert(address.count() == 14)
     assert(parentInserts + phone.count() + address.count() == 35) // 35 INSERT
 
-    assert(Pipeline.renderUpdate(p, Seq("Age")).count() == 1)   // 1 UPDATE
-    assert(Pipeline.renderDelete(p).count() == 1)               // 1 DELETE
+    assert(Pipeline.renderUpdateDynamic(p).count() == 1) // 1 UPDATE
+    assert(Pipeline.renderDeleteDynamic(p).count() == 1) // 1 DELETE
+  }
+
+  test("dynamic CREATE TABLE goldens from first-seen docs (vs example-output.sql:2,20)") {
+    val creates = Pipeline.ddlCreateTablesDynamic(p)
+      .select("stmt").collect().map(_.getString(0)).toSet
+    // reference (map-order, float quirk):
+    //   CREATE TABLE IF NOT EXISTS student.students(_id VARCHAR(255)
+    //     PRIMARY KEY,age FLOAT,name VARCHAR(255),subject VARCHAR(255));
+    // ours: sorted columns, age INTEGER (documented divergence)
+    assert(creates == Set(
+      "CREATE TABLE student.students (_id VARCHAR(255) PRIMARY KEY, " +
+        "age INTEGER, name VARCHAR(255), subject VARCHAR(255));",
+      "CREATE TABLE employee.employees (_id VARCHAR(255) PRIMARY KEY, " +
+        "age INTEGER, name VARCHAR(255), position VARCHAR(255), salary FLOAT);"))
   }
 
   test("deterministic reference statements match text-for-text") {
-    val del = stmtsOrdered(Pipeline.renderDelete(p))
+    val del = stmtsOrdered(Pipeline.renderDeleteDynamic(p))
     // identical to example-output.sql line
     assert(del == Seq(
       "DELETE FROM student.students WHERE _id = '64798c213f273a7ca2cf516a';"))
 
-    val upd = stmtsOrdered(Pipeline.renderUpdate(p, Seq("Age")))
+    val upd = stmtsOrdered(Pipeline.renderUpdateDynamic(p))
     // reference renders 'Age = 23.000000' through its float64 quirk;
     // ours keeps the JSON integer form (conscious fix, SURVEY §1.1)
     assert(upd == Seq(
