@@ -59,8 +59,9 @@ object Bench {
     // ---- headline: turns/sec on the materialized big table
     val turnsPath = s"target/bench_turns_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
     val nTurns = materializeTurns(spark, sfDir, mult, turnsPath, cpus.toInt * 4)
-    headline(spark, turnsPath) // warmup (codegen + footer cache)
-    val (_, tHead) = timeIt(headline(spark, turnsPath))
+    headline(spark, turnsPath) // warmup (codegen + footer + page cache)
+    // best-of-3: the box is shared, single measurements swing up to 7x
+    val tHead = (1 to 3).map(_ => timeIt(headline(spark, turnsPath))._2).min
     val throughput = nTurns / tHead
 
     // ---- per-query timings (one warmup action for session state)
