@@ -186,6 +186,51 @@ object SparkEntry {
         .select(col("k"), coalesce(col("in_1994"), lit(0)).as("in_1994"),
           coalesce(col("in_neg"), lit(0)).as("in_neg"))
     }),
+    "q14_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
+    "q15_range_join" -> ((s, dir) => {
+      // range join: same-user event pairs within 60s — equi on user_id +
+      // a range predicate (SMJ with residual condition)
+      val e = t(s, dir, "events")
+      val a = e.select(col("event_id").as("id1"), col("user_id"),
+        col("ts").as("ts1"))
+      val b = e.select(col("event_id").as("id2"),
+        col("user_id").as("u2"), col("ts").as("ts2"))
+      a.join(b, col("user_id") === col("u2") && col("id1") < col("id2") &&
+          col("ts2") >= col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 60 SECONDS"))
+        .select(col("user_id"), col("id1"), col("id2"))
+    }),
+    "q16_asof" -> ((s, dir) => {
+      // as-of: each event joined to the user's most recent prior-or-same
+      // 'signup' — expressed as a window (no join needed when the as-of
+      // source is the same stream)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("last_signup_id",
+          last(when(col("event_type") === "signup", col("event_id")), true).over(w))
+        .select(col("event_id"), col("user_id"), col("last_signup_id"))
+    }),
+    "q17_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+    "q18_percentile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000000)).as("p50_approx"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))),
     // ------------------------------ training-data ops (documents/embeddings)
     "d1_dedup_exact" -> ((s, dir) =>
       operators.TextOps.exactDedup(t(s, dir, "documents"))),
@@ -429,6 +474,36 @@ object SparkEntry {
             AS BIGINT) AS qdot
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       WHERE qdot >= 40000000""",
+    "q14_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q15_range_join" -> """
+      SELECT a.user_id, a.event_id AS id1, b.event_id AS id2
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND""",
+    "q16_asof" -> """
+      SELECT event_id, user_id,
+        last_value(CASE WHEN event_type = 'signup' THEN event_id END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS last_signup_id
+      FROM events""",
+    "q17_pivot" -> """
+      SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'view') AS view,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'error') AS error
+      FROM events GROUP BY user_id""",
+    "q18_percentile" -> """
+      SELECT event_type,
+        quantile_disc(value, 0.5) AS p50_approx,
+        quantile_cont(value, 0.5) AS p50_exact,
+        min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type""",
     // d2/d3/d5/e2 are engine-hash-specific (Spark murmur3/xxhash64, custom
     // SimHash/rolling-hash exprs) — not DuckDB-expressible; rows-only checks.
     "d1_dedup_exact" -> """
