@@ -186,6 +186,15 @@ object SparkEntry {
         .select(col("k"), coalesce(col("in_1994"), lit(0)).as("in_1994"),
           coalesce(col("in_neg"), lit(0)).as("in_neg"))
     }),
+    "q19_session_window" -> ((s, dir) =>
+      // built-in gap-based session windows (vs Pipeline.sessionize's
+      // manual lag+cumsum form, p14) — same 30-minute gap semantics
+      Transcripts.transcripts(s, dir)
+        .groupBy(col("conv_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_turns"))
+        .select(col("conv_id"),
+          col("session_window.start").as("win_start"),
+          col("session_window.end").as("win_end"), col("n_turns"))),
     "q14_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -474,6 +483,23 @@ object SparkEntry {
             AS BIGINT) AS qdot
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
       WHERE qdot >= 40000000""",
+    "q19_session_window" -> (Transcripts.oracleWith + """
+      , g AS (
+        SELECT conv_id, ts,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+               > 1800000000 OR lag(epoch_us(ts))
+                 OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
+               THEN 1 ELSE 0 END AS boundary
+        FROM transcripts),
+      s AS (
+        SELECT conv_id, ts,
+          sum(boundary) OVER (PARTITION BY conv_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT conv_id, min(ts) AS win_start,
+        max(ts) + INTERVAL 30 MINUTE AS win_end, count(*) AS n_turns
+      FROM s GROUP BY conv_id, sid"""),
     "q14_cube" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
