@@ -196,7 +196,11 @@ object Pipeline {
       .when(v.isin("true", "false"), "BOOLEAN")
       .otherwise("VARCHAR(255)")
 
-  /** INSERT synthesis with runtime-derived columns. */
+  /** INSERT synthesis with runtime-derived columns. Rows whose payload is
+    * not a JSON object (garbage past the op/ns tokens) produce a NULL key
+    * set and are dropped rather than emitting broken SQL — route them via
+    * [[rejects]]-style auditing upstream if they must be counted.
+    */
   def renderInsertDynamic(parsed: DataFrame): DataFrame =
     parsed.filter(col("op") === "INS")
       .withColumn("stmt",
@@ -205,6 +209,7 @@ object Pipeline {
           lit(") VALUES ("),
           array_join(transform(dynScalarKeys, k => sqlLiteral(dynVal(k))), ", "),
           lit(");")))
+      .filter(col("stmt").isNotNull)
       .select("conv_id", "turn_idx", "stmt")
 
   private def dynWhere: Column = {
@@ -232,6 +237,7 @@ object Pipeline {
       .withColumn("stmt",
         concat(lit("UPDATE "), col("db"), lit("."), col("tbl"), lit(" SET "),
           array_join(setParts, ", "), lit(" WHERE "), dynWhere, lit(";")))
+      .filter(col("stmt").isNotNull)
       .select("conv_id", "turn_idx", "stmt")
   }
 
@@ -241,6 +247,7 @@ object Pipeline {
       .withColumn("stmt",
         concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
           lit(" WHERE "), dynWhere, lit(";")))
+      .filter(col("stmt").isNotNull)
       .select("conv_id", "turn_idx", "stmt")
 
   /** CREATE TABLE from the first-seen doc with runtime-derived columns and

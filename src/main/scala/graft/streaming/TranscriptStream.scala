@@ -64,6 +64,24 @@ object TranscriptStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("sink"), col("n"))
 
+  /** Stream-stream join: turns against a live tool-status stream, matched
+    * within a 1-hour validity interval — both sides watermarked so join
+    * state is bounded (Spark buffers only rows inside the watermark
+    * horizon). The batch enrich (broadcast dim) is the static analog; this
+    * is its streaming-metadata form.
+    */
+  def streamStreamEnrich(turns: DataFrame, toolStatus: DataFrame): DataFrame = {
+    val t = turns.withWatermark("ts", "10 minutes")
+    val m = toolStatus
+      .select(col("tool").as("mtool"), col("status"), col("mts"))
+      .withWatermark("mts", "10 minutes")
+    t.join(m,
+      t("tool") === m("mtool") &&
+        m("mts") <= t("ts") &&
+        m("mts") >= t("ts") - expr("INTERVAL 1 HOUR"))
+      .drop("mtool")
+  }
+
   // ----------------------------------------------------- stateful sessions
 
   case class TurnEvent(conv_id: String, turn_idx: Int, ts: Timestamp)

@@ -95,6 +95,21 @@ class GoldenSpec extends SparkSuite {
       Pipeline.renderUpdate(parsedValid(df), Seq("v"), Seq("_id", "k"))))
   }
 
+  test("malformed payloads render NO broken SQL (null-guard); routing still counts them") {
+    val df = turns(
+      ("c1", 1, "user", "INS test.t garbage-not-json", "tool_0", T),
+      ("c1", 2, "user", """INS test.t {"_id":"ok1","k":1}""", "tool_0", T),
+      ("c1", 3, "assistant", "UPD test.t also-garbage", "tool_0", T),
+      ("c1", 4, "tool", "DEL test.t []", "tool_0", T))
+    val p = parsedValid(df)
+    assert(stmtsOrdered(Pipeline.renderInsertDynamic(p)) ==
+      Seq("INSERT INTO test.t (_id, k) VALUES ('ok1', 1);"))
+    assert(Pipeline.renderUpdateDynamic(p).count() == 0)
+    assert(Pipeline.renderDeleteDynamic(p).count() == 0)
+    // the turns are still admitted (valid op/db) and countable per-sink
+    assert(p.count() == 4)
+  }
+
   test("nestedObject1 (transformer_test.go:89-115): object + array flatten with FK") {
     val payload =
       s"""{"_id":"$id","name":"Selena Miller","phone":{"personal":"7678456640","work":"8130097989"},""" +

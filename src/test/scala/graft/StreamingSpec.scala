@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSuite {
     assert(!closed.contains("B")) // B's session still open at stop
   }
 
+  test("stream-stream join: tool status attaches within its validity interval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    case class T(conv_id: String, turn_idx: Int, tool: String, ts: java.sql.Timestamp)
+    case class M(tool: String, status: String, mts: java.sql.Timestamp)
+    val turns = MemoryStream[(String, Int, String, java.sql.Timestamp)]
+    val status = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = graft.streaming.TranscriptStream.streamStreamEnrich(
+      turns.toDF().toDF("conv_id", "turn_idx", "tool", "ts"),
+      status.toDF().toDF("tool", "status", "mts"))
+    val q = joined.select("conv_id", "turn_idx", "status")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+
+    status.addData(("tool_0", "ok", t("2024-01-01 09:30:00")))
+    // in-interval turn (30min after status) and out-of-interval turn (2h)
+    turns.addData(("A", 1, "tool_0", t("2024-01-01 10:00:00")),
+      ("A", 2, "tool_0", t("2024-01-01 11:45:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT conv_id, turn_idx, status FROM ss_join")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(("A", 1, "ok")), s"got=$got")
+  }
+
   test("replay dedup: at-least-once duplicates collapse within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.TranscriptStream.TurnEvent
