@@ -481,7 +481,8 @@ object SparkEntry {
             i -> CAST(round(CAST(a.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
                  * CAST(round(CAST(b.embedding[i] AS DOUBLE) * 10000) AS BIGINT)))
             AS BIGINT) AS qdot
-        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        FROM embeddings a, embeddings b
+        WHERE a.label = b.label AND a.vec_id < b.vec_id)
       WHERE qdot >= 40000000""",
     "q19_session_window" -> (Transcripts.oracleWith + """
       , g AS (

