@@ -41,6 +41,34 @@ object Similarity {
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
   }
 
+  /** knnBrute via the typed TopKAggregator instead of a row_number window:
+    * partial top-k per partition, merge of k-heaps — moves ≤ k rows per
+    * (query, partition) instead of shuffling every candidate row. Same
+    * results as [[knnBrute]] (asserted in SimilaritySpec).
+    */
+  def knnBruteAgg(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select(col("vec_id").as("nid"),
+      quantized(col("embedding")).as("qe_n"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
+    val dot = aggregate(zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), dot.as("dot"), col("nid"))
+      .as[(Long, Long, Long)]
+    val topK = new graft.functions.TopKAggregator(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues { case (_, d, n) => (d, n) }
+      .agg(topK.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((d, n), i) => (qid, n, d, i + 1) }
+      }
+      .toDF("qid", "nid", "dot", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs quantized dot
     * above an integer threshold (unit-norm corpus ⇒ dot == cosine;
     * threshold 0.40 on this corpus (its max pairwise cosine is 0.48) ⇒ qdot ≥ 0.40·10⁴·10⁴). Exact tier — at corpus scale

@@ -39,6 +39,14 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("TopKAggregator form is row-for-row identical to the window form") {
+    val window = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val agged = Similarity.knnBruteAgg(emb, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(agged == window)
+  }
+
   test("IVF: probed-cell search stays in-cluster and recalls brute force") {
     val brute = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
