@@ -19,6 +19,12 @@ object Bench {
     */
   def materializeTurns(spark: SparkSession, sfDir: String, mult: Int,
                        path: String, partitions: Int): Long = {
+    // deterministic content ⇒ reuse an existing materialization: repeated
+    // bench runs otherwise fight their own writeback IO for minutes
+    val expected = Transcripts.events(spark, sfDir).count() * mult
+    val existing = try spark.read.parquet(path).count()
+      catch { case _: Exception => -1L }
+    if (existing == expected) return existing
     val base = Transcripts.transcripts(spark, sfDir)
     val big = base
       .crossJoin(spark.range(mult).select(col("id").as("rep")))
