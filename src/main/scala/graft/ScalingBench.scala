@@ -37,7 +37,9 @@ object ScalingBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "100").toInt
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // best-of-5: the 4N measurement is only a few seconds long, so host
+    // CPU steal on the shared box can depress a single rep by 30%+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val n4 = n * 4
 
     // materialize once with a session that then goes away; partition count
