@@ -25,6 +25,16 @@ package object functions {
   /** Single-pass op-whitelist + db-blacklist admission predicate. */
   def valid_turn(c: Column): Column = column(ValidTurn(expression(c)))
 
+  /** Single-pass top-level JSON object reader: map<key, raw-value-token>.
+    * Raw tokens keep quoting/braces so value TYPE is probeable downstream —
+    * the information get_json_object destroys (a JSON string "89799" vs the
+    * number 89799 render differently, transformer.go:37-48).
+    */
+  def json_kv_raw(c: Column): Column = column(JsonKvRaw(expression(c)))
+
+  /** Decode a raw JSON string token to its value; passthrough otherwise. */
+  def json_unquote(c: Column): Column = column(JsonUnquote(expression(c)))
+
   /** get_json_object with a DYNAMIC path column (the public function only
     * accepts a literal String path; the Catalyst expression itself takes
     * any expression — non-foldable paths re-compile per row, which is the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{get_json_dyn, parse_turn, valid_turn}
+import graft.functions.{json_kv_raw, json_unquote, parse_turn, valid_turn}
 
 /** The log-pipeline operators: parse → filter → enrich → route → aggregate,
   * plus render/flatten/DDL stages — the Spark-native re-expression of the
@@ -89,6 +89,14 @@ object Pipeline {
   // Deterministic SQL-text rendering (T3-T6): sorted column order and typed
   // literal binding, strictly stronger than the reference whose INSERT
   // column order is Go-map-random (transformer.go:154-174; SURVEY.md §5).
+  //
+  // All renderers share ONE tokenizer pass per row: json_kv_raw parses the
+  // payload once into map<key, raw-json-token> (aliased as `kv`, so the
+  // optimizer's CollapseProject keeps the non-cheap multi-consumer
+  // expression in its own projection and everything downstream is map
+  // lookups). Raw tokens keep their JSON quoting, so the renderer switches
+  // on the ACTUAL value type like the reference does (transformer.go:34-52)
+  // — a numeric-looking JSON *string* "89799" stays quoted and VARCHAR.
 
   /** Payload keys the bench corpus carries, in sorted order (deterministic
     * column ordering replaces Go map iteration). The mechanism — probe
@@ -100,25 +108,39 @@ object Pipeline {
   private def jval(key: String): Column =
     get_json_object(col("payload"), "$." + key)
 
-  /** Typed literal binding (T6, transformer.go:34-52): ints/floats bare
-    * (%d/%f at :40-43), bools bare (%t at :44-45), strings quoted with ''
-    * escaping (:38-39) — the reference's renderer, made deterministic.
+  private def kv: Column = col("kv")
+
+  private def withKv(df: DataFrame): DataFrame =
+    df.withColumn("kv", json_kv_raw(col("payload")))
+
+  /** Raw token present and renderable as a scalar literal (JSON null keys
+    * are omitted from INSERT column lists, matching round-1 semantics).
+    */
+  private def isScalarRaw(raw: Column): Column =
+    raw.isNotNull && !raw.startsWith("{") && !raw.startsWith("[") &&
+      raw =!= "null"
+
+  /** Typed literal binding from the RAW token (T6, transformer.go:34-52):
+    * JSON strings quoted with '' escaping regardless of content (:38-39),
+    * numbers/booleans bare (:40-45), JSON null → NULL (:46-47).
     * (Conscious fix vs the reference: floats keep their JSON form instead
     * of being forced through %f's 6 decimals — SURVEY.md §1.1 quirk.)
     */
-  def sqlLiteral(v: Column): Column =
-    when(v.rlike("^-?[0-9]+([.][0-9]+)?$") || v.isin("true", "false"), v)
-      .otherwise(concat(lit("'"), regexp_replace(v, "'", "''"), lit("'")))
+  def sqlLiteralRaw(raw: Column): Column =
+    when(raw === "null", "NULL")
+      .when(raw.startsWith("\""),
+        concat(lit("'"), regexp_replace(json_unquote(raw), "'", "''"), lit("'")))
+      .otherwise(raw)
 
   /** INSERT synthesis (T3) over parsed+filtered INS turns. */
   def renderInsert(parsed: DataFrame,
                    keys: Seq[String] = insertKeys): DataFrame = {
-    val present = keys.sorted.map(k => (k, jval(k)))
+    val present = keys.sorted.map(k => (k, element_at(kv, lit(k))))
     val colsList = concat_ws(", ",
-      present.map { case (k, v) => when(v.isNotNull, lit(k)) }: _*)
+      present.map { case (k, v) => when(isScalarRaw(v), lit(k)) }: _*)
     val valsList = concat_ws(", ",
-      present.map { case (_, v) => when(v.isNotNull, sqlLiteral(v)) }: _*)
-    parsed.filter(col("op") === "INS")
+      present.map { case (_, v) => when(isScalarRaw(v), sqlLiteralRaw(v)) }: _*)
+    withKv(parsed.filter(col("op") === "INS"))
       .withColumn("stmt",
         concat(lit("INSERT INTO "), col("db"), lit("."), col("tbl"),
           lit(" ("), colsList, lit(") VALUES ("), valsList, lit(");")))
@@ -134,13 +156,12 @@ object Pipeline {
     // diff.d KEY PRESENCE drives SET NULL — the value is ignored, and may
     // itself be JSON null (transformer.go:279-282), so probe the key set,
     // not the value.
-    val dKeys = json_object_keys(get_json_object(col("payload"), "$.diff.d"))
     val setParts = setKeys.sorted.map { k =>
-      val u = get_json_object(col("payload"), "$.diff.u." + k)
-      when(u.isNotNull, concat(lit(k + " = "), sqlLiteral(u)))
-        .when(dKeys.isNotNull && array_contains(dKeys, k), lit(k + " = NULL"))
+      val u = element_at(col("ukv"), lit(k))
+      when(u.isNotNull, concat(lit(k + " = "), sqlLiteralRaw(u)))
+        .when(element_at(col("dkv"), lit(k)).isNotNull, lit(k + " = NULL"))
     }
-    parsed.filter(col("op") === "UPD")
+    withDiffKv(withKv(parsed.filter(col("op") === "UPD")))
       .withColumn("stmt",
         concat(lit("UPDATE "), col("db"), lit("."), col("tbl"), lit(" SET "),
           concat_ws(", ", setParts: _*),
@@ -153,7 +174,8 @@ object Pipeline {
     */
   private def whereClause(keys: Seq[String]): Column =
     concat_ws(" and ", keys.sorted.map { k =>
-      when(jval(k).isNotNull, concat(lit(k + " = "), sqlLiteral(jval(k))))
+      val v = element_at(kv, lit(k))
+      when(isScalarRaw(v), concat(lit(k + " = "), sqlLiteralRaw(v)))
     }: _*)
 
   /** DELETE synthesis (T5, transformer.go:301-319): WHERE from all present
@@ -161,7 +183,7 @@ object Pipeline {
     */
   def renderDelete(parsed: DataFrame,
                    whereKeys: Seq[String] = Seq("_id")): DataFrame =
-    parsed.filter(col("op") === "DEL")
+    withKv(parsed.filter(col("op") === "DEL"))
       .withColumn("stmt",
         concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
           lit(" WHERE "), whereClause(whereKeys), lit(";")))
@@ -173,91 +195,96 @@ object Pipeline {
   // true semantics (map[string]interface{} payloads, transformer.go:54-114)
   // with deterministic sorted ordering instead of Go map iteration.
 
-  private def dynKeys: Column = array_sort(json_object_keys(col("payload")))
-
-  private def dynVal(k: Column): Column =
-    get_json_dyn(col("payload"), concat(lit("$."), k))
-
-  /** Nested object/array values are flattened to child tables (F1), never
-    * rendered inline — mirror of the reference deleting nested keys from
-    * the parent doc (transformer.go:82,93).
+  /** Sorted scalar (renderable) keys of the parsed payload map. Nested
+    * object/array values are flattened to child tables (F1), never rendered
+    * inline — mirror of the reference deleting nested keys from the parent
+    * doc (transformer.go:82,93).
     */
-  private def dynScalarKeys: Column =
-    filter(dynKeys, k => dynVal(k).isNotNull &&
-      !dynVal(k).startsWith("{") && !dynVal(k).startsWith("["))
+  private def scalarKeysOf(m: Column): Column =
+    filter(array_sort(map_keys(m)), k => isScalarRaw(element_at(m, k)))
 
-  /** Type inference from the literal shape (T7, transformer.go:234-253) —
-    * conscious fix: JSON integers become INTEGER, not the reference's
-    * FLOAT-via-float64 quirk (SURVEY §1.1).
+  /** Type inference from the RAW token (T7, transformer.go:234-253):
+    * strings → VARCHAR even when numeric-looking (the reference switches on
+    * the runtime type, :238-239); conscious fix: JSON integers become
+    * INTEGER, not the reference's FLOAT-via-float64 quirk (SURVEY §1.1).
     */
-  private def sqlTypeOf(v: Column): Column =
-    when(v.rlike("^-?[0-9]+$"), "INTEGER")
-      .when(v.rlike("^-?[0-9]+[.][0-9]+$"), "FLOAT")
-      .when(v.isin("true", "false"), "BOOLEAN")
+  private def sqlTypeOfRaw(raw: Column): Column =
+    when(raw.startsWith("\""), "VARCHAR(255)")
+      .when(raw.isin("true", "false"), "BOOLEAN")
+      .when(raw.rlike("^-?[0-9]+$"), "INTEGER")
+      .when(raw.rlike("^-?[0-9]+[.][0-9]+$"), "FLOAT")
       .otherwise("VARCHAR(255)")
 
   /** INSERT synthesis with runtime-derived columns. Rows whose payload is
-    * not a JSON object (garbage past the op/ns tokens) produce a NULL key
-    * set and are dropped rather than emitting broken SQL — route them via
+    * not a JSON object (garbage past the op/ns tokens) produce a NULL kv
+    * map and are dropped rather than emitting broken SQL — route them via
     * [[rejects]]-style auditing upstream if they must be counted.
     */
   def renderInsertDynamic(parsed: DataFrame): DataFrame =
-    parsed.filter(col("op") === "INS")
+    withKv(parsed.filter(col("op") === "INS"))
+      // null-guard on kv, NOT on stmt: a pushed-down isnotnull(stmt) would
+      // inline the whole stmt expression (and ~10 json_kv_raw calls) into
+      // the filter below the kv projection
+      .filter(kv.isNotNull)
       .withColumn("stmt",
         concat(lit("INSERT INTO "), col("db"), lit("."), col("tbl"),
-          lit(" ("), array_join(dynScalarKeys, ", "),
+          lit(" ("), array_join(scalarKeysOf(kv), ", "),
           lit(") VALUES ("),
-          array_join(transform(dynScalarKeys, k => sqlLiteral(dynVal(k))), ", "),
+          array_join(transform(scalarKeysOf(kv),
+            k => sqlLiteralRaw(element_at(kv, k))), ", "),
           lit(");")))
-      .filter(col("stmt").isNotNull)
       .select("conv_id", "turn_idx", "stmt")
 
-  private def dynWhere: Column = {
-    val keys = filter(dynScalarKeys, k => k =!= "diff")
-    array_join(transform(keys,
-      k => concat(k, lit(" = "), sqlLiteral(dynVal(k)))), " and ")
-  }
+  private def dynWhere: Column =
+    array_join(transform(scalarKeysOf(kv),
+      k => concat(k, lit(" = "), sqlLiteralRaw(element_at(kv, k)))), " and ")
+
+  /** The diff sub-maps (one small tokenizer pass each over the diff.u /
+    * diff.d raw tokens — both tiny).
+    */
+  private def withDiffKv(df: DataFrame): DataFrame =
+    df.withColumn("diffkv", json_kv_raw(element_at(kv, lit("diff"))))
+      .withColumn("ukv", json_kv_raw(element_at(col("diffkv"), lit("u"))))
+      .withColumn("dkv", json_kv_raw(element_at(col("diffkv"), lit("d"))))
 
   /** UPDATE synthesis with runtime-derived SET (diff.u ∪ diff.d) and WHERE
-    * (all scalar root keys — the o2 analog).
+    * (all scalar root keys — the o2 analog). SET NULL is driven by diff.d
+    * KEY PRESENCE (the value is ignored, transformer.go:279-282).
     */
   def renderUpdateDynamic(parsed: DataFrame): DataFrame = {
     val empty = array().cast("array<string>")
-    val uKeys = coalesce(
-      json_object_keys(get_json_object(col("payload"), "$.diff.u")), empty)
-    val dKeys = coalesce(
-      json_object_keys(get_json_object(col("payload"), "$.diff.d")), empty)
-    val setKeys = array_sort(array_union(uKeys, dKeys))
-    val uVal = (k: Column) =>
-      get_json_dyn(col("payload"), concat(lit("$.diff.u."), k))
-    val setParts = transform(setKeys, k =>
-      when(uVal(k).isNotNull, concat(k, lit(" = "), sqlLiteral(uVal(k))))
-        .otherwise(concat(k, lit(" = NULL"))))
-    parsed.filter(col("op") === "UPD")
+    val setKeys = array_sort(array_union(
+      coalesce(map_keys(col("ukv")), empty),
+      coalesce(map_keys(col("dkv")), empty)))
+    val setParts = transform(setKeys, k => {
+      val u = element_at(col("ukv"), k)
+      when(u.isNotNull && u =!= "null", concat(k, lit(" = "), sqlLiteralRaw(u)))
+        .otherwise(concat(k, lit(" = NULL")))
+    })
+    withDiffKv(withKv(parsed.filter(col("op") === "UPD")).filter(kv.isNotNull))
       .withColumn("stmt",
         concat(lit("UPDATE "), col("db"), lit("."), col("tbl"), lit(" SET "),
           array_join(setParts, ", "), lit(" WHERE "), dynWhere, lit(";")))
-      .filter(col("stmt").isNotNull)
       .select("conv_id", "turn_idx", "stmt")
   }
 
   /** DELETE synthesis: WHERE from ALL payload keys (transformer.go:301-319). */
   def renderDeleteDynamic(parsed: DataFrame): DataFrame =
-    parsed.filter(col("op") === "DEL")
+    withKv(parsed.filter(col("op") === "DEL"))
+      .filter(kv.isNotNull)
       .withColumn("stmt",
         concat(lit("DELETE FROM "), col("db"), lit("."), col("tbl"),
           lit(" WHERE "), dynWhere, lit(";")))
-      .filter(col("stmt").isNotNull)
       .select("conv_id", "turn_idx", "stmt")
 
   /** CREATE TABLE from the first-seen doc with runtime-derived columns and
     * inferred types; _id leads as PRIMARY KEY (transformer.go:205-228).
     */
   def ddlCreateTablesDynamic(parsed: DataFrame): DataFrame = {
-    val others = filter(dynScalarKeys, k => k =!= "_id")
+    val others = filter(scalarKeysOf(kv), k => k =!= "_id")
     val defs = array_join(transform(others,
-      k => concat(k, lit(" "), sqlTypeOf(dynVal(k)))), ", ")
-    firstSeen(parsed.filter(col("op") === "INS"))
+      k => concat(k, lit(" "), sqlTypeOfRaw(element_at(kv, k)))), ", ")
+    withKv(firstSeen(parsed.filter(col("op") === "INS")))
       .withColumn("stmt",
         concat(lit("CREATE TABLE "), col("db"), lit("."), col("tbl"),
           lit(" (_id VARCHAR(255) PRIMARY KEY"),
@@ -274,13 +301,12 @@ object Pipeline {
   def ddlAlterTablesDynamic(parsed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("db"), col("tbl"))
       .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
-    val ins = parsed.filter(col("op") === "INS")
+    val ins = withKv(parsed.filter(col("op") === "INS"))
       .withColumn("rn", row_number().over(w))
     val keyRows = ins.select(col("db"), col("tbl"), col("rn"), col("ts"),
-        col("conv_id"), col("turn_idx"), col("payload"),
-        explode(dynScalarKeys).as("key"))
-      .withColumn("ktype",
-        sqlTypeOf(get_json_dyn(col("payload"), concat(lit("$."), col("key")))))
+        col("conv_id"), col("turn_idx"), col("kv"),
+        explode(scalarKeysOf(kv)).as("key"))
+      .withColumn("ktype", sqlTypeOfRaw(element_at(kv, col("key"))))
     val firstDocKeys = keyRows.filter(col("rn") === 1)
       .select(col("db"), col("tbl"), col("key"))
     val earliest = keyRows

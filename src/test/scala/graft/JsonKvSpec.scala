@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{json_kv_raw, json_unquote}
+import graft.operators.Pipeline
+
+/** The single-pass raw-token JSON reader behind the renderers, and the
+  * value-TYPE probing it restores: the reference renderer switches on the
+  * actual runtime type (/root/reference/transformer/transformer.go:34-52),
+  * so a numeric-looking JSON *string* like "89799" must stay quoted and
+  * infer VARCHAR — information get_json_object destroys by stripping
+  * quotes (round-1 bug, ADVICE.md item 1).
+  */
+class JsonKvSpec extends SparkSuite {
+
+  private val T = "2024-01-01 10:00:00"
+
+  private def kvOf(json: String): Map[String, String] = {
+    import spark.implicits._
+    val rows = Seq(json).toDF("payload")
+      .select(json_kv_raw(col("payload")).as("kv"))
+      .collect()
+    Option(rows(0).getAs[Map[String, String]]("kv")).orNull
+  }
+
+  test("raw tokens keep quotes/braces; keys decode escapes") {
+    val kv = kvOf("""{"a":1,"b":"x","c":{"n":2},"d":[1,2],"e":null,"f\n":true}""")
+    assert(kv("a") == "1")
+    assert(kv("b") == "\"x\"")
+    assert(kv("c") == """{"n":2}""")
+    assert(kv("d") == "[1,2]")
+    assert(kv("e") == "null")
+    assert(kv("f\n") == "true")
+  }
+
+  test("whitespace tolerated; non-objects and malformed input yield null") {
+    assert(kvOf("""  { "a" : 1 , "b" : [ 1, {"x":"}"} ] } """)("b") == """[ 1, {"x":"}"} ]""")
+    assert(kvOf("[1,2]") == null)
+    assert(kvOf("garbage") == null)
+    assert(kvOf("""{"a":1""") == null)
+    assert(kvOf("""{"a":1} trailing""") == null)
+    assert(kvOf("{}") == Map.empty[String, String])
+  }
+
+  test("json_unquote decodes escapes; passthrough for non-strings") {
+    import spark.implicits._
+    val rows = Seq(
+      "\"a\\\"b\\\\c\\nd\\u0041\"" -> "a\"b\\c\ndA",
+      "123" -> "123",
+      "{\"x\":1}" -> "{\"x\":1}").toDF("raw", "want")
+      .select(json_unquote(col("raw")).as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("numeric-looking JSON strings stay quoted in DML and VARCHAR in DDL (transformer.go:37-48,238-239)") {
+    val df = turns(("c1", 1, "user",
+      """INS test.t {"_id":"51","zip":"89799","n":89799,"flag":"true","b":true,"f":"1.5","x":1.5}""",
+      "tool_0", T))
+    val p = parsedValid(df)
+    assert(stmtsOrdered(Pipeline.renderInsertDynamic(p)) == Seq(
+      "INSERT INTO test.t (_id, b, f, flag, n, x, zip) " +
+        "VALUES ('51', true, '1.5', 'true', 89799, 1.5, '89799');"))
+    val ddl = Pipeline.ddlCreateTablesDynamic(p)
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(ddl == Seq(
+      "CREATE TABLE test.t (_id VARCHAR(255) PRIMARY KEY, b BOOLEAN, " +
+        "f VARCHAR(255), flag VARCHAR(255), n INTEGER, x FLOAT, " +
+        "zip VARCHAR(255));"))
+  }
+
+  test("escaped quotes inside JSON strings render with SQL '' doubling") {
+    val df = turns(("c1", 1, "tool",
+      """DEL test.t {"_id":"O'Brien \"Jr\""}""", "tool_0", T))
+    assert(stmtsOrdered(Pipeline.renderDeleteDynamic(parsedValid(df))) ==
+      Seq("DELETE FROM test.t WHERE _id = 'O''Brien \"Jr\"';"))
+  }
+}
