@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.Similarity._
+
+/** DuckDB-dialect oracle SQL for the similarity/ANN queries, generated
+  * from the SAME constants the Spark operators use (graft.operators
+  * .Similarity) — hyperplane/anchor signs, band packing, quantization and
+  * thresholds are mirrored digit-for-digit, so e2/e3/e4/d8 get full
+  * rows+schema+hash oracles instead of rows-only checks.
+  */
+object SimOracles {
+
+  /** ±1 sign of (plane p, dim i) under `salt` — DuckDB rendering of
+    * Similarity.hashSign (all-positive int64 arithmetic, no overflow).
+    */
+  private def sign(p: String, i: String, salt: Long): String =
+    s"(CASE WHEN (((($p)*131071 + ($i) + 1)*$HashMul + $salt) % $HashMod)" +
+      s" >> 16 & 1 = 1 THEN 1 ELSE -1 END)"
+
+  /** Quantized int64 vectors (round(x*10000)) — matches Similarity.quantized. */
+  val eqCte: String = """
+eq AS (
+  SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+    i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings)"""
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Sign-bit array + per-band bucket ids (Similarity.planeBits/bandBuckets). */
+  private def bandedCtes(bands: Int, rowsPerBand: Int, salt: Long): String = {
+    val nPlanes = bands * rowsPerBand
+    s""",
+bits AS (
+  SELECT vec_id, q,
+    list_transform(range(0, $nPlanes), p ->
+      CASE WHEN CAST(list_sum(list_transform(range(0, len(q)), i ->
+        q[i+1] * ${sign("p", "i", salt)})) AS BIGINT) > 0
+      THEN 1 ELSE 0 END) AS bits
+  FROM eq),
+banded AS (
+  SELECT vec_id, q, band,
+    CAST(list_sum(list_transform(range(0, $rowsPerBand), j ->
+      bits[band * $rowsPerBand + j + 1] * (1 << j))) AS BIGINT) AS bucket
+  FROM bits CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) bs)"""
+  }
+
+  /** Banded-LSH top-k chain ending in a `lshtop` CTE (qid,nid,dot,rnk). */
+  private def lshChain(nQueries: Int, bands: Int, rowsPerBand: Int): String =
+    bandedCtes(bands, rowsPerBand, PlaneSalt) + s""",
+lshscored AS (
+  SELECT DISTINCT p.vec_id AS qid, c.vec_id AS nid,
+    ${dotSql("p.q", "c.q")} AS dot
+  FROM banded c JOIN banded p ON c.band = p.band AND c.bucket = p.bucket
+  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id),
+lshtop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM lshscored)"""
+
+  /** e2: banded-LSH ANN, exact re-rank within candidates. */
+  def knnLshSql(nQueries: Int = 10, k: Int = 5, bands: Int = 28,
+                rowsPerBand: Int = 3): String =
+    s"WITH $eqCte ${lshChain(nQueries, bands, rowsPerBand)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM lshtop WHERE rnk <= $k"
+
+  /** e3: fixed-anchor IVF — in-row cell dots, rank-0 assignment, nProbe
+    * probing, exact re-rank (mirrors Similarity.knnIvf).
+    */
+  def knnIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                nProbe: Int = 3): String =
+    s"""WITH $eqCte,
+cells AS (
+  SELECT vec_id, q,
+    list_transform(range(0, $nCells), c ->
+      CAST(list_sum(list_transform(range(0, len(q)), i ->
+        q[i+1] * ${sign("c", "i", AnchorSalt)})) AS BIGINT)) AS cdots
+  FROM eq),
+ranked AS (
+  SELECT vec_id, q,
+    list_transform(range(0, $nCells), c ->
+      len(list_filter(range(0, $nCells), c2 ->
+        cdots[c2+1] > cdots[c+1]
+        OR (cdots[c2+1] = cdots[c+1] AND c2 < c)))) AS rnks
+  FROM cells),
+assigned AS (
+  SELECT vec_id AS nid, q AS qn,
+    CAST(list_position(rnks, 0) - 1 AS INT) AS cell
+  FROM ranked),
+probes AS (
+  SELECT vec_id AS qid, q AS qq,
+    CAST(unnest(list_filter(range(0, $nCells), c -> rnks[c+1] < $nProbe))
+      AS INT) AS cell
+  FROM ranked WHERE vec_id < $nQueries),
+scored AS (
+  SELECT qid, nid, ${dotSql("qq", "qn")} AS dot
+  FROM assigned JOIN probes USING (cell)
+  WHERE nid != qid)
+SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid)
+        AS rnk FROM scored)
+WHERE rnk <= $k"""
+
+  /** e4: recall@k of the banded-LSH tier vs exact brute force, as exact
+    * integer hits/total.
+    */
+  def lshRecallSql(nQueries: Int = 10, k: Int = 5, bands: Int = 28,
+                   rowsPerBand: Int = 3): String =
+    s"""WITH $eqCte ${lshChain(nQueries, bands, rowsPerBand)},
+bscored AS (
+  SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.q")} AS dot
+  FROM eq c CROSS JOIN eq p
+  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+    FROM bscored)
+  WHERE rnk <= $k),
+lshk AS (SELECT qid, nid FROM lshtop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN lshk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** d8: embedding near-dup ladder — banded-LSH candidates, exact
+    * quantized-dot verify (mirrors Similarity.embeddingNearDupLadder).
+    */
+  def embeddingLadderSql(bands: Int = 5, rowsPerBand: Int = 6,
+                         threshold: Long = 40000000L): String =
+    s"""WITH $eqCte ${bandedCtes(bands, rowsPerBand, PlaneSalt)},
+scored AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+    ${dotSql("a.q", "b.q")} AS qdot
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id1, id2, qdot FROM scored WHERE qdot >= $threshold"""
+}

@@ -269,6 +269,10 @@ object SparkEntry {
       operators.Similarity.knnLsh(t(s, dir, "embeddings"))),
     "e3_knn_ivf" -> ((s, dir) =>
       operators.Similarity.knnIvf(t(s, dir, "embeddings"))),
+    "e4_lsh_recall" -> ((s, dir) =>
+      operators.Similarity.lshRecall(t(s, dir, "embeddings"))),
+    "d8_embedding_ladder" -> ((s, dir) =>
+      operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
       operators.Multimodal.decodeMeta(s,
         operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
@@ -531,8 +535,10 @@ object SparkEntry {
         quantile_cont(value, 0.5) AS p50_exact,
         min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type""",
-    // d2/d3/d5/e2 are engine-hash-specific (Spark murmur3/xxhash64, custom
-    // SimHash/rolling-hash exprs) — not DuckDB-expressible; rows-only checks.
+    "e2_knn_lsh" -> SimOracles.knnLshSql(),
+    "e3_knn_ivf" -> SimOracles.knnIvfSql(),
+    "e4_lsh_recall" -> SimOracles.lshRecallSql(),
+    "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,
         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) > 1

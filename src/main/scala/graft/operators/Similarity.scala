@@ -11,12 +11,62 @@ import org.apache.spark.sql.functions._
   * (round(x*10000)) so the sum is exact integer arithmetic — order-free,
   * overflow-free (64 dims × (3e4)² ≈ 5.8e10 « 2^63), and bit-identical
   * to the DuckDB oracle. Float dot products would differ in ulps across
-  * engines and make top-k nondeterministic at ties.
+  * engines and make top-k nondeterministic at ties. The LSH hyperplanes
+  * and IVF anchor directions are likewise pure integer arithmetic, so the
+  * approximate tiers (e2/e3) have full cross-engine oracles too.
   */
 object Similarity {
 
+  // Deterministic ±1 sign families: a Knuth multiplicative hash of the
+  // (plane, dim) index — no RNG state (replayable) and pure int64
+  // arithmetic, mirrored digit-for-digit in the DuckDB oracle SQL
+  // (SimOracles). A small-modulus formula like ((p*131+i*31)%7)%2 is NOT
+  // enough: it repeats with period 7 in p, so planes 7+ duplicate planes
+  // 0+ and extra bands add no recall (found when wiring the e4 recall
+  // gate). Max operand: (84*131071+65)*2654435761 ≈ 2.9e16 « 2^63.
+  val HashMul = 2654435761L
+  val HashMod = 4294967296L
+  /** hyperplane family salt (knnLsh, embeddingNearDupLadder) */
+  val PlaneSalt = 0L
+  /** IVF anchor family salt — distinct so cells decorrelate from buckets */
+  val AnchorSalt = 2463534242L
+
   private def quantized(e: Column): Column =
     transform(e, x => round(x.cast("double") * 10000).cast("long"))
+
+  private def hashSign(salt: Long, p: Column, i: Column): Column = {
+    val h = ((p * lit(131071L) + i + lit(1L)) * lit(HashMul) + lit(salt)) %
+      lit(HashMod)
+    when(shiftright(h, 16).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      .otherwise(lit(-1L))
+  }
+
+  private def planeSign(p: Column, i: Column): Column =
+    hashSign(PlaneSalt, p, i)
+
+  private def anchorSign(c: Column, i: Column): Column =
+    hashSign(AnchorSalt, c, i)
+
+  /** ±1 hyperplane sign-bit array (one per plane) for a quantized vector —
+    * materialize the result as a column before fanning out per band, or
+    * projection collapse re-inlines the nPlanes dot products per consumer.
+    */
+  private def planeBits(qe: Column, nPlanes: Int): Column =
+    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      when(dotCols(qe,
+        transform(sequence(lit(0), size(qe) - 1),
+          i => planeSign(p, i))) > 0, 1L).otherwise(0L))
+
+  /** Per-band bucket ids from the bit array: band b packs rowsPerBand bits. */
+  private def bandBuckets(bits: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until rowsPerBand).map { j =>
+        element_at(bits, b * rowsPerBand + j + 1) * (1L << j)
+      }.reduce(_ + _)
+    }: _*)
+
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Exact top-k by quantized dot product, brute force: broadcast the
     * query set (small) against the full corpus — one pass, no shuffle of
@@ -28,14 +78,11 @@ object Similarity {
       quantized(col("embedding")).as("qe_n"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
-    val dot = aggregate(
-      zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("nid"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("dot", dot)
+      .withColumn("dot", dotCols(col("qe_q"), col("qe_n")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
@@ -53,11 +100,9 @@ object Similarity {
       quantized(col("embedding")).as("qe_n"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
-    val dot = aggregate(zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), dot.as("dot"), col("nid"))
+      .select(col("qid"), dotCols(col("qe_q"), col("qe_n")).as("dot"), col("nid"))
       .as[(Long, Long, Long)]
     val topK = new graft.functions.TopKAggregator(k).toColumn
     scored.groupByKey(_._1)
@@ -71,9 +116,10 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: exact all-pairs quantized dot
     * above an integer threshold (unit-norm corpus ⇒ dot == cosine;
-    * threshold 0.40 on this corpus (its max pairwise cosine is 0.48) ⇒ qdot ≥ 0.40·10⁴·10⁴). Exact tier — at corpus scale
-    * run [[knnLsh]]-style bucketing first and this verify inside buckets
-    * (same ladder as TextOps d2→d4).
+    * threshold 0.40 on this corpus (its max pairwise cosine is 0.48) ⇒
+    * qdot ≥ 0.40·10⁴·10⁴). Exact tier — at corpus scale run
+    * [[embeddingNearDupLadder]] (LSH blocking from CONTENT, no label
+    * needed) and keep this as the verify-inside-buckets definition.
     */
   def embeddingNearDupPairs(emb: DataFrame,
                             threshold: Long = 40000000L): DataFrame = {
@@ -85,87 +131,131 @@ object Similarity {
       quantized(col("embedding")).as("q1"))
     val b = emb.select(col("vec_id").as("id2"), col("label").as("l2"),
       quantized(col("embedding")).as("q2"))
-    val dot = aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
     a.join(b, col("label") === col("l2") && col("id1") < col("id2"))
-      .withColumn("qdot", dot)
+      .withColumn("qdot", dotCols(col("q1"), col("q2")))
       .filter(col("qdot") >= threshold)
       .select(col("id1"), col("id2"), col("qdot"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (centroids = a seeded
-    * subsample of the corpus, vec_id % stride == 0) assigns every vector
-    * to its nearest centroid; a query probes its own cell plus the
-    * (nProbe-1) next-nearest cells, then exact quantized dot re-ranks
-    * within the probed cells. Probe cost ≈ nProbe/|centroids| of the
-    * corpus. Centroid assignment is a broadcast argmin — no shuffle of the
-    * corpus beyond one pass.
+  /** The embedding near-dup LADDER — the 100 TB shape: banded hyperplane-
+    * LSH candidate generation (linear: per-row signature bits + a groupBy-
+    * shaped band join) → exact quantized-dot verify on candidate pairs
+    * ONLY. Mirrors TextOps.nearDupLadder; unlike [[embeddingNearDupPairs]]
+    * it needs no label column — blocking comes from the vectors
+    * themselves. Recall follows the band S-curve
+    * P(candidate) = 1-(1-(1-θ/π)^rowsPerBand)^bands; pairs the bands miss
+    * are absent (documented approximation, like d2/d7 for text).
+    */
+  def embeddingNearDupLadder(emb: DataFrame, bands: Int = 5,
+                             rowsPerBand: Int = 6,
+                             threshold: Long = 40000000L): DataFrame = {
+    val base = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      // one materialized bit array per row (an inline expression would be
+      // re-inlined per consumer by projection collapse — the r1 trap)
+      .withColumn("bits", planeBits(col("qe"), bands * rowsPerBand))
+    val banded = base.select(col("vec_id"), col("qe"),
+      posexplode(bandBuckets(col("bits"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        dotCols(col("a.qe"), col("b.qe")).as("qdot"))
+      .distinct() // a pair may collide in several bands; dot is identical
+      .filter(col("qdot") >= threshold)
+      .select(col("id1"), col("id2"), col("qdot"))
+  }
+
+  /** IVF-style ANN with a FIXED-size arithmetic coarse quantizer: nCells
+    * anchor directions whose components are deterministic ±1 signs. Every
+    * vector computes its nCells anchor dots IN-ROW with array HOFs and
+    * takes argmin-by-rank — no centroid join, no assignment window, no
+    * shuffle of the corpus. (The round-1 form crossJoined the corpus with
+    * a centroid set that GREW with the corpus and ranked it through a
+    * window — n²/37 rows through an exchange at 10⁹ vectors; this one
+    * moves only the probed candidates.) Queries probe their nProbe
+    * nearest cells; exact quantized dot re-ranks within probed cells.
+    * Probe cost ≈ nProbe/nCells of the corpus per query.
     */
   def knnIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             centroidStride: Int = 37, nProbe: Int = 3): DataFrame = {
-    val q = quantized(col("embedding"))
-    val centroids = emb.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), q.as("cvec"))
-    val dotC = aggregate(zip_with(col("qv"), col("cvec"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
-    def cellRank = Window.partitionBy(col("vid")).orderBy(col("cdot").desc, col("cid"))
-    // nearest-centroid assignment for the corpus (rank 1) and the probe
-    // list for queries (rank <= nProbe)
-    val ranked = emb.select(col("vec_id").as("vid"), q.as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdot", dotC)
-      .withColumn("crnk", row_number().over(cellRank))
-    val assigned = ranked.filter(col("crnk") === 1)
-      .select(col("vid").as("nid"), col("qv").as("qe_n"), col("cid").as("cell"))
-    val probes = ranked.filter(col("vid") < nQueries && col("crnk") <= nProbe)
-      .select(col("vid").as("qid"), col("qv").as("qe_q"), col("cid").as("cell"))
-    val dot = aggregate(zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+             nCells: Int = 16, nProbe: Int = 3): DataFrame = {
+    val cellSeq = sequence(lit(0), lit(nCells - 1))
+    val base = emb.select(col("vec_id").as("vid"),
+        quantized(col("embedding")).as("qv"))
+      .withColumn("cdots", transform(cellSeq, c =>
+        dotCols(col("qv"),
+          transform(sequence(lit(0), size(col("qv")) - 1),
+            i => anchorSign(c, i)))))
+      // rank of each cell among the dots (0 = nearest), ties by cell index
+      .withColumn("rnks", transform(cellSeq, c =>
+        size(filter(cellSeq, c2 =>
+          element_at(col("cdots"), c2 + 1) > element_at(col("cdots"), c + 1) ||
+            (element_at(col("cdots"), c2 + 1) === element_at(col("cdots"), c + 1) &&
+              c2 < c)))))
+    val assigned = base.select(col("vid").as("nid"), col("qv").as("qe_n"),
+      (array_position(col("rnks"), 0) - 1).cast("int").as("cell"))
+    val probes = base.filter(col("vid") < nQueries)
+      .select(col("vid").as("qid"), col("qv").as("qe_q"),
+        explode(filter(cellSeq, c =>
+          element_at(col("rnks"), c + 1) < nProbe)).as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("dot", dot)
+      .withColumn("dot", dotCols(col("qe_q"), col("qe_n")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
   }
 
-  /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim) —
-    * shared arithmetic, no RNG state (workflows must be replayable).
-    */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(((lit(plane * 131) + dim * 31) % 7) % 2 === 0, 1).otherwise(-1)
-
-  /** LSH-bucketed ANN — the scale path: nPlanes random-hyperplane sign bits
-    * form a bucket id; candidates share the bucket, then exact quantized
-    * dot re-ranks. Probe cost drops from O(corpus) to O(bucket); recall is
-    * tunable by nPlanes (and multi-probe, not implemented here).
+  /** LSH-bucketed ANN — the scale path: banded random-hyperplane LSH
+    * (bands independent hash tables of rowsPerBand sign bits each; a
+    * candidate shares ANY band bucket with the query), then exact
+    * quantized dot re-ranks the candidates. Banding is the multi-probe
+    * mechanism: recall 1-(1-(1-θ/π)^rowsPerBand)^bands is tuned by
+    * (bands, rowsPerBand); the defaults give recall@5 ≥ 0.9 vs brute
+    * force on the test corpus (SimilaritySpec; driver query
+    * e4_lsh_recall). NOTE the test corpus is uniform-random (top-5 cosine
+    * only ~0.3-0.5), the hardest case for LSH — candidates there are ~73%
+    * of the corpus; on a corpus with real near-dup structure (θ small)
+    * the same banding prunes orders of magnitude harder.
     */
   def knnLsh(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nPlanes: Int = 8): DataFrame = {
-    val q = quantized(col("embedding"))
-    def signature(e: Column): Column =
-      (0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with(e, sequence(lit(0), size(e) - 1),
-            (x, i) => x * planeSign(p, i)),
-          lit(0L), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val corpus = emb.select(col("vec_id").as("nid"), q.as("qe_n"),
-      signature(q).as("sig"))
-    val queries = corpus.filter(col("nid") < nQueries)
-      .select(col("nid").as("qid"), col("qe_n").as("qe_q"), col("sig"))
-    val dot = aggregate(
-      zip_with(col("qe_q"), col("qe_n"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+             bands: Int = 28, rowsPerBand: Int = 3): DataFrame = {
+    val base = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("bits", planeBits(col("qe"), bands * rowsPerBand))
+    val banded = base.select(col("vec_id"), col("qe"),
+      posexplode(bandBuckets(col("bits"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qe").as("qe_q"),
+        col("band"), col("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("nid"))
-    corpus.join(broadcast(queries), Seq("sig"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("dot", dot)
+    banded.join(broadcast(queries), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      // a (query, candidate) pair collides in several bands; the dot is
+      // identical, so dedupe on the value triple before ranking
+      .select(col("qid"), col("vec_id").as("nid"),
+        dotCols(col("qe_q"), col("qe")).as("dot"))
+      .distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+  }
+
+  /** Recall@k of the multi-probe LSH tier against exact brute force, as
+    * exact integers (hits of 10·k possible) — the quality metric the
+    * approximate tier is graded by.
+    */
+  def lshRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val brute = knnBrute(emb, nQueries, k).select(col("qid"), col("nid"))
+    val lsh = knnLsh(emb, nQueries, k)
+      .select(col("qid").as("q2"), col("nid").as("n2"))
+    brute.join(lsh, col("qid") === col("q2") && col("nid") === col("n2"),
+        "left")
+      .agg(count(lit(1)).as("total"), count(col("q2")).as("hits"))
+      .select(col("hits"), col("total"))
   }
 }

@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSuite {
     val brute = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.knnIvf(emb, nQueries = 2, k = 3,
-        centroidStride = 5, nProbe = 2)
+        nCells = 8, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     ivf.foreach { case (q, n) => assert(q % 2 == n % 2) }
     assert(ivf.intersect(brute).size * 3 >= brute.size * 2,
@@ -61,12 +61,32 @@ class SimilaritySpec extends SparkSuite {
   test("LSH recall: on clearly separated clusters it matches brute force") {
     val brute = Similarity.knnBrute(emb, nQueries = 2, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.knnLsh(emb, nQueries = 2, k = 3, nPlanes = 4)
+    val lsh = Similarity.knnLsh(emb, nQueries = 2, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // every LSH hit is a true same-cluster pair...
     lsh.foreach { case (q, n) => assert(q % 2 == n % 2) }
     // ...and recall on this easy geometry is at least 2/3 of brute's set
     assert(lsh.intersect(brute).size * 3 >= brute.size * 2,
       s"lsh=$lsh brute=$brute")
+  }
+
+  test("multi-probe LSH recall@5 vs brute force >= 0.9 on the real corpus (sf0.1)") {
+    val embReal = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val r = Similarity.lshRecall(embReal).collect()(0)
+    val (hits, total) = (r.getLong(0), r.getLong(1))
+    assert(total == 50L)
+    assert(hits * 10 >= total * 9, s"recall=$hits/$total")
+  }
+
+  test("IVF assignment is in-row (no corpus x centroid join/window in the plan)") {
+    val plan = Similarity.knnIvf(emb, nQueries = 2, k = 3, nCells = 8,
+      nProbe = 2).queryExecution.optimizedPlan.toString
+    // exactly one join (candidates x broadcast probes); the r1 scale bug
+    // was a crossJoin with a data-dependent centroid set plus a per-vector
+    // assignment window
+    assert("Join".r.findAllIn(plan).length == 1, plan)
+    // one top-k Window (plus Spark's WindowGroupLimit pushdown, which is
+    // the partial top-k we want) — NO per-vector assignment window
+    assert("Window \\[".r.findAllIn(plan).length <= 1, plan)
   }
 }
