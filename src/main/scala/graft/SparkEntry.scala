@@ -254,9 +254,11 @@ object SparkEntry {
     "d7_neardup_ladder" -> ((s, dir) =>
       operators.TextOps.nearDupLadder(t(s, dir, "documents"))),
     "d5_fingerprint" -> ((s, dir) =>
+      // the cross-engine fingerprint tier (poly_hash31 / simhash_poly);
+      // rolling_hash + simhash64 stay as the 61/64-bit production exprs
       t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.rolling_hash(col("text")).as("rhash"),
-        graft.functions.simhash64(split(col("text"), " ")).as("simhash"))),
+        graft.functions.poly_hash31(col("text")).as("rhash"),
+        graft.functions.simhash_poly(split(col("text"), " ")).as("simhash"))),
     "t1_lang_id" -> ((s, dir) =>
       operators.TextOps.langId(t(s, dir, "documents"))),
     "t2_quality_counts" -> ((s, dir) =>
@@ -535,6 +537,10 @@ object SparkEntry {
         quantile_cont(value, 0.5) AS p50_exact,
         min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type""",
+    "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),
+    "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
+    "d5_fingerprint" -> TextOracles.fingerprintSql,
+    "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
     "e2_knn_lsh" -> SimOracles.knnLshSql(),
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),

@@ -1,0 +1,134 @@
+package graft
+
+import graft.functions.TextHashes.{B31, MaxPolyLen, P31}
+
+/** DuckDB-dialect oracle SQL for the text-dedup queries (d2/d3/d5/d7),
+  * generated from the SAME constants as the Spark operators
+  * (graft.functions.TextHashes, graft.operators.TextOps): the polynomial
+  * hash, MinHash family, band Horner combine, SimHash votes and Jaccard
+  * threshold are mirrored digit-for-digit. The corpus is ASCII, so
+  * DuckDB's per-character ascii(substr(s,j,1)) equals the Spark
+  * expression's per-byte loop.
+  */
+object TextOracles {
+
+  private val pows: Seq[Long] =
+    Iterator.iterate(1L)(h => h * B31 % P31).take(MaxPolyLen).toSeq
+  private val powList: String = pows.mkString("[", ", ", "]")
+
+  /** PolyHash31 of a string expression (first 64 chars), as Σ c_j·B^(L-j)
+    * mod P — identical to the Spark expression's per-step Horner mod.
+    */
+  private def ph(x: String): String =
+    s"(COALESCE(CAST(list_sum(list_transform(" +
+      s"range(1, least(length($x), $MaxPolyLen) + 1), " +
+      s"j -> CAST(ascii(substr($x, j, 1)) AS BIGINT) * " +
+      s"($powList)[least(length($x), $MaxPolyLen) - j + 1])) " +
+      s"AS BIGINT), 0) % $P31)"
+
+  /** Distinct word 3-gram shingles per doc (mirror of TextOps.shingleRows
+    * without the lang/length blocking columns).
+    */
+  private val shingleCtes: String = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks)"""
+
+  /** MinHash signature mins + banded buckets + candidate pairs with a band
+    * vote — mirror of TextOps.minhashSignatures/minhashCandidatesVoted.
+    */
+  private def minhashCtes(k: Int, bands: Int): String = {
+    val r = k / bands
+    val mins = (0 until k).map(i =>
+      s"min((ph * ${2L * i + 1} + ${i.toLong * i + 1}) % $P31) AS h$i")
+      .mkString(",\n    ")
+    def bucket(b: Int): String =
+      (0 until r).foldLeft(b.toString)((acc, j) =>
+        s"(($acc) * 1000003 + h${b * r + j}) % $P31")
+    val banded = (0 until bands).map(b =>
+      s"  SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s""",
+phs AS (SELECT doc_id, ${ph("shingle")} AS ph FROM sh),
+sig AS (
+  SELECT doc_id,
+    $mins
+  FROM phs GROUP BY doc_id),
+banded AS (
+$banded),
+voted AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS band_hits
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)"""
+  }
+
+  /** d2: banded MinHash-LSH candidate pairs (≥1 shared band). */
+  def minhashCandidatesSql(k: Int = 32, bands: Int = 8): String =
+    s"WITH $shingleCtes ${minhashCtes(k, bands)}\n" +
+      "SELECT doc1, doc2 FROM voted WHERE band_hits >= 1"
+
+  /** d7: the near-dup ladder — ≥2-band-vote candidates, then exact 3-gram
+    * Jaccard ≥ 0.7 verify on candidates only (integer cross-multiplied).
+    */
+  def nearDupLadderSql(k: Int = 32, bands: Int = 8,
+                       minBandHits: Int = 2): String =
+    s"""WITH $shingleCtes ${minhashCtes(k, bands)},
+cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc1, doc2, count(*) AS inter
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = doc1
+  JOIN sh s2 ON s2.doc_id = doc2 AND s2.shingle = s1.shingle
+  GROUP BY doc1, doc2)
+SELECT doc1, doc2, inter, s1.n_sh AS n1, s2.n_sh AS n2
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
+
+  /** The 62-bit SimHash fingerprint of `documents.text` (token-level
+    * PolyHash31 + affine-image bit votes) — mirror of SimHashPoly.
+    */
+  private val simhashFpCtes: String = s""",
+hs AS (SELECT doc_id, list_transform(t, s -> ${ph("s")}) AS hs FROM toks),
+fp AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 31), b ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+    + list_sum(list_transform(range(0, 31), b ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+             CASE WHEN (((h * 1000003 + 12345) % $P31) >> b) & 1 = 1
+                  THEN 1 ELSE -1 END)) > 0
+      THEN (CAST(1 AS BIGINT) << (b + 31)) ELSE 0 END))
+    AS BIGINT) AS fp
+  FROM hs)"""
+
+  /** d3: SimHash near-dup pairs via 4×15-bit bands + exact Hamming. */
+  def simhashPairsSql(maxHamming: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+$simhashFpCtes,
+banded AS (
+  SELECT doc_id, fp, band, (fp >> (band * 15)) & 32767 AS key
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming"""
+
+  /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
+    * SimHash).
+    */
+  def fingerprintSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+$simhashFpCtes
+SELECT d.doc_id, ${ph("d.text")} AS rhash, fp.fp AS simhash
+FROM documents d JOIN fp ON fp.doc_id = d.doc_id"""
+}

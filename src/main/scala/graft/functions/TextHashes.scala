@@ -64,11 +64,111 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Polynomial string hash mod 2^31-1 over the first 64 bytes — the
+  * CROSS-ENGINE fingerprint tier: unlike xxhash64/FNV (64-bit overflow
+  * wraparound, engine-specific), this is plain int64 arithmetic that DuckDB
+  * reproduces exactly (ascii(substr(s,j,1)) == byte j for ASCII corpora;
+  * TextOracles mirrors it), so MinHash/SimHash queries built on it get full
+  * rows+schema+hash oracles.
+  */
+case class PolyHash31(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash31 expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.polyHash31(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.polyHash31($c)")
+
+  override def prettyName: String = "poly_hash31"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash31 =
+    copy(child = newChild)
+}
+
+/** 62-bit SimHash over a token array — the cross-engine (oracle-checkable)
+  * variant of [[SimHash64]]: per-token bit sources are PolyHash31 (low 31
+  * bits) and its affine image (h·1000003+12345 mod 2³¹-1) (high 31 bits),
+  * both plain int64 arithmetic DuckDB reproduces exactly.
+  */
+case class SimHashPoly(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_poly expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simHashPoly31(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simHashPoly31($c)")
+
+  override def prettyName: String = "simhash_poly"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly =
+    copy(child = newChild)
+}
+
 object TextHashes {
   private final val FNV_OFFSET = 0xcbf29ce484222325L
   private final val FNV_PRIME = 0x100000001b3L
   /** 2^61 - 1 (Mersenne prime) */
   private final val MOD = (1L << 61) - 1
+
+  /** 2^31 - 1 (Mersenne prime) — the cross-engine modulus. */
+  final val P31 = 2147483647L
+  /** polynomial base */
+  final val B31 = 131L
+  /** hash window: first 64 bytes (ASCII ⇒ 64 chars, mirrored in SQL) */
+  final val MaxPolyLen = 64
+
+  def polyHash31(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = math.min(bytes.length, MaxPolyLen)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * B31 + (bytes(i) & 0xffL)) % P31
+      i += 1
+    }
+    h
+  }
+
+  def simHashPoly31(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](62)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h1 = polyHash31(tokens.getUTF8String(i))
+        val h2 = (h1 * 1000003L + 12345L) % P31
+        var b = 0
+        while (b < 31) {
+          if (((h1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) votes(b + 31) += 1 else votes(b + 31) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 62) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 
   def fnv64(s: UTF8String): Long = {
     val bytes = s.getBytes

@@ -22,6 +22,12 @@ package object functions {
   /** Karp-Rabin rolling polynomial fingerprint of a string. */
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
 
+  /** Cross-engine polynomial fingerprint (mod 2^31-1, first 64 bytes). */
+  def poly_hash31(c: Column): Column = column(PolyHash31(expression(c)))
+
+  /** Cross-engine 31-bit SimHash over a token array. */
+  def simhash_poly(c: Column): Column = column(SimHashPoly(expression(c)))
+
   /** Single-pass op-whitelist + db-blacklist admission predicate. */
   def valid_turn(c: Column): Column = column(ValidTurn(expression(c)))
 

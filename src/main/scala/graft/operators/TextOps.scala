@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextHashes.P31
+import graft.functions.{poly_hash31, simhash_poly}
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the training-data-pipeline surface a 100 TB corpus needs. All are
@@ -63,7 +65,11 @@ object TextOps {
     * pass only inside LSH candidate buckets.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs).cache()
+    // no .cache(): a cache owned by a lazily-returned DataFrame can never
+    // be unpersisted by this function and leaks executor memory across a
+    // long session (VERDICT r1); recomputing the shingle explode for the
+    // 3 consumers is cheaper than the leak
+    val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -96,18 +102,30 @@ object TextOps {
     * shuffle carries one k-wide row per doc. (A per-row expression
     * `array(k × array_min(transform(shingles, …)))` re-inlines the shingle
     * construction k times after projection collapse — measured 100×
-    * slower.) xxhash64(seed_i, shingle) keeps it codegen'd, no UDF.
+    * slower.) The hash family h_i(x) = ((2i+1)·polyhash31(x) + i²+1) mod
+    * 2³¹-1 is codegen'd (custom expression, no UDF) AND pure int64
+    * arithmetic, so the DuckDB oracle reproduces every signature exactly
+    * (TextOracles) — xxhash64 was rows-only-checkable.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    def h(i: Int): Column =
+      (col("ph") * (2L * i + 1) + (i.toLong * i + 1)) % P31
     val sh = docs.select(col("doc_id"),
-      explode(array_distinct(shingles3(tokens))).as("shingle"))
+        explode(array_distinct(shingles3(tokens))).as("shingle"))
+      .withColumn("ph", poly_hash31(col("shingle")))
     val mins = sh.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("shingle"))).as("h0"),
-      (1 until k).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+      min(h(0)).as("h0"),
+      (1 until k).map(i => min(h(i)).as(s"h$i")): _*)
     mins.select(col("doc_id"),
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** Horner-combine one band's signature slice into a bucket id — pure
+    * modular arithmetic, mirrored in TextOracles.
+    */
+  private def bandBucket(b: Int, r: Int): Column =
+    (0 until r).foldLeft(lit(b.toLong): Column)((acc, j) =>
+      (acc * 1000003L + element_at(col("sig"), b * r + j + 1)) % P31)
 
   /** Candidate pairs from banded LSH over the minhash signature. */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
@@ -119,9 +137,8 @@ object TextOps {
     val r = k / bands
     val sigs = minhashSignatures(docs, k)
     val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until bands).map(b => bandBucket(b, r)): _*))
+        .as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -172,17 +189,20 @@ object TextOps {
 
   // --------------------------------------------------------------- SimHash
 
-  /** SimHash near-dup pairs: 64-bit fingerprint (custom codegen'd
-    * expression), banded into 4×16-bit LSH keys — docs within Hamming
-    * distance ~3 share at least one exact band w.h.p.; exact bit_count
-    * confirms. groupBy-shaped like minhashCandidates: linear scale cost.
+  /** SimHash near-dup pairs: 62-bit cross-engine fingerprint (custom
+    * codegen'd SimHashPoly expression — TextOracles mirrors it), banded
+    * into 4×15-bit LSH keys (32768 buckets per band, selective at scale) —
+    * docs within Hamming distance ≤3 of the banded bits share at least one
+    * exact band; exact bit_count confirms. groupBy-shaped like
+    * minhashCandidates: linear scale cost. (The 64-bit FNV SimHash64
+    * expression remains as the non-oracle production fingerprint.)
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val fp = docs.select(col("doc_id"),
-      graft.functions.simhash64(split(col("text"), " ")).as("fp"))
+      simhash_poly(split(col("text"), " ")).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map { b =>
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+        shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))
       }: _*)).as(Seq("band", "key")))
     val a = banded.as("a")
     val b = banded.as("b")
