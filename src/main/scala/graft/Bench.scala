@@ -20,17 +20,30 @@ object Bench {
   def materializeTurns(spark: SparkSession, sfDir: String, mult: Int,
                        path: String, partitions: Int): Long = {
     // deterministic content ⇒ reuse an existing materialization: repeated
-    // bench runs otherwise fight their own writeback IO for minutes
+    // bench runs otherwise fight their own writeback IO for minutes.
+    // Reuse is gated on a CONTENT fingerprint (derivation SQL + mult +
+    // sfDir), not just row count — count is events×mult regardless of what
+    // the derivation emits, so a logic change would silently bench stale
+    // data (ADVICE r1).
     val expected = Transcripts.events(spark, sfDir).count() * mult
-    val existing = try spark.read.parquet(path).count()
-      catch { case _: Exception => -1L }
-    if (existing == expected) return existing
+    val fingerprint =
+      s"${(Transcripts.derivationCte + "|" + mult + "|" + sfDir).hashCode}"
+    val fpFile = java.nio.file.Paths.get(path, "_fingerprint")
+    val fpMatches = try {
+      java.nio.file.Files.readString(fpFile).trim == fingerprint
+    } catch { case _: Exception => false }
+    if (fpMatches) {
+      val existing = try spark.read.parquet(path).count()
+        catch { case _: Exception => -1L }
+      if (existing == expected) return existing
+    }
     val base = Transcripts.transcripts(spark, sfDir)
     val big = base
       .crossJoin(spark.range(mult).select(col("id").as("rep")))
       .withColumn("conv_id", concat_ws("#", col("conv_id"), col("rep")))
       .drop("rep")
     big.repartition(partitions).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(fpFile, fingerprint)
     spark.read.parquet(path).count()
   }
 
@@ -70,19 +83,24 @@ object Bench {
     val tHead = (1 to 3).map(_ => timeIt(headline(spark, turnsPath))._2).min
     val throughput = nTurns / tHead
 
-    // ---- per-query timings (one warmup action for session state)
+    // ---- per-query timings; failures are REPORTED, never swallowed as a
+    // fast "-1 rows" timing (a broken query must not bench as fast)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, t) = timeIt {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-      }
-      name -> t
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage)
+            .getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = tHead + results.map(_._2).sum
     println(
-      s"""{"metric":"parse_route_aggregate_throughput","value":$throughput,"unit":"turns_per_sec","headline_turns":$nTurns,"headline_sec":$tHead,"total_sec":$total,"queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
+      s"""{"metric":"parse_route_aggregate_throughput","value":$throughput,"unit":"turns_per_sec","headline_turns":$nTurns,"headline_sec":$tHead,"total_sec":$total,"queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

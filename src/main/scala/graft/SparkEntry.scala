@@ -50,6 +50,8 @@ object SparkEntry {
     "p6_render_update" -> ((s, dir) => Pipeline.renderUpdateDynamic(valid(s, dir))),
     "p7_render_delete" -> ((s, dir) => Pipeline.renderDeleteDynamic(valid(s, dir))),
     "p8_flatten_children" -> ((s, dir) => Pipeline.flattenChildren(valid(s, dir))),
+    "p16_child_inserts" -> ((s, dir) =>
+      Pipeline.renderChildInsertsDynamic(valid(s, dir))),
     "p9_ddl_schemas" -> ((s, dir) =>
       Pipeline.ddlCreateSchemas(Pipeline.parse(Transcripts.transcripts(s, dir)))),
     "p10_ddl_tables" -> ((s, dir) => Pipeline.ddlCreateTablesDynamic(valid(s, dir))),
@@ -188,7 +190,10 @@ object SparkEntry {
     }),
     "q19_session_window" -> ((s, dir) =>
       // built-in gap-based session windows (vs Pipeline.sessionize's
-      // manual lag+cumsum form, p14) — same 30-minute gap semantics
+      // manual lag+cumsum form, p14). Boundary semantics differ at exactly
+      // gap: session_window is end-EXCLUSIVE (an event arriving exactly
+      // 30 min later starts a NEW session) while p14's lag-gap form keeps
+      // `gap > 1800` in-session — the oracle mirrors each form's own rule
       Transcripts.transcripts(s, dir)
         .groupBy(col("conv_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_turns"))
@@ -225,6 +230,30 @@ object SparkEntry {
       t(s, dir, "events")
         .withColumn("last_signup_id",
           last(when(col("event_type") === "signup", col("event_id")), true).over(w))
+        .select(col("event_id"), col("user_id"), col("last_signup_id"))
+    }),
+    "q20_asof_join" -> ((s, dir) => {
+      // TWO-TABLE as-of join (facts as-of a dimension-history table) in the
+      // union-merge form: tag both sides, one shuffle on the key, window
+      // last(ignoreNulls) carries the most recent history row forward. No
+      // range join, no cartesian — the scalable as-of shape (q16 is the
+      // same-stream window form). History deduped per (user, ts) by max
+      // event_id so ties are deterministic, matching DuckDB ASOF JOIN.
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val hist = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("h_id"))
+      val facts = e.select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("tag"), lit(null).cast("long").as("h_id"))
+      val h = hist.select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"), col("h_id"))
+      // history sorts BEFORE facts at equal ts (tag 0 < 1) — an as-of match
+      // at exactly ts is visible, mirroring ASOF's h.ts <= e.ts
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      facts.unionByName(h)
+        .withColumn("last_signup_id", last(col("h_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
         .select(col("event_id"), col("user_id"), col("last_signup_id"))
     }),
     "q17_pivot" -> ((s, dir) =>
@@ -340,6 +369,24 @@ object SparkEntry {
     "p9_ddl_schemas" -> (Oracles.withAll + """
       SELECT db, 'CREATE SCHEMA IF NOT EXISTS ' || db || ';' AS stmt
       FROM (SELECT DISTINCT db FROM valid)"""),
+    "p16_child_inserts" -> (Oracles.withAll + """
+      , ins AS (
+        SELECT conv_id, turn_idx, db, tbl,
+          regexp_extract(payload, '"_id":"([^"]+)"', 1) AS parent_id,
+          CAST(regexp_extract(payload, '"k":([0-9]+)', 1) AS INT) AS k
+        FROM valid WHERE op = 'INS'),
+      exploded AS (
+        SELECT conv_id, turn_idx, db, tbl, parent_id,
+               0 AS pos, 'tag' || CAST(k % 5 AS STRING) AS value FROM ins
+        UNION ALL
+        SELECT conv_id, turn_idx, db, tbl, parent_id,
+               1 AS pos, 'tag' || CAST(k % 7 AS STRING) AS value FROM ins)
+      SELECT conv_id, turn_idx,
+        'INSERT INTO ' || db || '.' || tbl || '_tags (_id, ' || tbl
+        || '__id, value) VALUES ('''
+        || sha256(parent_id || '|' || tbl || '_tags|' || CAST(pos AS STRING))
+        || ''', ''' || parent_id || ''', ''' || value || ''');' AS stmt
+      FROM exploded"""),
     "p10_ddl_tables" -> (Oracles.withAll + """
       , ins AS (
         SELECT db, tbl,
@@ -495,7 +542,7 @@ object SparkEntry {
         SELECT conv_id, ts,
           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                  OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
-               > 1800000000 OR lag(epoch_us(ts))
+               >= 1800000000 OR lag(epoch_us(ts))
                  OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
                THEN 1 ELSE 0 END AS boundary
         FROM transcripts),
@@ -523,6 +570,13 @@ object SparkEntry {
           OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS last_signup_id
       FROM events""",
+    "q20_asof_join" -> """
+      WITH hist AS (
+        SELECT user_id, ts, max(event_id) AS h_id FROM events
+        WHERE event_type = 'signup' GROUP BY user_id, ts)
+      SELECT e.event_id, e.user_id, h.h_id AS last_signup_id
+      FROM events e ASOF LEFT JOIN hist h
+        ON e.user_id = h.user_id AND h.ts <= e.ts""",
     "q17_pivot" -> """
       SELECT user_id,
         count(*) FILTER (event_type = 'click') AS click,

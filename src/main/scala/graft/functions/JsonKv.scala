@@ -75,6 +75,37 @@ case class JsonUnquote(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Split a raw JSON *array* token into its elements' raw tokens (one pass,
+  * same tokenizer as [[JsonKvRaw]]); null for anything that is not a
+  * well-formed JSON array. The companion for flattening nested array
+  * values into child-table rows at runtime.
+  */
+case class JsonArrRaw(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"json_arr_raw expects a string column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextJson.jsonArrRaw(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextJson.jsonArrRaw($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override def prettyName: String = "json_arr_raw"
+
+  override protected def withNewChildInternal(newChild: Expression): JsonArrRaw =
+    copy(child = newChild)
+}
+
 /** The byte-level tokenizer. UTF-8 safe: every structural character is
   * ASCII and multi-byte sequences only use bytes >= 0x80, so byte-wise
   * scanning never mis-detects structure inside multi-byte characters.
@@ -115,6 +146,36 @@ object TextJson {
       if (b(i) == '}') {
         if (skipWs(b, i + 1, n) != n) return null
         return mapOf(keys, vals)
+      }
+      if (b(i) != ',') return null
+      i = skipWs(b, i + 1, n)
+    }
+    null // unreachable
+  }
+
+  /** Parse a JSON array's top level into raw element tokens. Returns null
+    * unless the input is a syntactically well-formed array.
+    */
+  def jsonArrRaw(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var i = skipWs(b, 0, n)
+    if (i >= n || b(i) != '[') return null
+    i = skipWs(b, i + 1, n)
+    val elems = new java.util.ArrayList[AnyRef](8)
+    if (i < n && b(i) == ']') {
+      if (skipWs(b, i + 1, n) != n) return null
+      return new GenericArrayData(elems.toArray)
+    }
+    while (true) {
+      val valEnd = scanValue(b, i, n)
+      if (valEnd < 0) return null
+      elems.add(UTF8String.fromBytes(b, i, valEnd - i))
+      i = skipWs(b, valEnd, n)
+      if (i >= n) return null
+      if (b(i) == ']') {
+        if (skipWs(b, i + 1, n) != n) return null
+        return new GenericArrayData(elems.toArray)
       }
       if (b(i) != ',') return null
       i = skipWs(b, i + 1, n)

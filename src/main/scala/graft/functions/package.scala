@@ -41,6 +41,9 @@ package object functions {
   /** Decode a raw JSON string token to its value; passthrough otherwise. */
   def json_unquote(c: Column): Column = column(JsonUnquote(expression(c)))
 
+  /** Split a raw JSON array token into raw element tokens. */
+  def json_arr_raw(c: Column): Column = column(JsonArrRaw(expression(c)))
+
   /** get_json_object with a DYNAMIC path column (the public function only
     * accepts a literal String path; the Catalyst expression itself takes
     * any expression — non-foldable paths re-compile per row, which is the

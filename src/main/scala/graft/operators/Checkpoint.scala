@@ -23,21 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoint {
 
+  /** Ledger-missing is the ONLY condition treated as "no checkpoint yet":
+    * a transient read failure (permissions, corrupt footer, FS hiccup) must
+    * PROPAGATE — swallowing it would silently reset the watermark and
+    * reprocess the full input under batch_id 0 while committed batches
+    * 1..N stay in the sink, duplicating data and breaking exactly-once.
+    */
+  private def ledgerExists(spark: SparkSession, ledgerPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Highest committed event time, if any batch committed yet. Returned as
     * the engine's own timestamp representation (NTZ → LocalDateTime, LTZ →
     * Instant/Timestamp) and only ever fed back through lit() — never
     * interpreted driver-side.
     */
   def lastWatermark(spark: SparkSession, ledgerPath: String): Option[Any] =
-    try {
+    if (!ledgerExists(spark, ledgerPath)) None
+    else {
       val rows = spark.read.parquet(ledgerPath)
         .agg(max(col("max_ts"))).collect()
       Option(rows(0).get(0))
-    } catch { case _: Exception => None } // no ledger yet
+    }
 
   def committedBatches(spark: SparkSession, ledgerPath: String): Long =
-    try spark.read.parquet(ledgerPath).count()
-    catch { case _: Exception => 0L }
+    if (!ledgerExists(spark, ledgerPath)) 0L
+    else spark.read.parquet(ledgerPath).count()
 
   /** Idempotent data commit: everything in `routed` lands under its
     * batch_id partition; re-running the same batch overwrites in place.

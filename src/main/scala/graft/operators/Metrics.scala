@@ -51,9 +51,16 @@ object Metrics {
 
     def all: Map[String, QueryMetrics] = store.asScala.toMap
 
-    /** Latest observation of a named stage metric across recorded queries. */
+    /** Latest observation of a named stage metric across recorded queries —
+      * ordered by the nanoTime embedded in the store key (a
+      * ConcurrentHashMap's iteration order is hash-based, so `.lastOption`
+      * over values would return an arbitrary entry).
+      */
     def observed(name: String): Option[Row] =
-      store.asScala.values.flatMap(_.observed.get(name)).lastOption
+      store.asScala.toSeq
+        .sortBy { case (key, _) => key.substring(key.lastIndexOf('@') + 1).toLong }
+        .flatMap { case (_, m) => m.observed.get(name) }
+        .lastOption
   }
 
   /** Instrument a stage boundary: rows passing + min/max event time —

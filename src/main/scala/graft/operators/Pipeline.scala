@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{json_kv_raw, json_unquote, parse_turn, valid_turn}
+import graft.functions.{json_arr_raw, json_kv_raw, json_unquote, parse_turn, valid_turn}
 
 /** The log-pipeline operators: parse → filter → enrich → route → aggregate,
   * plus render/flatten/DDL stages — the Spark-native re-expression of the
@@ -379,6 +379,75 @@ object Pipeline {
         col("child_tbl"), col("_id"), col("parent_id"), col("pos")) ++
         childKeys.map(k => col("child." + k).as(k)): _*)
   }
+
+  // ------------------------------------------- dynamic (runtime) child flatten
+  // The reference discovers child-table columns from the nested document
+  // ITSELF at runtime (transformer.go:74-108): the child doc's keys drive
+  // the child CREATE/ALTER/INSERT, with `_id` + `<parentTbl>__id` FK
+  // synthesized only when the child lacks `_id` (transformer.go:127-134).
+  // childDocs re-shapes every nested value into a parsed-shaped row
+  // (db, tbl = <parentTbl>_<key>, payload = canonical child JSON), so the
+  // SAME dynamic renderers and DDL operators run unchanged on child
+  // tables — discovery, drift and rendering share one code path.
+
+  private def escJsonKey(k: Column): Column =
+    regexp_replace(k, "([\"\\\\])", "\\\\$1")
+
+  /** Canonical JSON text of a raw-token map (sorted keys). */
+  private def jsonOfKv(m: Column): Column =
+    concat(lit("{"), array_join(transform(array_sort(map_keys(m)),
+      k => concat(lit("\""), escJsonKey(k), lit("\":"), element_at(m, k))),
+      ","), lit("}"))
+
+  /** One parsed-shaped row per nested child document. Array values explode
+    * per element; a non-object element becomes a single `value` column
+    * (conscious divergence: the reference type-asserts object elements and
+    * would panic on scalars, transformer.go:87). Surrogate `_id` is the
+    * deterministic position-stable sha2 (T2 fix; reference uuid.New at
+    * transformer.go:131).
+    */
+  def childDocs(parsed: DataFrame): DataFrame = {
+    val nestedKeys = filter(array_sort(map_keys(kv)), k => {
+      val raw = element_at(kv, k)
+      raw.startsWith("{") || raw.startsWith("[")
+    })
+    val base = withKv(parsed.filter(col("op") === "INS"))
+      .filter(kv.isNotNull)
+      .withColumn("nk", explode(nestedKeys))
+      .withColumn("nraw", element_at(kv, col("nk")))
+      .withColumn("child_tbl", concat(col("tbl"), lit("_"), col("nk")))
+      .withColumn("parent_raw", element_at(kv, lit("_id")))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("db"),
+        col("tbl"), col("child_tbl"), col("parent_raw"),
+        posexplode(when(col("nraw").startsWith("{"), array(col("nraw")))
+          .otherwise(json_arr_raw(col("nraw")))).as(Seq("pos", "eraw")))
+    val idRaw = concat(lit("\""),
+      sha2(concat_ws("|", json_unquote(col("parent_raw")), col("child_tbl"),
+        col("pos")), 256), lit("\""))
+    base
+      .withColumn("ckv", coalesce(json_kv_raw(col("eraw")),
+        map(lit("value"), col("eraw"))))
+      .withColumn("full",
+        when(map_contains_key(col("ckv"), "_id"), col("ckv"))
+          .otherwise(map_concat(col("ckv"),
+            map(lit("_id"), idRaw,
+              concat(col("tbl"), lit("__id")), col("parent_raw")))))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("db"),
+        col("child_tbl").as("tbl"), lit("INS").as("op"),
+        jsonOfKv(col("full")).as("payload"))
+  }
+
+  /** Child INSERT synthesis with runtime-discovered columns (F1 + T3). */
+  def renderChildInsertsDynamic(parsed: DataFrame): DataFrame =
+    renderInsertDynamic(childDocs(parsed))
+
+  /** Child CREATE TABLE from each child table's first-seen document. */
+  def ddlCreateChildTablesDynamic(parsed: DataFrame): DataFrame =
+    ddlCreateTablesDynamic(childDocs(parsed))
+
+  /** Child ALTER on drift inside nested documents (transformer_test.go:116-144). */
+  def ddlAlterChildTablesDynamic(parsed: DataFrame): DataFrame =
+    ddlAlterTablesDynamic(childDocs(parsed))
 
   // ------------------------------------------------------------------ DDL
 

@@ -82,6 +82,32 @@ object TranscriptStream {
       .drop("mtool")
   }
 
+  // ------------------------------------------------------------- lifecycle
+
+  /** Graceful-shutdown drain (reference K4 — the SIGINT/SIGTERM handler at
+    * /root/reference/main.go:60-81 cancels the context, saves the
+    * checkpoint and gives consumers 5s to drain): stop every active
+    * streaming query so no micro-batch is torn mid-commit. Resume after a
+    * drain (or a hard kill) is safe because sink commits are idempotent
+    * (Checkpoint overwrite-by-batch-id) and offsets live in the
+    * checkpointLocation — StreamingSpec's kill-resume test proves no dupes.
+    */
+  def drain(spark: SparkSession): Unit =
+    spark.streams.active.foreach { q =>
+      try q.stop()
+      catch { case _: java.util.concurrent.TimeoutException => () }
+    }
+
+  /** Install the JVM shutdown hook — the signal-handler analog (a SIGTERM
+    * to the JVM runs shutdown hooks). Returns the hook thread so tests can
+    * exercise it directly: a test cannot safely signal its own JVM.
+    */
+  def installShutdownHook(spark: SparkSession): Thread = {
+    val hook = new Thread(() => drain(spark), "graft-stream-drain")
+    Runtime.getRuntime.addShutdownHook(hook)
+    hook
+  }
+
   // ----------------------------------------------------- stateful sessions
 
   case class TurnEvent(conv_id: String, turn_idx: Int, ts: Timestamp)

@@ -138,6 +138,56 @@ class GoldenSpec extends SparkSuite {
     assert(addr.forall(_.getAs[String]("parent_id") == id))
   }
 
+  test("nestedObject1 DYNAMIC: child columns discovered from the document (transformer.go:74-108)") {
+    // the caller supplies NOTHING but the payload: nested keys, child
+    // column sets, FK name and surrogate ids all derive at runtime
+    val payload =
+      s"""{"_id":"$id","name":"Selena Miller","phone":{"personal":"7678456640","work":"8130097989"},""" +
+        """"address":[{"line1":"481 Harborsburgh","zip":"89799"},{"line1":"329 Flatside","zip":"80872"}]}"""
+    val df = turns(("c1", 1, "user", s"INS test.student $payload", "tool_0", T))
+    val got = Pipeline.renderChildInsertsDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSet
+    def sha(tbl: String, pos: Int) = sha256hex(s"$id|$tbl|$pos")
+    assert(got == Set(
+      s"INSERT INTO test.student_phone (_id, personal, student__id, work) " +
+        s"VALUES ('${sha("student_phone", 0)}', '7678456640', '$id', '8130097989');",
+      s"INSERT INTO test.student_address (_id, line1, student__id, zip) " +
+        s"VALUES ('${sha("student_address", 0)}', '481 Harborsburgh', '$id', '89799');",
+      s"INSERT INTO test.student_address (_id, line1, student__id, zip) " +
+        s"VALUES ('${sha("student_address", 1)}', '329 Flatside', '$id', '80872');"))
+    // note zip is a numeric-looking JSON STRING — stays quoted (and types
+    // VARCHAR below), the reference's runtime-type switch
+    val ddl = Pipeline.ddlCreateChildTablesDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSet
+    assert(ddl == Set(
+      "CREATE TABLE test.student_phone (_id VARCHAR(255) PRIMARY KEY, " +
+        "personal VARCHAR(255), student__id VARCHAR(255), work VARCHAR(255));",
+      "CREATE TABLE test.student_address (_id VARCHAR(255) PRIMARY KEY, " +
+        "line1 VARCHAR(255), student__id VARCHAR(255), zip VARCHAR(255));"))
+  }
+
+  test("nestedObject2 DYNAMIC: drift inside children discovered at runtime") {
+    val df = turns(
+      ("c1", 1, "user",
+        s"""INS test.student {"_id":"p1","address":[{"line1":"329 Flatside","zip":"80872"}]}""",
+        "tool_0", T),
+      ("c1", 2, "user",
+        s"""INS test.student {"_id":"p2","address":[{"line1":"481 Harborsburgh","pincode":"123","zip":"89799"}]}""",
+        "tool_0", "2024-01-01 10:05:00"))
+    val alters = Pipeline.ddlAlterChildTablesDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(alters ==
+      Seq("ALTER TABLE test.student_address ADD pincode VARCHAR(255);"))
+  }
+
+  test("child docs with their own _id keep it; no FK/synthesized key added (transformer.go:127-134)") {
+    val df = turns(("c1", 1, "user",
+      """INS test.t {"_id":"p1","sub":{"_id":"own1","v":2}}""", "tool_0", T))
+    val got = Pipeline.renderChildInsertsDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("INSERT INTO test.t_sub (_id, v) VALUES ('own1', 2);"))
+  }
+
   test("nestedObject2 (transformer_test.go:116-144): drift inside child tables") {
     // turn 1: address rows without pincode; turn 2: first element carries
     // pincode — child-level ALTER must fire (reference drift-in-children)

@@ -54,6 +54,52 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {
+    val base = tmp()
+    val in = s"$base/in"
+    val sink = s"$base/sink"
+    val ledger = s"$base/ledger"
+    val ckpt = s"$base/ckpt"
+
+    val half1 = batchTurns.filter(col("ts") <= lit("2024-01-15").cast("timestamp"))
+    half1.write.mode("append").parquet(in)
+
+    // a LONG-LIVED query (ProcessingTime trigger, not AvailableNow) — the
+    // tailing mode a signal would actually interrupt
+    val q1 = TranscriptStream.readTurns(spark, in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val routed = Pipeline.route(Pipeline.enrich(
+          Pipeline.filterValid(Pipeline.parse(batch)), toolDim))
+        if (!routed.isEmpty)
+          graft.operators.Checkpoint.commitBatch(routed, sink, ledger, batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    q1.processAllAvailable() // first tranche fully committed
+
+    // simulate SIGTERM: run the installed shutdown hook directly
+    val hook = TranscriptStream.installShutdownHook(spark)
+    Runtime.getRuntime.removeShutdownHook(hook) // test owns its lifecycle
+    hook.run()
+    assert(spark.streams.active.isEmpty, "drain left queries running")
+    assert(!q1.isActive)
+
+    // second tranche lands while "down"; restart from the same checkpoint
+    batchTurns.filter(col("ts") > lit("2024-01-15").cast("timestamp"))
+      .write.mode("append").parquet(in)
+    val q2 = TranscriptStream.startRouting(
+      TranscriptStream.readTurns(spark, in), toolDim, sink, ledger, ckpt)
+    q2.awaitTermination()
+
+    val expected = Pipeline.route(Pipeline.enrich(parsedValid(batchTurns), toolDim))
+    val committed = spark.read.parquet(sink)
+    assert(committed.count() == expected.count())
+    assert(committed.select("conv_id", "turn_idx").distinct().count() ==
+      committed.count())
+  }
+
   test("watermarked windowed per-sink counts match batch windows") {
     val base = tmp()
     val in = s"$base/in"
