@@ -21,7 +21,7 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     def audit(name: String, df: org.apache.spark.sql.DataFrame,
-              expect: Seq[String]): Unit = {
+              expect: Seq[String], forbid: Seq[String] = Nil): Unit = {
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       // AQE hides codegen stages until execution: materialize, then unwrap
@@ -38,6 +38,10 @@ object ExplainAudit {
       expect.foreach { e =>
         val ok = plan.contains(e)
         println(s"[audit] $name ${if (ok) "HAS" else "MISSING"} <$e>")
+      }
+      forbid.foreach { e =>
+        val bad = plan.contains(e)
+        println(s"[audit] $name ${if (bad) "VIOLATES" else "CLEAN-OF"} <$e>")
       }
     }
 
@@ -60,6 +64,18 @@ object ExplainAudit {
 
     val q4 = SparkEntry.queries("q4_semi_join")(spark, sfDir)
     audit("q4_semi", q4, Seq("LeftSemi", "PushedFilters: [IsNotNull(o_totalprice)"))
+
+    // e3 IVF: cell assignment is IN-ROW (HOF argmin over fixed anchors) —
+    // exactly one join in the whole plan (candidates x broadcast probes),
+    // no corpus x centroid cross join, no per-vector assignment window
+    // (the r1 scale bug). WindowGroupLimit + one Window = the top-k only.
+    val e3 = SparkEntry.queries("e3_knn_ivf")(spark, sfDir)
+    audit("e3_ivf", e3, Seq("BroadcastHashJoin"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // q20 as-of: union-merge window form — no join at all, one exchange
+    audit("q20_asof", SparkEntry.queries("q20_asof_join")(spark, sfDir),
+      Seq("Window"), forbid = Seq("CartesianProduct", "SortMergeJoin"))
 
     spark.stop()
   }

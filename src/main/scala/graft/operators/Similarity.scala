@@ -153,17 +153,25 @@ object Similarity {
       // one materialized bit array per row (an inline expression would be
       // re-inlined per consumer by projection collapse — the r1 trap)
       .withColumn("bits", planeBits(col("qe"), bands * rowsPerBand))
-    val banded = base.select(col("vec_id"), col("qe"),
+    // band join moves ONLY (id, band, bucket) — never the vectors: bucket
+    // skew (label clusters) makes collision volume ≫ candidate count, and
+    // carrying two 64-long arrays per collision row was measured 20s vs 4s
+    // at sf0.1. Dedupe id-pairs first, then join the vectors back once.
+    val banded = base.select(col("vec_id"),
       posexplode(bandBuckets(col("bits"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        dotCols(col("a.qe"), col("b.qe")).as("qdot"))
-      .distinct() // a pair may collide in several bands; dot is identical
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    val qe = base.select(col("vec_id"), col("qe"))
+    cand
+      .join(qe.select(col("vec_id").as("id1"), col("qe").as("q1")), "id1")
+      .join(qe.select(col("vec_id").as("id2"), col("qe").as("q2")), "id2")
+      .select(col("id1"), col("id2"), dotCols(col("q1"), col("q2")).as("qdot"))
       .filter(col("qdot") >= threshold)
       .select(col("id1"), col("id2"), col("qdot"))
   }
@@ -225,21 +233,25 @@ object Similarity {
              bands: Int = 28, rowsPerBand: Int = 3): DataFrame = {
     val base = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .withColumn("bits", planeBits(col("qe"), bands * rowsPerBand))
-    val banded = base.select(col("vec_id"), col("qe"),
+    // the band join moves only (id, band, bucket); vectors join back after
+    // the (qid, nid) dedup (same reasoning as embeddingNearDupLadder)
+    val banded = base.select(col("vec_id"),
       posexplode(bandBuckets(col("bits"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
     val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("qe").as("qe_q"),
-        col("band"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val cand = banded.join(broadcast(queries), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val qe = base.select(col("vec_id"), col("qe"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("nid"))
-    banded.join(broadcast(queries), Seq("band", "bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      // a (query, candidate) pair collides in several bands; the dot is
-      // identical, so dedupe on the value triple before ranking
-      .select(col("qid"), col("vec_id").as("nid"),
-        dotCols(col("qe_q"), col("qe")).as("dot"))
-      .distinct()
+    cand
+      .join(broadcast(qe.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("qe").as("qe_q"))), "qid")
+      .join(qe.select(col("vec_id").as("nid"), col("qe").as("qe_n")), "nid")
+      .select(col("qid"), col("nid"), dotCols(col("qe_q"), col("qe_n")).as("dot"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
