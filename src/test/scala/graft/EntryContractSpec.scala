@@ -13,9 +13,13 @@ class EntryContractSpec extends SparkSuite {
   // must produce rows
   private val mayBeEmpty = Set("q5_anti_join", "p11_ddl_alter")
 
-  test("oracleSql keys are a subset of queries keys") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracles without queries: $missing")
+  test("oracleSql keys EQUAL queries keys — no query ships without a full oracle") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+    // as of round 2 every query is DuckDB-expressible (arithmetic hash
+    // families) — a new rows-only query is a coverage regression
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 
   test("every query runs at sf0.001, non-empty unless whitelisted, deterministic") {
