@@ -65,5 +65,17 @@ package object functions {
       exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("valid_turn",
+      exprs => ValidTurn(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_kv_raw",
+      exprs => JsonKvRaw(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_unquote",
+      exprs => JsonUnquote(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_arr_raw",
+      exprs => JsonArrRaw(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("poly_hash31",
+      exprs => PolyHash31(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_poly",
+      exprs => SimHashPoly(exprs.head), "scala_udf")
   }
 }

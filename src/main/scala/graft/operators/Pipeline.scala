@@ -505,6 +505,38 @@ object Pipeline {
     perKey.reduce(_.unionByName(_))
   }
 
+  // ------------------------------------------------------- full SQL stream
+
+  /** The COMPLETE statement stream a reference user gets from one run
+    * (main.go:84-107: per-record CREATE SCHEMA → child DDL/DML → parent
+    * DDL/DML → UPDATE/DELETE), assembled batch-style with a deterministic
+    * global order: DDL phases first (schemas, CREATEs, ALTERs — parent and
+    * runtime-discovered child tables alike), then DML in (conv_id,
+    * turn_idx) stream order; a parent INSERT sorts before its children's
+    * at the same turn ("(" < "_"). The reference's own interleaving is
+    * goroutine-arrival-racy, so a deterministic convention is strictly
+    * stronger, not a divergence.
+    *
+    * Output: (phase, ord, turn_idx, stmt) — callers order by all four.
+    */
+  def renderAllStatements(parsed: DataFrame): DataFrame = {
+    def ddl(df: DataFrame, phase: Int): DataFrame =
+      df.select(lit(phase).as("phase"), col("stmt").as("ord"),
+        lit(0).as("turn_idx"), col("stmt"))
+    def dml(df: DataFrame): DataFrame =
+      df.select(lit(3).as("phase"), col("conv_id").as("ord"),
+        col("turn_idx"), col("stmt"))
+    ddl(ddlCreateSchemas(parsed), 0)
+      .unionByName(ddl(ddlCreateTablesDynamic(parsed), 1))
+      .unionByName(ddl(ddlCreateChildTablesDynamic(parsed), 1))
+      .unionByName(ddl(ddlAlterTablesDynamic(parsed), 2))
+      .unionByName(ddl(ddlAlterChildTablesDynamic(parsed), 2))
+      .unionByName(dml(renderInsertDynamic(parsed)))
+      .unionByName(dml(renderChildInsertsDynamic(parsed)))
+      .unionByName(dml(renderUpdateDynamic(parsed)))
+      .unionByName(dml(renderDeleteDynamic(parsed)))
+  }
+
   // ----------------------------------------------------------------- skew
 
   /** Salted repartition for hot conversations (north rule): one conv_id

