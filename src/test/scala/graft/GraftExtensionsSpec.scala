@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** The spark.sql.extensions injection path: applying GraftExtensions to a
+  * SparkSessionExtensions registers every custom expression (what a
+  * cluster does at session build when configured with
+  * `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("all 9 expressions inject into a fresh function registry and evaluate") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.testbridge.registerFunctions(
+      ext, new SimpleFunctionRegistry)
+    val expected = Set("parse_turn", "valid_turn", "json_kv_raw",
+      "json_unquote", "json_arr_raw", "simhash64", "simhash_poly",
+      "rolling_hash", "poly_hash31")
+    expected.foreach { name =>
+      assert(reg.functionExists(FunctionIdentifier(name)), s"missing $name")
+    }
+    // end-to-end through a registry-backed build: the parse expression
+    // constructed by the injected builder evaluates like the Column API
+    val built = reg.lookupFunction(FunctionIdentifier("poly_hash31"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal("abc")))
+    assert(built.eval(null) ==
+      graft.functions.TextHashes.polyHash31(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+  }
+}
