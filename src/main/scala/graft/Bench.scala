@@ -26,8 +26,10 @@ object Bench {
     // the derivation emits, so a logic change would silently bench stale
     // data (ADVICE r1).
     val expected = Transcripts.events(spark, sfDir).count() * mult
-    val fingerprint =
-      s"${(Transcripts.derivationCte + "|" + mult + "|" + sfDir).hashCode}"
+    // "rep-v1" names THIS function's replication scheme (crossJoin ×mult,
+    // conv_id#rep suffix) — bump it when the expansion logic changes
+    val fingerprint = s"${(Transcripts.derivationCte + "|rep-v1|" + mult +
+      "|" + sfDir + "|" + partitions).hashCode}"
     val fpFile = java.nio.file.Paths.get(path, "_fingerprint")
     val fpMatches = try {
       java.nio.file.Files.readString(fpFile).trim == fingerprint

@@ -16,40 +16,34 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, usage: String,
+  // ExpressionInfo's 3-arg constructor is (className, db, name) — passing
+  // usage text there garbles DESCRIBE FUNCTION output; the 2-arg
+  // (className, name) form keeps catalog metadata truthful
+  private def fn(name: String, clazz: Class[_],
                  build: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
+      new ExpressionInfo(clazz.getCanonicalName, name),
       build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("parse_turn",
-      "fused grok parse of a transcript turn -> struct(op, db, tbl, payload)",
+    ext.injectFunction(fn("parse_turn", classOf[ParseTurn],
       exprs => ParseTurn(exprs.head)))
-    ext.injectFunction(fn("valid_turn",
-      "single-pass op-whitelist + db-blacklist admission predicate",
+    ext.injectFunction(fn("valid_turn", classOf[ValidTurn],
       exprs => ValidTurn(exprs.head)))
-    ext.injectFunction(fn("json_kv_raw",
-      "top-level JSON object -> map<key, raw-json-token>",
+    ext.injectFunction(fn("json_kv_raw", classOf[JsonKvRaw],
       exprs => JsonKvRaw(exprs.head)))
-    ext.injectFunction(fn("json_unquote",
-      "decode a raw JSON string token; passthrough otherwise",
+    ext.injectFunction(fn("json_unquote", classOf[JsonUnquote],
       exprs => JsonUnquote(exprs.head)))
-    ext.injectFunction(fn("json_arr_raw",
-      "raw JSON array token -> array of raw element tokens",
+    ext.injectFunction(fn("json_arr_raw", classOf[JsonArrRaw],
       exprs => JsonArrRaw(exprs.head)))
-    ext.injectFunction(fn("simhash64",
-      "64-bit SimHash of a token array (FNV-1a bit votes)",
+    ext.injectFunction(fn("simhash64", classOf[SimHash64],
       exprs => SimHash64(exprs.head)))
-    ext.injectFunction(fn("simhash_poly",
-      "62-bit cross-engine SimHash of a token array (PolyHash31 bit votes)",
+    ext.injectFunction(fn("simhash_poly", classOf[SimHashPoly],
       exprs => SimHashPoly(exprs.head)))
-    ext.injectFunction(fn("rolling_hash",
-      "Karp-Rabin polynomial fingerprint mod 2^61-1",
+    ext.injectFunction(fn("rolling_hash", classOf[RollingHash],
       exprs => RollingHash(exprs.head)))
-    ext.injectFunction(fn("poly_hash31",
-      "cross-engine polynomial fingerprint mod 2^31-1 (first 64 bytes)",
+    ext.injectFunction(fn("poly_hash31", classOf[PolyHash31],
       exprs => PolyHash31(exprs.head)))
   }
 }

@@ -78,8 +78,12 @@ object Main {
     */
   def run(spark: SparkSession, conf: Conf): (Long, Long) = {
     val turns = readTurns(spark, conf)
+    // pin the batch: several actions follow (reject count, statement count,
+    // sink write, watermark agg) — the cache keeps them on one snapshot and
+    // stops the render DAG executing once per action
     val fresh = conf.ledger.flatMap(Checkpoint.lastWatermark(spark, _))
       .fold(turns)(wm => turns.filter(col("ts") > lit(wm)))
+      .cache()
     val parsed = Pipeline.parse(fresh)
     val valid = Pipeline.filterValid(parsed)
     // unknown-op guard (transformer.go:26-28): count + log, never crash
@@ -92,8 +96,9 @@ object Main {
     val n = conf.outputType match {
       case "sql" =>
         val out = stmts.select(col("stmt")).coalesce(1)
+        val n = out.count() // this run's emissions (the sink is append-only)
         out.write.mode("append").text(conf.output)
-        spark.read.text(conf.output).count() // emitted so far (append sink)
+        n
       case _ =>
         // DDL strictly before DML; single ordered partition per phase so
         // execution order equals stream order inside the transaction
@@ -112,6 +117,7 @@ object Main {
         .select(lit(batchId).as("batch_id"), col("max_ts"))
         .write.mode("append").parquet(ledgerPath)
     }
+    fresh.unpersist()
     (n, nRejects)
   }
 

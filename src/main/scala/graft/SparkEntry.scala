@@ -395,7 +395,7 @@ object SparkEntry {
                              ORDER BY ts, conv_id, turn_idx) AS rn
         FROM valid WHERE op = 'INS')
       SELECT db, tbl,
-        'CREATE TABLE ' || db || '.' || tbl || ' (_id VARCHAR(255) PRIMARY KEY'
+        'CREATE TABLE IF NOT EXISTS ' || db || '.' || tbl || ' (_id VARCHAR(255) PRIMARY KEY'
         || CASE WHEN extra IS NULL THEN '' ELSE ', extra VARCHAR(255)' END
         || ', k INTEGER);' AS stmt
       FROM ins WHERE rn = 1"""),

@@ -240,12 +240,37 @@ object TextJson {
         }
         -1
       case _ =>
-        // primitive: scan to the next structural delimiter / whitespace
+        // primitive: scan to the next structural delimiter, then validate
+        // against the JSON grammar (true|false|null|number; leading zeros
+        // tolerated) — an unvalidated run would otherwise flow BARE into
+        // rendered SQL via sqlLiteralRaw's number branch
         var i = i0
         while (i < n && b(i) != ',' && b(i) != '}' && b(i) != ']' &&
           b(i) != ' ' && b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
-        if (i == i0) -1 else i
+        if (i == i0 || !validPrimitive(b, i0, i)) -1 else i
     }
+  }
+
+  private def validPrimitive(b: Array[Byte], from: Int, to: Int): Boolean = {
+    def eq(s: String): Boolean =
+      to - from == s.length && s.indices.forall(j => b(from + j) == s.charAt(j))
+    if (eq("true") || eq("false") || eq("null")) return true
+    // -?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?
+    var i = from
+    def digits(): Boolean = {
+      val d0 = i
+      while (i < to && b(i) >= '0' && b(i) <= '9') i += 1
+      i > d0
+    }
+    if (i < to && b(i) == '-') i += 1
+    if (!digits()) return false
+    if (i < to && b(i) == '.') { i += 1; if (!digits()) return false }
+    if (i < to && (b(i) == 'e' || b(i) == 'E')) {
+      i += 1
+      if (i < to && (b(i) == '+' || b(i) == '-')) i += 1
+      if (!digits()) return false
+    }
+    i == to
   }
 
   /** Decode the bytes of a JSON string BODY (exclusive of quotes), handling

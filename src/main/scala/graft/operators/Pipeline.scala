@@ -212,8 +212,10 @@ object Pipeline {
     when(raw.startsWith("\""), "VARCHAR(255)")
       .when(raw.isin("true", "false"), "BOOLEAN")
       .when(raw.rlike("^-?[0-9]+$"), "INTEGER")
-      .when(raw.rlike("^-?[0-9]+[.][0-9]+$"), "FLOAT")
-      .otherwise("VARCHAR(255)")
+      // every remaining scalar token is a valid JSON number (the tokenizer
+      // rejects anything else), so decimal/exponent forms are FLOAT — and
+      // sqlLiteralRaw's bare rendering is consistent with the type
+      .otherwise("FLOAT")
 
   /** INSERT synthesis with runtime-derived columns. Rows whose payload is
     * not a JSON object (garbage past the op/ns tokens) produce a NULL kv
@@ -286,8 +288,8 @@ object Pipeline {
       k => concat(k, lit(" "), sqlTypeOfRaw(element_at(kv, k)))), ", ")
     withKv(firstSeen(parsed.filter(col("op") === "INS")))
       .withColumn("stmt",
-        concat(lit("CREATE TABLE "), col("db"), lit("."), col("tbl"),
-          lit(" (_id VARCHAR(255) PRIMARY KEY"),
+        concat(lit("CREATE TABLE IF NOT EXISTS "), col("db"), lit("."),
+          col("tbl"), lit(" (_id VARCHAR(255) PRIMARY KEY"),
           when(defs === "", lit("")).otherwise(concat(lit(", "), defs)),
           lit(");")))
       .select("db", "tbl", "stmt")
@@ -429,7 +431,13 @@ object Pipeline {
         map(lit("value"), col("eraw"))))
       .withColumn("full",
         when(map_contains_key(col("ckv"), "_id"), col("ckv"))
-          .otherwise(map_concat(col("ckv"),
+          // drop a pre-existing FK-named key before adding ours — Go map
+          // assignment overwrites (transformer.go:130-133); map_concat
+          // under the default EXCEPTION dedup policy would crash the job
+          // on one odd document otherwise
+          .otherwise(map_concat(
+            map_filter(col("ckv"),
+              (k, _) => k =!= concat(col("tbl"), lit("__id"))),
             map(lit("_id"), idRaw,
               concat(col("tbl"), lit("__id")), col("parent_raw")))))
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("db"),
@@ -474,8 +482,8 @@ object Pipeline {
   def ddlCreateTables(parsed: DataFrame): DataFrame =
     firstSeen(parsed.filter(col("op") === "INS"))
       .withColumn("stmt",
-        concat(lit("CREATE TABLE "), col("db"), lit("."), col("tbl"),
-          lit(" (_id VARCHAR(255) PRIMARY KEY"),
+        concat(lit("CREATE TABLE IF NOT EXISTS "), col("db"), lit("."),
+          col("tbl"), lit(" (_id VARCHAR(255) PRIMARY KEY"),
           when(jval("extra").isNotNull, lit(", extra VARCHAR(255)")).otherwise(lit("")),
           lit(", k INTEGER);")))
       .select("db", "tbl", "stmt")

@@ -31,7 +31,7 @@ class GoldenSpec extends SparkSuite {
     val ddl = Pipeline.ddlCreateTablesDynamic(parsedValid(df))
       .select("stmt").collect().map(_.getString(0)).toSeq
     assert(ddl == Seq(
-      "CREATE TABLE test.student (_id VARCHAR(255) PRIMARY KEY, " +
+      "CREATE TABLE IF NOT EXISTS test.student (_id VARCHAR(255) PRIMARY KEY, " +
         "date_of_birth VARCHAR(255), is_graduated BOOLEAN, " +
         "name VARCHAR(255), roll_no INTEGER);"))
   }
@@ -160,9 +160,9 @@ class GoldenSpec extends SparkSuite {
     val ddl = Pipeline.ddlCreateChildTablesDynamic(parsedValid(df))
       .select("stmt").collect().map(_.getString(0)).toSet
     assert(ddl == Set(
-      "CREATE TABLE test.student_phone (_id VARCHAR(255) PRIMARY KEY, " +
+      "CREATE TABLE IF NOT EXISTS test.student_phone (_id VARCHAR(255) PRIMARY KEY, " +
         "personal VARCHAR(255), student__id VARCHAR(255), work VARCHAR(255));",
-      "CREATE TABLE test.student_address (_id VARCHAR(255) PRIMARY KEY, " +
+      "CREATE TABLE IF NOT EXISTS test.student_address (_id VARCHAR(255) PRIMARY KEY, " +
         "line1 VARCHAR(255), student__id VARCHAR(255), zip VARCHAR(255));"))
   }
 
@@ -186,6 +186,18 @@ class GoldenSpec extends SparkSuite {
     val got = Pipeline.renderChildInsertsDynamic(parsedValid(df))
       .select("stmt").collect().map(_.getString(0)).toSeq
     assert(got == Seq("INSERT INTO test.t_sub (_id, v) VALUES ('own1', 2);"))
+  }
+
+  test("child doc already carrying the FK-named key: ours overwrites like Go map assignment, no crash") {
+    // transformer.go:130-133 assigns data[fk] = parentId unconditionally —
+    // a pre-existing t__id key is overwritten; map_concat under the default
+    // EXCEPTION dedup policy would instead kill the job
+    val df = turns(("c1", 1, "user",
+      """INS test.t {"_id":"p1","sub":{"t__id":"stale","v":2}}""", "tool_0", T))
+    val got = Pipeline.renderChildInsertsDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("INSERT INTO test.t_sub (_id, t__id, v) VALUES " +
+      s"('${sha256hex("p1|t_sub|0")}', 'p1', 2);"))
   }
 
   test("nestedObject2 (transformer_test.go:116-144): drift inside child tables") {

@@ -29,5 +29,9 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(built.eval(null) ==
       graft.functions.TextHashes.polyHash31(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    // catalog metadata is truthful: name/class, not usage-in-name-slot
+    val info = reg.lookupFunction(FunctionIdentifier("poly_hash31")).get
+    assert(info.getName == "poly_hash31")
+    assert(info.getClassName == "graft.functions.PolyHash31")
   }
 }

@@ -33,6 +33,27 @@ class JsonKvSpec extends SparkSuite {
     assert(kv("f\n") == "true")
   }
 
+  test("invalid primitive tokens reject the whole object (nothing unvalidated reaches SQL)") {
+    // an unquoted junk run like abc'def must NOT tokenize — it would
+    // otherwise render BARE into a statement via the number branch
+    assert(kvOf("""{"x":abc'def}""") == null)
+    assert(kvOf("""{"x":nulll}""") == null)
+    assert(kvOf("""{"x":1.2.3}""") == null)
+    assert(kvOf("""{"x":--5}""") == null)
+    // valid number forms pass, including exponent/leading-zero relaxations
+    assert(kvOf("""{"a":1e5,"b":-2.5E-3,"c":07}""") ==
+      Map("a" -> "1e5", "b" -> "-2.5E-3", "c" -> "07"))
+    // exponent numbers render bare and type FLOAT — consistent pair
+    val df = turns(("c1", 1, "user",
+      """INS test.t {"_id":"e1","x":1e5}""", "tool_0", T))
+    assert(stmtsOrdered(Pipeline.renderInsertDynamic(parsedValid(df))) ==
+      Seq("INSERT INTO test.t (_id, x) VALUES ('e1', 1e5);"))
+    val ddl = Pipeline.ddlCreateTablesDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(ddl == Seq("CREATE TABLE IF NOT EXISTS test.t " +
+      "(_id VARCHAR(255) PRIMARY KEY, x FLOAT);"))
+  }
+
   test("whitespace tolerated; non-objects and malformed input yield null") {
     assert(kvOf("""  { "a" : 1 , "b" : [ 1, {"x":"}"} ] } """)("b") == """[ 1, {"x":"}"} ]""")
     assert(kvOf("[1,2]") == null)
@@ -64,7 +85,7 @@ class JsonKvSpec extends SparkSuite {
     val ddl = Pipeline.ddlCreateTablesDynamic(p)
       .select("stmt").collect().map(_.getString(0)).toSeq
     assert(ddl == Seq(
-      "CREATE TABLE test.t (_id VARCHAR(255) PRIMARY KEY, b BOOLEAN, " +
+      "CREATE TABLE IF NOT EXISTS test.t (_id VARCHAR(255) PRIMARY KEY, b BOOLEAN, " +
         "f VARCHAR(255), flag VARCHAR(255), n INTEGER, x FLOAT, " +
         "zip VARCHAR(255));"))
   }

@@ -70,8 +70,8 @@ class PipelineE2ESpec extends SparkSuite {
     val creates = Pipeline.ddlCreateTables(p)
       .select("stmt").collect().map(_.getString(0)).toSet
     assert(creates == Set(
-      "CREATE TABLE test.student (_id VARCHAR(255) PRIMARY KEY, k INTEGER);",
-      "CREATE TABLE test.employee (_id VARCHAR(255) PRIMARY KEY, extra VARCHAR(255), k INTEGER);"))
+      "CREATE TABLE IF NOT EXISTS test.student (_id VARCHAR(255) PRIMARY KEY, k INTEGER);",
+      "CREATE TABLE IF NOT EXISTS test.employee (_id VARCHAR(255) PRIMARY KEY, extra VARCHAR(255), k INTEGER);"))
 
     // employee's FIRST doc already has extra → no drift ALTER anywhere
     assert(Pipeline.ddlAlterTables(p).count() == 0L)

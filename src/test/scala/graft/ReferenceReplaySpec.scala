@@ -89,9 +89,9 @@ class ReferenceReplaySpec extends SparkSuite {
     //     PRIMARY KEY,age FLOAT,name VARCHAR(255),subject VARCHAR(255));
     // ours: sorted columns, age INTEGER (documented divergence)
     assert(creates == Set(
-      "CREATE TABLE student.students (_id VARCHAR(255) PRIMARY KEY, " +
+      "CREATE TABLE IF NOT EXISTS student.students (_id VARCHAR(255) PRIMARY KEY, " +
         "age INTEGER, name VARCHAR(255), subject VARCHAR(255));",
-      "CREATE TABLE employee.employees (_id VARCHAR(255) PRIMARY KEY, " +
+      "CREATE TABLE IF NOT EXISTS employee.employees (_id VARCHAR(255) PRIMARY KEY, " +
         "age INTEGER, name VARCHAR(255), position VARCHAR(255), salary FLOAT);"))
   }
 
