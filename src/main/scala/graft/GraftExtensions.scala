@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => RollingHash(exprs.head)))
     ext.injectFunction(fn("poly_hash31", classOf[PolyHash31],
       exprs => PolyHash31(exprs.head)))
+    ext.injectFunction(fn("shingles3", classOf[Shingles3],
+      exprs => Shingles3(exprs.head)))
   }
 }

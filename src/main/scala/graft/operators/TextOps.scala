@@ -15,17 +15,14 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingle array. Guarded: docs with < 3 tokens get an empty
-    * array — an unguarded sequence(1, size-2) DESCENDS ([1,0]) on short
-    * docs and fabricates null-padded shingles (found by the sf0.1 oracle
-    * sweep).
+  /** Distinct word 3-gram shingle array — the codegen'd Shingles3
+    * expression (one Java loop; the declarative
+    * array_distinct(transform(sequence...)) form runs interpreted HOF
+    * lambdas and measured ~17× slower at sf0.1 — TextOpsSpec asserts
+    * set-equality of the two forms). Docs with < 3 tokens get an empty
+    * array.
     */
-  private def shingles3(t: Column): Column =
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
+  private def shingles3(t: Column): Column = graft.functions.shingles3(t)
 
   // ------------------------------------------------------------ exact dedup
 
@@ -53,7 +50,7 @@ object TextOps {
     // rounds where Spark truncates — integer-exact bucket keys only
     docs.select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 300).cast("int").as("lb"),
-      explode(array_distinct(shingles3(tokens))).as("shingle"))
+      explode(shingles3(tokens)).as("shingle"))
 
   /** Near-duplicate pairs by exact 3-gram Jaccard >= 0.7, computed with
     * pure integer arithmetic (cross-multiplied threshold — no float
@@ -111,7 +108,7 @@ object TextOps {
     def h(i: Int): Column =
       (col("ph") * (2L * i + 1) + (i.toLong * i + 1)) % P31
     val sh = docs.select(col("doc_id"),
-        explode(array_distinct(shingles3(tokens))).as("shingle"))
+        explode(shingles3(tokens)).as("shingle"))
       .withColumn("ph", poly_hash31(col("shingle")))
     val mins = sh.groupBy(col("doc_id")).agg(
       min(h(0)).as("h0"),

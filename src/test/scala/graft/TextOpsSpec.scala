@@ -83,4 +83,23 @@ class TextOpsSpec extends SparkSuite {
     val li = TextOps.langId(d).collect()(0)
     assert(li.getString(2) == "en") // 'the'×2 + 'and' beat es ('el')
   }
+
+  test("Shingles3 expression is set-equal to the declarative HOF form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = split(col("text"), " ")
+    val hof = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val a = docs.select(col("doc_id"), explode(array_distinct(hof)).as("s"))
+    val b = docs.select(col("doc_id"),
+      explode(graft.functions.shingles3(t)).as("s"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // short docs: empty array, no fabricated shingles
+    import spark.implicits._
+    val short = Seq("one two", "one", "").toDF("text")
+    assert(short.select(explode(graft.functions.shingles3(split(col("text"), " ")))).count() == 0)
+  }
 }
