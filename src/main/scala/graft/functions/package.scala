@@ -33,6 +33,14 @@ package object functions {
   /** Cross-engine 31-bit SimHash over a token array. */
   def simhash_poly(c: Column): Column = column(SimHashPoly(expression(c)))
 
+  /** Integer dot product of two array<bigint> (codegen'd loop). */
+  def dot_long(a: Column, b: Column): Column =
+    column(DotLong(expression(a), expression(b)))
+
+  /** n ±1-direction projections of a quantized vector (codegen'd loop). */
+  def sign_projections(c: Column, n: Int, salt: Long): Column =
+    column(SignProjections(expression(c), n, salt))
+
   /** Single-pass op-whitelist + db-blacklist admission predicate. */
   def valid_turn(c: Column): Column = column(ValidTurn(expression(c)))
 

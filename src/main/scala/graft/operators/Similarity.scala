@@ -24,8 +24,8 @@ object Similarity {
   // enough: it repeats with period 7 in p, so planes 7+ duplicate planes
   // 0+ and extra bands add no recall (found when wiring the e4 recall
   // gate). Max operand: (84*131071+65)*2654435761 ≈ 2.9e16 « 2^63.
-  val HashMul = 2654435761L
-  val HashMod = 4294967296L
+  val HashMul: Long = graft.functions.VectorOps.HashMul
+  val HashMod: Long = graft.functions.VectorOps.HashMod
   /** hyperplane family salt (knnLsh, embeddingNearDupLadder) */
   val PlaneSalt = 0L
   /** IVF anchor family salt — distinct so cells decorrelate from buckets */
@@ -34,28 +34,15 @@ object Similarity {
   private def quantized(e: Column): Column =
     transform(e, x => round(x.cast("double") * 10000).cast("long"))
 
-  private def hashSign(salt: Long, p: Column, i: Column): Column = {
-    val h = ((p * lit(131071L) + i + lit(1L)) * lit(HashMul) + lit(salt)) %
-      lit(HashMod)
-    when(shiftright(h, 16).bitwiseAND(lit(1L)) === 1L, lit(1L))
-      .otherwise(lit(-1L))
-  }
-
-  private def planeSign(p: Column, i: Column): Column =
-    hashSign(PlaneSalt, p, i)
-
-  private def anchorSign(c: Column, i: Column): Column =
-    hashSign(AnchorSalt, c, i)
-
   /** ±1 hyperplane sign-bit array (one per plane) for a quantized vector —
+    * a codegen'd SignProjections loop (the HOF form ran n interpreted
+    * lambda dot products per row and dominated e2/d8 wall time);
     * materialize the result as a column before fanning out per band, or
-    * projection collapse re-inlines the nPlanes dot products per consumer.
+    * projection collapse re-inlines it per consumer.
     */
   private def planeBits(qe: Column, nPlanes: Int): Column =
-    transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      when(dotCols(qe,
-        transform(sequence(lit(0), size(qe) - 1),
-          i => planeSign(p, i))) > 0, 1L).otherwise(0L))
+    transform(graft.functions.sign_projections(qe, nPlanes, PlaneSalt),
+      d => when(d > 0, 1L).otherwise(0L))
 
   /** Per-band bucket ids from the bit array: band b packs rowsPerBand bits. */
   private def bandBuckets(bits: Column, bands: Int, rowsPerBand: Int): Column =
@@ -66,7 +53,7 @@ object Similarity {
     }: _*)
 
   private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.dot_long(a, b)
 
   /** Exact top-k by quantized dot product, brute force: broadcast the
     * query set (small) against the full corpus — one pass, no shuffle of
@@ -192,10 +179,8 @@ object Similarity {
     val cellSeq = sequence(lit(0), lit(nCells - 1))
     val base = emb.select(col("vec_id").as("vid"),
         quantized(col("embedding")).as("qv"))
-      .withColumn("cdots", transform(cellSeq, c =>
-        dotCols(col("qv"),
-          transform(sequence(lit(0), size(col("qv")) - 1),
-            i => anchorSign(c, i)))))
+      .withColumn("cdots",
+        graft.functions.sign_projections(col("qv"), nCells, AnchorSalt))
       // rank of each cell among the dots (0 = nearest), ties by cell index
       .withColumn("rnks", transform(cellSeq, c =>
         size(filter(cellSeq, c2 =>
