@@ -301,16 +301,15 @@ object Pipeline {
     * replacement for the registry race, transformer.go:176-195).
     */
   def ddlAlterTablesDynamic(parsed: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("db"), col("tbl"))
-      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
-    val ins = withKv(parsed.filter(col("op") === "INS"))
-      .withColumn("rn", row_number().over(w))
-    val keyRows = ins.select(col("db"), col("tbl"), col("rn"), col("ts"),
+    // both sides are two-phase aggregates (no full-data window shuffle —
+    // see firstSeen): per-key earliest occurrence vs the first doc's keys
+    val keyRows = withKv(parsed.filter(col("op") === "INS"))
+      .select(col("db"), col("tbl"), col("ts"),
         col("conv_id"), col("turn_idx"), col("kv"),
         explode(scalarKeysOf(kv)).as("key"))
       .withColumn("ktype", sqlTypeOfRaw(element_at(kv, col("key"))))
-    val firstDocKeys = keyRows.filter(col("rn") === 1)
-      .select(col("db"), col("tbl"), col("key"))
+    val firstDocKeys = withKv(firstSeen(parsed.filter(col("op") === "INS")))
+      .select(col("db"), col("tbl"), explode(scalarKeysOf(kv)).as("key"))
     val earliest = keyRows
       .groupBy(col("db"), col("tbl"), col("key"))
       .agg(min(struct(col("ts"), col("conv_id"), col("turn_idx"),
@@ -463,12 +462,21 @@ object Pipeline {
     * reference's mutex-guarded first-writer-wins registry
     * (/root/reference/constants/config_manager.go:31-52): deterministic
     * (ts, conv_id, turn_idx) order instead of goroutine arrival race.
+    *
+    * Shape: a two-phase min-struct AGGREGATE, not a window — map-side
+    * partials reduce every scan partition to ≤|tables| rows before the
+    * exchange. The window form shuffles EVERY insert row into |tables|
+    * partitions (12 reducers for 10¹² rows — a skew cliff at corpus
+    * scale). Tie order matches the window orderBy: lexicographic
+    * (ts, conv_id, turn_idx).
     */
-  private def firstSeen(ins: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("db"), col("tbl"))
-      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
-    ins.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-  }
+  private def firstSeen(ins: DataFrame): DataFrame =
+    ins.groupBy(col("db"), col("tbl"))
+      .agg(min(struct(col("ts"), col("conv_id"), col("turn_idx"),
+        col("payload"))).as("m"))
+      .select(col("db"), col("tbl"), col("m.ts").as("ts"),
+        col("m.conv_id").as("conv_id"), col("m.turn_idx").as("turn_idx"),
+        col("m.payload").as("payload"))
 
   /** CREATE SCHEMA dedup (D1, transformer.go:62-67,230-232). */
   def ddlCreateSchemas(parsed: DataFrame): DataFrame =
