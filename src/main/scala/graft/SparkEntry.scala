@@ -294,6 +294,10 @@ object SparkEntry {
       operators.TextOps.qualityCounts(t(s, dir, "documents"))),
     "t3_token_count" -> ((s, dir) =>
       operators.TextOps.tokenCounts(t(s, dir, "documents"))),
+    "t4_split" -> ((s, dir) =>
+      operators.TextOps.deterministicSplit(t(s, dir, "documents"))),
+    "t5_chunks" -> ((s, dir) =>
+      operators.TextOps.chunkTokens(t(s, dir, "documents"))),
     "e1_knn_brute" -> ((s, dir) =>
       operators.Similarity.knnBrute(t(s, dir, "embeddings"))),
     "e2_knn_lsh" -> ((s, dir) =>
@@ -591,6 +595,8 @@ object SparkEntry {
         quantile_cont(value, 0.5) AS p50_exact,
         min(value) AS vmin, max(value) AS vmax
       FROM events GROUP BY event_type""",
+    "t4_split" -> TextOracles.splitSql,
+    "t5_chunks" -> TextOracles.chunksSql(),
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,

@@ -123,6 +123,30 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming"""
 
+  /** t4: deterministic hash-based train/val/test split (8/1/1). */
+  def splitSql: String =
+    s"""WITH b AS (
+  SELECT doc_id,
+    CAST(${ph("'split|' || CAST(doc_id AS STRING)")} % 10 AS INT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+       ELSE 'test' END AS split
+FROM b"""
+
+  /** t5: overlapping context-window chunks (chunkSize tokens, stride). */
+  def chunksSql(chunkSize: Int = 64, stride: Int = 48): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (
+  SELECT doc_id, len(t) AS n, t,
+    unnest(range(0, (len(t) - 1) // $stride + 1)) AS chunk_idx
+  FROM toks)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  array_to_string(list_slice(t, chunk_idx * $stride + 1,
+    chunk_idx * $stride + $chunkSize), ' ') AS chunk,
+  CAST(least($chunkSize, n - chunk_idx * $stride) AS INT) AS n_tokens
+FROM c"""
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

@@ -237,6 +237,37 @@ object TextOps {
       length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"))
   }
 
+  /** Deterministic train/val/test corpus split: bucket =
+    * polyhash31("split|" + doc_id) mod 10 → 8/1/1. Hash-based (not random)
+    * so the split is REPRODUCIBLE across runs, engines and shards — a
+    * re-run, a backfill, or the DuckDB oracle all agree on every row; no
+    * RNG state, no sampling seed to version. Pure per-row projection.
+    */
+  def deterministicSplit(docs: DataFrame): DataFrame = {
+    val bucket = (poly_hash31(concat(lit("split|"),
+      col("doc_id").cast("string"))) % 10).cast("int")
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** Context-window chunking: overlapping token windows of `chunkSize`
+    * with `stride` (training-sequence preparation). One chunk per offset
+    * i·stride while the offset is inside the document — per-row explode,
+    * embarrassingly parallel, no shuffle.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64,
+                  stride: Int = 48): DataFrame =
+    docs.select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / stride).cast("int")),
+          i => concat_ws(" ", slice(col("t"), i * stride + 1, lit(chunkSize)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        least(lit(chunkSize), col("n") - col("chunk_idx") * stride)
+          .as("n_tokens"))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "de" -> Seq("der", "die", "das", "und"),
