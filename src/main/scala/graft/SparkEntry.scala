@@ -207,15 +207,21 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))),
     "q15_range_join" -> ((s, dir) => {
-      // range join: same-user event pairs within 60s — equi on user_id +
-      // a range predicate (SMJ with residual condition)
+      // range join: same-user event pairs within 60s, in the TIME-BUCKET
+      // form — a plain equi-join on user_id compares every same-user pair
+      // (quadratic in a hot user's event count); bucketing ts to the range
+      // width and probing (bucket, bucket+1) bounds comparisons to
+      // per-(user, 2-minute) groups. Each qualifying pair matches exactly
+      // one probed bucket, so no dedup is needed; the residual predicate
+      // keeps the semantics identical to the naive form.
       val e = t(s, dir, "events")
+      val bkt = floor(unix_timestamp(col("ts")) / 60)
       val a = e.select(col("event_id").as("id1"), col("user_id"),
-        col("ts").as("ts1"))
-      val b = e.select(col("event_id").as("id2"),
-        col("user_id").as("u2"), col("ts").as("ts2"))
-      a.join(b, col("user_id") === col("u2") && col("id1") < col("id2") &&
-          col("ts2") >= col("ts1") &&
+        col("ts").as("ts1"), explode(array(bkt, bkt + 1)).as("bk"))
+      val b = e.select(col("event_id").as("id2"), col("user_id").as("u2"),
+        col("ts").as("ts2"), bkt.as("bk2"))
+      a.join(b, col("user_id") === col("u2") && col("bk") === col("bk2") &&
+          col("id1") < col("id2") && col("ts2") >= col("ts1") &&
           col("ts2") <= col("ts1") + expr("INTERVAL 60 SECONDS"))
         .select(col("user_id"), col("id1"), col("id2"))
     }),
