@@ -47,5 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => PolyHash31(exprs.head)))
     ext.injectFunction(fn("shingles3", classOf[Shingles3],
       exprs => Shingles3(exprs.head)))
+    ext.injectFunction(fn("dot_long", classOf[DotLong],
+      exprs => DotLong(exprs(0), exprs(1))))
+    ext.injectFunction(fn("sign_projections", classOf[SignProjections],
+      exprs => SignProjections(exprs(0),
+        litNum(exprs(1)).toInt, litNum(exprs(2)))))
+  }
+
+  private def litNum(e: Expression): Long = e.eval(null) match {
+    case n: Number => n.longValue
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal argument, got $other")
   }
 }

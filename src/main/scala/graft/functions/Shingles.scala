@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -28,11 +29,27 @@ case class Shingles3(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any =
-    TextShingles.shingles3(input.asInstanceOf[ArrayData])
+  // a NULL token array yields an EMPTY shingle array, exactly like the HOF
+  // form (`when(size(t) >= 3, ...).otherwise(array())` — size(NULL) is
+  // NULL, the when falls through to otherwise)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.shingles3($c)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextShingles.emptyArray
+    else TextShingles.shingles3(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull} ?
+          graft.functions.TextShingles.emptyArray() :
+          graft.functions.TextShingles.shingles3(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
 
   override def prettyName: String = "shingles3"
 
@@ -42,24 +59,26 @@ case class Shingles3(child: Expression) extends UnaryExpression {
 
 object TextShingles {
 
-  private val SPACE = Array[Byte](' ')
+  private val SEP = UTF8String.fromString(" ")
+  private val EMPTY = new GenericArrayData(Array.empty[Any])
+
+  def emptyArray(): ArrayData = EMPTY
 
   def shingles3(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    if (n < 3) return EMPTY
+    // extract once — getUTF8String per window would re-read 3× per token;
+    // UTF8String.concatWs skips null inputs, matching concat_ws
+    val toks = new Array[UTF8String](n)
     var i = 0
+    while (i < n) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    i = 0
     while (i + 2 < n) {
-      // concat_ws(" ", a, b, c) with null tokens treated as the HOF form
-      // does (concat_ws skips nulls)
-      val parts = new java.util.ArrayList[UTF8String](3)
-      var j = i
-      while (j <= i + 2) {
-        if (!tokens.isNullAt(j)) parts.add(tokens.getUTF8String(j))
-        j += 1
-      }
-      seen.add(UTF8String.concatWs(UTF8String.fromBytes(SPACE),
-        parts.toArray(new Array[UTF8String](parts.size)): _*))
+      seen.add(UTF8String.concatWs(SEP, toks(i), toks(i + 1), toks(i + 2)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

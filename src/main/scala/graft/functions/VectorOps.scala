@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * formulas, not the execution), so results are bit-equal.
   */
 
-/** Integer dot product of two long arrays (Σ a[i]·b[i] over the common
-  * prefix; null elements contribute 0 — inputs from `quantized` never
-  * carry nulls).
+/** Integer dot product of two long arrays — NULL on length mismatch or a
+  * null element, matching the `aggregate(zip_with(...))` form it replaced
+  * (zip_with null-pads the short side and the null poisons the sum), so a
+  * corrupt/truncated vector drops out of top-k instead of ranking with a
+  * plausible partial score.
   */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,11 +33,17 @@ case class DotLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}Boxed = graft.functions.VectorOps.dotLong($a, $b);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.longValue(); }
+    """)
 
   override def prettyName: String = "dot_long"
 
@@ -82,15 +90,17 @@ object VectorOps {
   final val HashMul = 2654435761L
   final val HashMod = 4294967296L
 
-  def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 
   def signProjections(q: ArrayData, n: Int, salt: Long): ArrayData = {

@@ -92,5 +92,17 @@ package object functions {
       exprs => SimHashPoly(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingles3",
       exprs => Shingles3(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_long",
+      exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sign_projections",
+      exprs => SignProjections(exprs(0), litNum(exprs(1)).toInt,
+        litNum(exprs(2))), "scala_udf")
+  }
+
+  /** Foldable numeric argument of a SQL call (n/salt of sign_projections). */
+  private def litNum(e: Expression): Long = e.eval(null) match {
+    case n: Number => n.longValue
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal argument, got $other")
   }
 }

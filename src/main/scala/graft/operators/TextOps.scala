@@ -244,8 +244,10 @@ object TextOps {
     * RNG state, no sampling seed to version. Pure per-row projection.
     */
   def deterministicSplit(docs: DataFrame): DataFrame = {
-    val bucket = (poly_hash31(concat(lit("split|"),
-      col("doc_id").cast("string"))) % 10).cast("int")
+    // coalesce mirrors the oracle's COALESCE(list_sum(...), 0): a NULL
+    // doc_id hashes to bucket 0 in both engines
+    val bucket = (coalesce(poly_hash31(concat(lit("split|"),
+      col("doc_id").cast("string"))), lit(0L)) % 10).cast("int")
     docs.select(col("doc_id"), bucket.as("bucket"),
       when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
         .as("split"))

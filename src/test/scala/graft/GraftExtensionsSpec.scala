@@ -11,14 +11,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   */
 class GraftExtensionsSpec extends SparkSuite {
 
-  test("all 10 expressions inject into a fresh function registry and evaluate") {
+  test("all 12 expressions inject into a fresh function registry and evaluate") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     val reg = org.apache.spark.sql.graft.testbridge.registerFunctions(
       ext, new SimpleFunctionRegistry)
     val expected = Set("parse_turn", "valid_turn", "json_kv_raw",
       "json_unquote", "json_arr_raw", "simhash64", "simhash_poly",
-      "rolling_hash", "poly_hash31", "shingles3")
+      "rolling_hash", "poly_hash31", "shingles3", "dot_long",
+      "sign_projections")
     expected.foreach { name =>
       assert(reg.functionExists(FunctionIdentifier(name)), s"missing $name")
     }

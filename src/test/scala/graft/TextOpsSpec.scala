@@ -102,4 +102,24 @@ class TextOpsSpec extends SparkSuite {
     val short = Seq("one two", "one", "").toDF("text")
     assert(short.select(explode(graft.functions.shingles3(split(col("text"), " ")))).count() == 0)
   }
+
+  test("kernel edge semantics: null-array shingles -> empty; dot_long mismatch/null-element -> NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // shingles3(NULL) == empty array, matching the HOF otherwise(array())
+    val nulls = Seq(Option.empty[Seq[String]], Some(Seq("a", "b", "c")))
+      .toDF("t").select(size(graft.functions.shingles3(col("t"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(nulls == Seq(0, 1))
+    // dot_long: length mismatch or a null element poisons to NULL (the
+    // zip_with semantics) so corrupt vectors drop out of top-k
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+      .select(graft.functions.dot_long(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rows.toSeq == Seq(Some(11L), None, None))
+  }
 }
