@@ -317,6 +317,13 @@ object SparkEntry {
     "m1_media_meta" -> ((s, dir) =>
       operators.Multimodal.decodeMeta(s,
         operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
+    "m2_media_resize" -> ((s, dir) =>
+      operators.Multimodal.resizeDims(
+        operators.Multimodal.decodeMeta(s,
+          operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF())),
+    "m3_media_features" -> ((s, dir) =>
+      operators.Multimodal.extractFeatures(s,
+        operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
   )
 
   /** DuckDB equivalents over the same parquet tables (events-derived
@@ -682,6 +689,26 @@ object SparkEntry {
                                          ORDER BY dot DESC, nid) AS rnk
             FROM d)
       WHERE rnk <= 5""",
+    "m2_media_resize" -> """
+      WITH m AS (
+        SELECT doc_id,
+          CAST(length(text) % 640 + 1 AS INT) AS width,
+          CAST((length(text) * 7) % 480 + 1 AS INT) AS height
+        FROM documents)
+      SELECT doc_id, width, height,
+        CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
+        CAST(height * 224 // greatest(width, height) AS INT) AS out_h
+      FROM m""",
+    "m3_media_features" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+          CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+            j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), 0) AS BIGINT)
+            AS bsum
+        FROM documents)
+      SELECT doc_id, CAST(k AS INT) AS feat_idx,
+        (n * (k + 1) + bsum * (k * k + 1)) % 100000 AS value
+      FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks""",
     "m1_media_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

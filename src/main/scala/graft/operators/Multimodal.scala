@@ -65,4 +65,45 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1,
           greatest((col("n_frames") / 4).cast("int"), lit(1)))).as("frame_idx"))
+
+  /** Resize planning: longest-side-to-`target` output dimensions per media
+    * row (the aspect-preserving letterbox arithmetic every image pipeline
+    * runs before decode-resize). Integer-exact — the actual pixel resample
+    * belongs inside the per-partition decoder; the PLAN is engine-side and
+    * oracle-checkable.
+    */
+  def resizeDims(meta: DataFrame, target: Int = 224): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * target / longest).cast("int").as("out_w"),
+      floor(col("height") * target / longest).cast("int").as("out_h"))
+  }
+
+  case class MediaFeature(doc_id: Long, feat_idx: Int, value: Long)
+
+  /** STUB feature extraction over the raw bytes — the embedding-model slot.
+    * Same per-partition contract as [[decodeMeta]] (a real extractor loads
+    * model weights once per partition, then streams rows); the stub emits
+    * deterministic integer features of (length, byte-sum) so the plumbing
+    * is end-to-end oracle-checkable. Exploded (doc_id, feat_idx, value)
+    * rows — the long-format feature table a trainer consumes.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      nFeatures: Int = 8): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // real extractor: load weights / open the accelerator here, once
+        rows.flatMap { r =>
+          var byteSum = 0L
+          r.media.foreach(b => byteSum += (b & 0xff))
+          val n = r.media.length.toLong
+          (0 until nFeatures).iterator.map { k =>
+            MediaFeature(r.doc_id, k,
+              (n * (k + 1) + byteSum * (k.toLong * k + 1)) % 100000L)
+          }
+        }
+      }
+  }
 }
