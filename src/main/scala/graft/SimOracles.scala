@@ -65,12 +65,12 @@ lshtop AS (
     s"WITH $eqCte ${lshChain(nQueries, bands, rowsPerBand)}\n" +
       s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM lshtop WHERE rnk <= $k"
 
-  /** e3: fixed-anchor IVF — in-row cell dots, rank-0 assignment, nProbe
-    * probing, exact re-rank (mirrors Similarity.knnIvf).
+  /** Fixed-anchor IVF chain ending in an `ivftop` CTE (qid,nid,dot,rnk) —
+    * in-row cell dots, rank-0 assignment, nProbe probing, exact re-rank
+    * (mirrors Similarity.knnIvf).
     */
-  def knnIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
-                nProbe: Int = 3): String =
-    s"""WITH $eqCte,
+  private def ivfChain(nQueries: Int, nCells: Int, nProbe: Int): String =
+    s""",
 cells AS (
   SELECT vec_id, q,
     list_transform(range(0, $nCells), c ->
@@ -93,21 +93,23 @@ probes AS (
     CAST(unnest(list_filter(range(0, $nCells), c -> rnks[c+1] < $nProbe))
       AS INT) AS cell
   FROM ranked WHERE vec_id < $nQueries),
-scored AS (
+ivfscored AS (
   SELECT qid, nid, ${dotSql("qq", "qn")} AS dot
   FROM assigned JOIN probes USING (cell)
-  WHERE nid != qid)
-SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk
-FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid)
-        AS rnk FROM scored)
-WHERE rnk <= $k"""
+  WHERE nid != qid),
+ivftop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM ivfscored)"""
 
-  /** e4: recall@k of the banded-LSH tier vs exact brute force, as exact
-    * integer hits/total.
-    */
-  def lshRecallSql(nQueries: Int = 10, k: Int = 5, bands: Int = 28,
-                   rowsPerBand: Int = 3): String =
-    s"""WITH $eqCte ${lshChain(nQueries, bands, rowsPerBand)},
+  /** e3: fixed-anchor IVF ANN top-k. */
+  def knnIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                nProbe: Int = 3): String =
+    s"WITH $eqCte ${ivfChain(nQueries, nCells, nProbe)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ivftop WHERE rnk <= $k"
+
+  /** Exact brute-force top-k CTE chain ending in `brute` (qid,nid). */
+  private def bruteCte(nQueries: Int, k: Int): String = s""",
 bscored AS (
   SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.q")} AS dot
   FROM eq c CROSS JOIN eq p
@@ -117,10 +119,25 @@ brute AS (
     SELECT qid, nid,
       row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
     FROM bscored)
-  WHERE rnk <= $k),
+  WHERE rnk <= $k)"""
+
+  /** e4: recall@k of the banded-LSH tier vs exact brute force, as exact
+    * integer hits/total.
+    */
+  def lshRecallSql(nQueries: Int = 10, k: Int = 5, bands: Int = 28,
+                   rowsPerBand: Int = 3): String =
+    s"""WITH $eqCte ${lshChain(nQueries, bands, rowsPerBand)}${bruteCte(nQueries, k)},
 lshk AS (SELECT qid, nid FROM lshtop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN lshk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** e5: recall@k of the IVF tier vs exact brute force (same shape as e4). */
+  def ivfRecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                   nProbe: Int = 3): String =
+    s"""WITH $eqCte ${ivfChain(nQueries, nCells, nProbe)}${bruteCte(nQueries, k)},
+ivfk AS (SELECT qid, nid FROM ivftop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN ivfk l ON b.qid = l.qid AND b.nid = l.nid"""
 
   /** d8: embedding near-dup ladder — banded-LSH candidates, exact
     * quantized-dot verify (mirrors Similarity.embeddingNearDupLadder).

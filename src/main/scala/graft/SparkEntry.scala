@@ -312,6 +312,8 @@ object SparkEntry {
       operators.Similarity.knnIvf(t(s, dir, "embeddings"))),
     "e4_lsh_recall" -> ((s, dir) =>
       operators.Similarity.lshRecall(t(s, dir, "embeddings"))),
+    "e5_ivf_recall" -> ((s, dir) =>
+      operators.Similarity.ivfRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -617,6 +619,7 @@ object SparkEntry {
     "e2_knn_lsh" -> SimOracles.knnLshSql(),
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),
+    "e5_ivf_recall" -> SimOracles.ivfRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -246,11 +246,30 @@ object Similarity {
     * exact integers (hits of 10·k possible) — the quality metric the
     * approximate tier is graded by.
     */
-  def lshRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def lshRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    recallVsBrute(emb, knnLsh(emb, nQueries, k), nQueries, k)
+
+  /** Recall@k of the IVF tier against exact brute force — same exact-integer
+    * (hits, total) shape as [[lshRecall]]. IVF recall is bounded by the
+    * probe fraction: a true neighbor in an unprobed cell is unreachable, so
+    * recall tracks P(neighbor's cell ∈ query's nProbe nearest cells) —
+    * tune (nCells, nProbe) against this metric. Measured on the
+    * uniform-random test corpus (sf0.1, the hardest geometry — top-5
+    * cosines are only ~0.3-0.5): nProbe 3→0.44, 4→0.60, 6→0.78, 8→0.84,
+    * vs a random-probe baseline of nProbe/nCells (0.19 at 3/16) — the
+    * anchor correlation buys ~2.3× over blind probing at a 19% scan
+    * fraction. On clustered corpora (real near-dup structure) the cell
+    * assignment is far sharper; see SimilaritySpec's cluster test.
+    */
+  def ivfRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 3): DataFrame =
+    recallVsBrute(emb, knnIvf(emb, nQueries, k, nCells, nProbe), nQueries, k)
+
+  private def recallVsBrute(emb: DataFrame, approx: DataFrame,
+                            nQueries: Int, k: Int): DataFrame = {
     val brute = knnBrute(emb, nQueries, k).select(col("qid"), col("nid"))
-    val lsh = knnLsh(emb, nQueries, k)
-      .select(col("qid").as("q2"), col("nid").as("n2"))
-    brute.join(lsh, col("qid") === col("q2") && col("nid") === col("n2"),
+    val a = approx.select(col("qid").as("q2"), col("nid").as("n2"))
+    brute.join(a, col("qid") === col("q2") && col("nid") === col("n2"),
         "left")
       .agg(count(lit(1)).as("total"), count(col("q2")).as("hits"))
       .select(col("hits"), col("total"))
