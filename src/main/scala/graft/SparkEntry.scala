@@ -692,6 +692,12 @@ object SparkEntry {
                                          ORDER BY dot DESC, nid) AS rnk
             FROM d)
       WHERE rnk <= 5""",
+    // m2/m3 oracle parity rests on the documented ASCII-corpus assumption
+    // (same as PolyHash31's, TESTDATA.md): Spark operates on the UTF-8
+    // BYTES of the media column (n = byte length, byteSum over byte
+    // values) while DuckDB's length()/ascii() are CHARACTER semantics —
+    // identical only while every document is single-byte ASCII, which
+    // holds at all three scale factors (verified: length == strlen).
     "m2_media_resize" -> """
       WITH m AS (
         SELECT doc_id,
@@ -699,8 +705,8 @@ object SparkEntry {
           CAST((length(text) * 7) % 480 + 1 AS INT) AS height
         FROM documents)
       SELECT doc_id, width, height,
-        CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
-        CAST(height * 224 // greatest(width, height) AS INT) AS out_h
+        CAST(greatest(width * 224 // greatest(width, height), 1) AS INT) AS out_w,
+        CAST(greatest(height * 224 // greatest(width, height), 1) AS INT) AS out_h
       FROM m""",
     "m3_media_features" -> """
       WITH s AS (

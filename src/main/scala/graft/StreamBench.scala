@@ -13,15 +13,18 @@ import graft.streaming.TranscriptStream
   *   - `route`: the stateless parse→filter→enrich→route pipeline (the
   *     reference's tailing hot path);
   *   - `dedup_hdfs` / `dedup_rocksdb`: the stateful replay-dedup tier
-  *     (dropDuplicatesWithinWatermark) under both state-store providers.
+  *     (dropDuplicatesWithinWatermark) under both state-store providers,
+  *     run with a watermark wider than the data's event-time span so ALL
+  *     input keys accumulate in state (round-robin file order would
+  *     otherwise let the watermark discard later batches as late and the
+  *     bench would measure the late-row filter, not the store).
   *     The HDFS-backed store holds every key on the executor HEAP — at
   *     100 TB (billions of in-horizon keys) that is an OOM, so the RocksDB
   *     provider (state on local SSD, bounded memtable) is the at-scale
-  *     configuration. Measured: RocksDB pays ~1.3× on this toy state
-  *     (2M keys fit in heap, so the heap store is at its best and RocksDB
-  *     only adds snapshot/compaction overhead) — the trade is bounded
-  *     memory, which the heap store cannot offer at all once state
-  *     outgrows executors;
+  *     configuration. Measured: RocksDB pays ~1.24× on this heap-sized
+  *     state (2M keys — the heap store at its best; RocksDB only adds
+  *     snapshot/compaction overhead) — the trade is bounded memory, which
+  *     the heap store cannot offer at all once state outgrows executors;
   *   - `window_agg`: watermarked event-time windowed counts (append mode).
   *
   * Prints exactly ONE JSON line (same contract as graft.Bench).
@@ -36,17 +39,23 @@ object StreamBench {
     p.delete(): Unit
   }
 
+  /** Seconds + actual (triggers, rows-read) for one run. */
+  case class Run(sec: Double, batches: Int, rowsIn: Long)
+
   /** Run `build(stream)` to a noop sink over `turnsPath`, AvailableNow in
-    * micro-batches of `filesPerTrigger` files; returns wall seconds. The
-    * noop sink fully evaluates every row without sink IO, so the number is
-    * engine throughput (scan + pipeline + state), comparable across
-    * providers.
+    * micro-batches of `filesPerTrigger` files. The noop sink fully
+    * evaluates every row without sink IO, so the number is engine
+    * throughput (scan + pipeline + state), comparable across providers.
+    * Rows-read and trigger counts come from the query's own progress —
+    * a stale checkpoint or an empty rerun would otherwise benchmark zero
+    * work as an inflated throughput (callers assert rowsIn).
     */
   private def runStream(spark: SparkSession, turnsPath: String, name: String,
                         filesPerTrigger: Int)
-                       (build: DataFrame => DataFrame): Double = {
+                       (build: DataFrame => DataFrame): Run = {
     val ck = new java.io.File(s"target/streambench_ck_$name")
     rmrf(ck)
+    require(!ck.exists(), s"stale checkpoint survived delete: $ck")
     val in = spark.readStream.schema(TranscriptStream.turnSchema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(turnsPath)
@@ -57,7 +66,9 @@ object StreamBench {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    Run(sec, progress.length, progress.map(_.numInputRows).sum)
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,28 +90,42 @@ object StreamBench {
     val perTrigger = math.max(files / 8, 1) // ≥8 micro-batches per run
     val toolDim = Transcripts.toolDim(spark)
 
+    // the materialized table is round-robin partitioned, so micro-batches
+    // arrive in arbitrary EVENT-TIME order; a production-width watermark
+    // (10 min) would advance to ~max(ts) after batch 1 and discard nearly
+    // everything after it as late — benchmarking the late-row filter, not
+    // the state store. A watermark wider than the data's ts span keeps
+    // every key in state, so the dedup runs are a true nTurns-key
+    // state-store stress (the worst case: nothing ever evicts).
+    val wideWm = "60 days"
+
     def route() = runStream(spark, turnsPath, "route", perTrigger)(
       TranscriptStream.routed(_, toolDim))
     def dedup(provider: String, tag: String) = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
       try runStream(spark, turnsPath, s"dedup_$tag", perTrigger)(
-        TranscriptStream.dedupedTurns)
+        TranscriptStream.dedupedTurns(_, wideWm))
       finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     def windowAgg() = runStream(spark, turnsPath, "window", perTrigger)(
-      TranscriptStream.windowedSinkCounts(_, toolDim))
+      TranscriptStream.windowedSinkCounts(_, toolDim, wideWm))
 
     route() // warmup: codegen + parquet footers + page cache
-    val tRoute = (1 to 3).map(_ => route()).min
-    val tDedupHdfs = dedup(
+    val rRoute = (1 to 3).map(_ => route()).minBy(_.sec)
+    val rDedupHdfs = dedup(
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       "hdfs")
-    val tDedupRocks = dedup(RocksDb, "rocksdb")
-    val tWindow = windowAgg()
+    val rDedupRocks = dedup(RocksDb, "rocksdb")
+    val rWindow = windowAgg()
 
-    val thr = nTurns / tRoute
+    for ((tag, r) <- Seq("route" -> rRoute, "dedup_hdfs" -> rDedupHdfs,
+        "dedup_rocksdb" -> rDedupRocks, "window" -> rWindow))
+      require(r.rowsIn == nTurns,
+        s"$tag read ${r.rowsIn} of $nTurns rows — stale checkpoint or lost input")
+
+    val thr = nTurns / rRoute.sec
     println(
-      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${files / perTrigger},"streams":{"route_sec":$tRoute,"dedup_hdfs_sec":$tDedupHdfs,"dedup_rocksdb_sec":$tDedupRocks,"window_agg_sec":$tWindow},"dedup_throughput":{"hdfs":${nTurns / tDedupHdfs},"rocksdb":${nTurns / tDedupRocks}},"sf":"$sfDir","cpus":$cpus}""")
+      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

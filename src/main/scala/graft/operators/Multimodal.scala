@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -74,9 +74,13 @@ object Multimodal {
     */
   def resizeDims(meta: DataFrame, target: Int = 224): DataFrame = {
     val longest = greatest(col("width"), col("height"))
+    // clamp to 1px: an extreme aspect ratio (1×480) would otherwise floor
+    // the short side to 0 — an invalid plan no decoder can execute
+    def out(side: Column) =
+      greatest(floor(side * target / longest), lit(1)).cast("int")
     meta.select(col("doc_id"), col("width"), col("height"),
-      floor(col("width") * target / longest).cast("int").as("out_w"),
-      floor(col("height") * target / longest).cast("int").as("out_h"))
+      out(col("width")).as("out_w"),
+      out(col("height")).as("out_h"))
   }
 
   case class MediaFeature(doc_id: Long, feat_idx: Int, value: Long)

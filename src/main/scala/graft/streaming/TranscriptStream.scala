@@ -57,9 +57,10 @@ object TranscriptStream {
     * beyond 10 minutes are dropped; append mode emits only finalized
     * windows.
     */
-  def windowedSinkCounts(turns: DataFrame, toolDim: DataFrame): DataFrame =
+  def windowedSinkCounts(turns: DataFrame, toolDim: DataFrame,
+                         watermark: String = "10 minutes"): DataFrame =
     routed(turns, toolDim)
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("sink"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("sink"), col("n"))
@@ -120,8 +121,9 @@ object TranscriptStream {
     * watermark horizon — state is bounded by the watermark, not corpus
     * size.
     */
-  def dedupedTurns(turns: DataFrame): DataFrame =
-    turns.withWatermark("ts", "10 minutes")
+  def dedupedTurns(turns: DataFrame,
+                   watermark: String = "10 minutes"): DataFrame =
+    turns.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 
   case class SessionOut(conv_id: String, n_turns: Long, closed: Boolean)

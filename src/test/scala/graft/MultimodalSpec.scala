@@ -40,12 +40,12 @@ class MultimodalSpec extends SparkSuite {
       (1L, 640, 480), // landscape
       (2L, 480, 640), // portrait
       (3L, 100, 100), // square
-      (4L, 1, 480),   // extreme aspect: short side floors to 0 — documented
+      (4L, 1, 480),   // extreme aspect: short side would floor to 0 — clamped to 1
       (5L, 224, 224)  // already target
     ).toDF("doc_id", "width", "height")
     val out = Multimodal.resizeDims(meta).orderBy("doc_id")
       .select("out_w", "out_h").as[(Int, Int)].collect().toSeq
-    assert(out == Seq((224, 168), (168, 224), (224, 224), (0, 224), (224, 224)))
+    assert(out == Seq((224, 168), (168, 224), (224, 224), (1, 224), (224, 224)))
   }
 
   test("sampleFrames keeps only video rows, stride ceil-free max(n/4,1)") {

@@ -189,7 +189,11 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set(("A", 1, "ok")), s"got=$got")
   }
 
-  test("replay dedup: at-least-once duplicates collapse within the watermark") {
+  /** Replay-dedup scenario shared by the provider variants: an
+    * at-least-once upstream re-sends turn (A,1) (the reference's $gte
+    * resume overlap); exactly one copy must survive.
+    */
+  private def runReplayDedup(sinkName: String): Seq[(String, Int)] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.TranscriptStream.TurnEvent
     import spark.implicits._
@@ -199,51 +203,33 @@ class StreamingSpec extends SparkSuite {
     val ms = MemoryStream[TurnEvent]
     val q = graft.streaming.TranscriptStream
       .dedupedTurns(ms.toDF())
-      .writeStream.format("memory").queryName("deduped")
+      .writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
-
-    ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
-      TurnEvent("A", 2, t("2024-01-01 10:01:00")))
-    q.processAllAvailable()
-    // replay batch: same turns again (the reference's $gte resume overlap)
-    ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
-      TurnEvent("A", 3, t("2024-01-01 10:02:00")))
-    q.processAllAvailable()
-    q.stop()
-
-    val got = spark.sql("SELECT conv_id, turn_idx FROM deduped").collect()
+    try {
+      ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
+        TurnEvent("A", 2, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // replay batch: same turns again
+      ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
+        TurnEvent("A", 3, t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.sql(s"SELECT conv_id, turn_idx FROM $sinkName").collect()
       .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
-    assert(got == Seq(("A", 1), ("A", 2), ("A", 3)))
+  }
+
+  test("replay dedup: at-least-once duplicates collapse within the watermark") {
+    assert(runReplayDedup("deduped") == Seq(("A", 1), ("A", 2), ("A", 3)))
   }
 
   test("replay dedup is identical under the RocksDB state store (at-scale conf)") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.streaming.TranscriptStream.TurnEvent
-    import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-
     // the 100 TB configuration: state on local disk, bounded memtable —
     // StreamBench measures its cost; this proves it changes no results
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      def t(s: String) = java.sql.Timestamp.valueOf(s)
-      val ms = MemoryStream[TurnEvent]
-      val q = graft.streaming.TranscriptStream
-        .dedupedTurns(ms.toDF())
-        .writeStream.format("memory").queryName("deduped_rocks")
-        .outputMode("append").start()
-      ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
-        TurnEvent("A", 2, t("2024-01-01 10:01:00")))
-      q.processAllAvailable()
-      ms.addData(TurnEvent("A", 1, t("2024-01-01 10:00:00")),
-        TurnEvent("A", 3, t("2024-01-01 10:02:00")))
-      q.processAllAvailable()
-      q.stop()
-      val got = spark.sql("SELECT conv_id, turn_idx FROM deduped_rocks")
-        .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
-      assert(got == Seq(("A", 1), ("A", 2), ("A", 3)))
-    } finally
+    try
+      assert(runReplayDedup("deduped_rocks") == Seq(("A", 1), ("A", 2), ("A", 3)))
+    finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
