@@ -304,6 +304,15 @@ object SparkEntry {
       operators.TextOps.deterministicSplit(t(s, dir, "documents"))),
     "t5_chunks" -> ((s, dir) =>
       operators.TextOps.chunkTokens(t(s, dir, "documents"))),
+    // corpus carries no PII: append a deterministic contact line per row
+    // (mirrored in TextOracles.redactSql) so the redaction regexes are
+    // exercised for real in both engines
+    "t6_redact" -> ((s, dir) =>
+      operators.TextOps.redactPii(t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact doc"),
+          col("doc_id").cast("string"),
+          lit("@corp.example.com call +1 (555) 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
     "e1_knn_brute" -> ((s, dir) =>
       operators.Similarity.knnBrute(t(s, dir, "embeddings"))),
     "e2_knn_lsh" -> ((s, dir) =>
@@ -612,6 +621,7 @@ object SparkEntry {
       FROM events GROUP BY event_type""",
     "t4_split" -> TextOracles.splitSql,
     "t5_chunks" -> TextOracles.chunksSql(),
+    "t6_redact" -> TextOracles.redactSql,
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,

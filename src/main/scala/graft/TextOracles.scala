@@ -147,6 +147,37 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
   CAST(least($chunkSize, n - chunk_idx * $stride) AS INT) AS n_tokens
 FROM c"""
 
+  /** t6: PII redaction — same RE2-safe patterns as TextOps.redactPii,
+    * same URL→email→phone order, counts on the same intermediate string
+    * each replace consumes. The synthetic corpus carries no PII, so the
+    * query appends a deterministic per-row contact line (mirrored in the
+    * Spark entry) — every row then exercises real email+phone matches
+    * cross-engine instead of a vacuous no-op comparison.
+    */
+  def redactSql: String = {
+    // standard-SQL single-quoted literals pass backslashes through
+    // untouched, so the Scala pattern strings embed verbatim
+    val url = graft.operators.TextOps.UrlPat
+    val email = graft.operators.TextOps.EmailPat
+    val phone = graft.operators.TextOps.PhonePat
+    s"""WITH piidocs AS (
+  SELECT doc_id,
+    text || ' contact doc' || CAST(doc_id AS STRING) ||
+      '@corp.example.com call +1 (555) 123-' ||
+      lpad(CAST(doc_id % 10000 AS STRING), 4, '0') AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '$url', '<URL>', 'g') AS c1 FROM piidocs),
+s2 AS (SELECT *, regexp_replace(c1, '$email', '<EMAIL>', 'g') AS c2 FROM s1)
+SELECT doc_id,
+  regexp_replace(c2, '$phone', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '$url')) AS INT) AS n_url,
+  CAST(len(regexp_extract_all(c1, '$email')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(c2, '$phone')) AS INT) AS n_phone
+FROM s2"""
+  }
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

@@ -223,6 +223,35 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("([a-z0-9]+)"))).as("word_tokens"),
       length(col("text")).as("n_chars"))
 
+  // RE2-safe common dialect (no backreferences/lookaround) shared verbatim
+  // with the DuckDB oracle — Java regex and RE2 agree on these exactly.
+  private[graft] val UrlPat = "https?://[^ ]+"
+  private[graft] val EmailPat =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhonePat = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrub — the redaction pass every training-data pipeline runs
+    * before tokenization: URLs, then emails, then phone-like digit runs
+    * are replaced with typed placeholders (in that order — a URL may
+    * embed an '@', so it must go first), and per-kind match counts are
+    * emitted as the governance audit trail. Pure per-row regexp
+    * projections, embarrassingly parallel; counts are taken on the same
+    * intermediate string each replace consumes, so count and replacement
+    * always agree.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val s1 = regexp_replace(col("text"), UrlPat, "<URL>")
+    val s2 = regexp_replace(s1, EmailPat, "<EMAIL>")
+    val s3 = regexp_replace(s2, PhonePat, "<PHONE>")
+    docs.select(col("doc_id"),
+      s3.as("clean_text"),
+      // idx 0 = whole match: these patterns have no capture groups, and
+      // Spark's regexp_extract_all defaults to group 1 (DuckDB's to 0)
+      size(regexp_extract_all(col("text"), lit(UrlPat), lit(0))).as("n_url"),
+      size(regexp_extract_all(s1, lit(EmailPat), lit(0))).as("n_email"),
+      size(regexp_extract_all(s2, lit(PhonePat), lit(0))).as("n_phone"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Quality-score ingredients as exact integers (ratios are assembled by

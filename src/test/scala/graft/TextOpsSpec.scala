@@ -84,6 +84,21 @@ class TextOpsSpec extends SparkSuite {
     assert(li.getString(2) == "en") // 'the'×2 + 'and' beat es ('el')
   }
 
+  test("redactPii scrubs urls/emails/phones in order, counts agree with replacements") {
+    val d = docs(
+      1L -> "mail me at jo.doe+x@corp.example.com or call +1 (555) 123-4567 now",
+      2L -> "see https://ex.am/p?q=a@b.co and http://plain.org then a@b.io",
+      3L -> "no pii here at all")
+    val got = TextOps.redactPii(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == (("mail me at <EMAIL> or call <PHONE> now", 0, 1, 1)))
+    // the URL embedding an '@' is consumed by the URL pass FIRST, so only
+    // the bare email outside any url survives to the email pass
+    assert(got(2L) == (("see <URL> and <URL> then <EMAIL>", 2, 1, 0)))
+    assert(got(3L) == (("no pii here at all", 0, 0, 0)))
+  }
+
   test("Shingles3 expression is set-equal to the declarative HOF form") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
