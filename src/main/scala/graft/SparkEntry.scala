@@ -304,6 +304,8 @@ object SparkEntry {
       operators.TextOps.deterministicSplit(t(s, dir, "documents"))),
     "t5_chunks" -> ((s, dir) =>
       operators.TextOps.chunkTokens(t(s, dir, "documents"))),
+    "t7_source_filter" -> ((s, dir) =>
+      operators.TextOps.sourceFilter(t(s, dir, "documents"))),
     // corpus carries no PII: append a deterministic contact line per row
     // (mirrored in TextOracles.redactSql) so the redaction regexes are
     // exercised for real in both engines
@@ -622,6 +624,14 @@ object SparkEntry {
     "t4_split" -> TextOracles.splitSql,
     "t5_chunks" -> TextOracles.chunksSql(),
     "t6_redact" -> TextOracles.redactSql,
+    "t7_source_filter" -> """
+      WITH s AS (
+        SELECT source, count(*) AS n_docs,
+          sum(CAST(length(text) AS BIGINT)) AS sum_chars
+        FROM documents GROUP BY source)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN s USING (source)
+      WHERE s.sum_chars >= s.n_docs * 300""",
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,

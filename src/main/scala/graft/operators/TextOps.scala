@@ -252,6 +252,24 @@ object TextOps {
       size(regexp_extract_all(s2, lit(PhonePat), lit(0))).as("n_phone"))
   }
 
+  /** Source-level corpus gate — the C4/RefinedWeb-style step that drops
+    * every document from a source whose AGGREGATE quality fails (spammy
+    * domains poison all their documents, not a random subset). Two
+    * stages: a per-source rollup (|sources| ≪ corpus — KBs even at 100 TB)
+    * and a broadcast LEFT SEMI join back, so the corpus is scanned, never
+    * shuffled. The gate is integer-exact (sum_chars ≥ n_docs·minAvgChars
+    * instead of a float mean) to stay bit-identical cross-engine.
+    */
+  def sourceFilter(docs: DataFrame, minAvgChars: Long = 300L): DataFrame = {
+    val good = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"))
+      .filter(col("sum_chars") >= col("n_docs") * minAvgChars)
+      .select(col("source"))
+    docs.join(broadcast(good), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Quality-score ingredients as exact integers (ratios are assembled by

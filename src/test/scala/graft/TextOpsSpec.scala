@@ -99,6 +99,24 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3L) == (("no pii here at all", 0, 0, 0)))
   }
 
+  test("sourceFilter drops ALL docs of a failing source, keeps ALL of a passing one") {
+    import spark.implicits._
+    // srcGood avg 400 chars; srcBad avg 100 — one long doc can't save it
+    val d = Seq(
+      (1L, "x" * 400, "en", "srcGood", 400L),
+      (2L, "x" * 400, "en", "srcGood", 400L),
+      (3L, "x" * 250, "en", "srcBad", 250L), // individually longish...
+      (4L, "x" * 50, "en", "srcBad", 50L),   // ...but the source fails in aggregate
+      (5L, "x" * 300, "en", "srcEdge", 300L) // exact boundary: kept (>=)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextOps.sourceFilter(d).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 5L))
+    // scale shape: the rollup is joined back as a BROADCAST semi join —
+    // the corpus side is never shuffled
+    val plan = TextOps.sourceFilter(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
   test("Shingles3 expression is set-equal to the declarative HOF form") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
