@@ -77,6 +77,13 @@ object ExplainAudit {
     audit("q20_asof", SparkEntry.queries("q20_asof_join")(spark, sfDir),
       Seq("Window"), forbid = Seq("CartesianProduct", "SortMergeJoin"))
 
+    // t7 source gate: the per-source rollup joins back as a BROADCAST
+    // LEFT SEMI — the corpus side is never shuffled
+    audit("t7_source_gate",
+      SparkEntry.queries("t7_source_filter")(spark, sfDir),
+      Seq("BroadcastHashJoin", "LeftSemi"),
+      forbid = Seq("SortMergeJoin", "CartesianProduct"))
+
     spark.stop()
   }
 }
