@@ -306,6 +306,8 @@ object SparkEntry {
       operators.TextOps.chunkTokens(t(s, dir, "documents"))),
     "t7_source_filter" -> ((s, dir) =>
       operators.TextOps.sourceFilter(t(s, dir, "documents"))),
+    "t8_rep_signal" -> ((s, dir) =>
+      operators.TextOps.repetitionSignal(t(s, dir, "documents"))),
     // corpus carries no PII: append a deterministic contact line per row
     // (mirrored in TextOracles.redactSql) so the redaction regexes are
     // exercised for real in both engines
@@ -632,6 +634,17 @@ object SparkEntry {
       SELECT d.doc_id, d.source
       FROM documents d JOIN s USING (source)
       WHERE s.sum_chars >= s.n_docs * 300""",
+    "t8_rep_signal" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id,
+        CAST(greatest(len(t) - 2, 0) AS INT) AS n_grams,
+        CAST(len(list_distinct(list_transform(
+          range(1, greatest(len(t) - 2, 0) + 1),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_distinct,
+        CAST(greatest(len(t) - 2, 0) - len(list_distinct(list_transform(
+          range(1, greatest(len(t) - 2, 0) + 1),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_dup
+      FROM toks""",
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,

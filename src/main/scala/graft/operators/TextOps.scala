@@ -252,6 +252,21 @@ object TextOps {
       size(regexp_extract_all(s2, lit(PhonePat), lit(0))).as("n_phone"))
   }
 
+  /** Within-document repetition signal (the Gopher-style rep filter
+    * ingredient): total vs distinct word 3-grams per document, as exact
+    * integers — a high duplicate-gram count marks boilerplate/spam text
+    * that per-corpus dedup can't see. Per-row projection over the same
+    * codegen'd [[graft.functions.shingles3]] kernel the dedup tier uses.
+    */
+  def repetitionSignal(docs: DataFrame): DataFrame = {
+    val total = greatest(size(tokens) - 2, lit(0))
+    val dist = size(shingles3(tokens))
+    docs.select(col("doc_id"),
+      total.as("n_grams"),
+      dist.as("n_distinct"),
+      (total - dist).as("n_dup"))
+  }
+
   /** Source-level corpus gate — the C4/RefinedWeb-style step that drops
     * every document from a source whose AGGREGATE quality fails (spammy
     * domains poison all their documents, not a random subset). Two

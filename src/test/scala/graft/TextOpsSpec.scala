@@ -99,6 +99,18 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3L) == (("no pii here at all", 0, 0, 0)))
   }
 
+  test("repetitionSignal: duplicate 3-grams counted exactly; short docs zero out") {
+    val got = TextOps.repetitionSignal(docs(
+      1L -> "a b c a b c a b c", // 7 grams, distinct {abc,bca,cab} = 3
+      2L -> "w1 w2 w3 w4",       // 2 grams, both unique
+      3L -> "only two"))         // < 3 tokens -> all zero
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((7, 3, 4)))
+    assert(got(2L) == ((2, 2, 0)))
+    assert(got(3L) == ((0, 0, 0)))
+  }
+
   test("sourceFilter drops ALL docs of a failing source, keeps ALL of a passing one") {
     import spark.implicits._
     // srcGood avg 400 chars; srcBad avg 100 — one long doc can't save it
