@@ -308,6 +308,14 @@ object SparkEntry {
       operators.TextOps.sourceFilter(t(s, dir, "documents"))),
     "t8_rep_signal" -> ((s, dir) =>
       operators.TextOps.repetitionSignal(t(s, dir, "documents"))),
+    // mixing config for the driver query: even-numbered sources kept in
+    // full, odd-numbered downsampled to 25% (mirrored in the oracle SQL)
+    "t9_data_mix" -> ((s, dir) =>
+      operators.TextOps.weightedSample(t(s, dir, "documents"),
+        when(regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 2
+          === 0, lit(100)).otherwise(lit(25)))),
+    "t10_seq_pack" -> ((s, dir) =>
+      operators.TextOps.packSequences(t(s, dir, "documents"))),
     // corpus carries no PII: append a deterministic contact line per row
     // (mirrored in TextOracles.redactSql) so the redaction regexes are
     // exercised for real in both engines
@@ -626,6 +634,18 @@ object SparkEntry {
     "t4_split" -> TextOracles.splitSql,
     "t5_chunks" -> TextOracles.chunksSql(),
     "t6_redact" -> TextOracles.redactSql,
+    "t9_data_mix" -> TextOracles.mixSql,
+    "t10_seq_pack" -> """
+      WITH c AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          sum(len(string_split(text, ' '))) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)
+      SELECT doc_id, source, n_tokens,
+        CAST((cum - n_tokens) // 512 AS INT) AS bin
+      FROM c""",
     "t7_source_filter" -> """
       WITH s AS (
         SELECT source, count(*) AS n_docs,

@@ -147,6 +147,16 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
   CAST(least($chunkSize, n - chunk_idx * $stride) AS INT) AS n_tokens
 FROM c"""
 
+  /** t9: deterministic weighted mix — ticket = polyhash31("mix|"+doc_id)
+    * mod 100 vs the per-source keep rate (even-numbered sources 100%,
+    * odd 25% — the driver query's example mixing config).
+    */
+  def mixSql: String =
+    s"""SELECT doc_id, source FROM documents
+WHERE ${ph("'mix|' || CAST(doc_id AS STRING)")} % 100 <
+  CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+       THEN 100 ELSE 25 END"""
+
   /** t6: PII redaction — same RE2-safe patterns as TextOps.redactPii,
     * same URL→email→phone order, counts on the same intermediate string
     * each replace consumes. The synthetic corpus carries no PII, so the

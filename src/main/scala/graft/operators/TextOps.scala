@@ -267,6 +267,43 @@ object TextOps {
       (total - dist).as("n_dup"))
   }
 
+  /** Deterministic weighted sampling — the data-MIXING step: each source
+    * (domain) is kept at its configured rate so the training mix matches
+    * the recipe, not the raw crawl proportions. The keep/drop ticket is
+    * polyhash31("mix|"+doc_id) mod 100 — hash-based like
+    * [[deterministicSplit]], so the SAME documents are kept across runs,
+    * engines and shards (no RNG state; a backfill reproduces the mix
+    * exactly). Per-row filter, embarrassingly parallel.
+    *
+    * @param weightPct keep-percentage per row, as a Column over the doc's
+    *                  own attributes (a literal CASE over source/lang in
+    *                  practice — the mixing config)
+    */
+  def weightedSample(docs: DataFrame, weightPct: Column): DataFrame = {
+    val ticket = coalesce(poly_hash31(
+      concat(lit("mix|"), col("doc_id").cast("string"))), lit(0L)) % 100
+    docs.filter(ticket < weightPct).select(col("doc_id"), col("source"))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed token-budget bins
+    * within each source shard — the preprocessing step that concatenates
+    * documents into training sequences. bin = (running token total before
+    * this doc) / budget over a deterministic per-shard order, so bin
+    * assignment is reproducible and any bin's contents can be rebuilt
+    * independently. The window runs per source; at corpus scale shard
+    * further by (source, polyhash(doc_id) mod nShards) so no single
+    * window partition outgrows an executor — packing quality is per-shard
+    * greedy either way.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"), size(tokens).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / budget).cast("int").as("bin"))
+  }
+
   /** Source-level corpus gate — the C4/RefinedWeb-style step that drops
     * every document from a source whose AGGREGATE quality fails (spammy
     * domains poison all their documents, not a random subset). Two

@@ -111,6 +111,36 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3L) == ((0, 0, 0)))
   }
 
+  test("weightedSample: rate 100 keeps all, rate 0 keeps none, deterministic across runs") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val d = docs((1L to 40L).map(i => i -> s"doc $i text"): _*)
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, "srcEven").otherwise("srcOdd"))
+    val all = TextOps.weightedSample(d, lit(100)).count()
+    val none = TextOps.weightedSample(d, lit(0)).count()
+    assert(all == 40L && none == 0L)
+    // a mid rate keeps a strict, reproducible subset
+    val half1 = TextOps.weightedSample(d, lit(50)).collect().map(_.getLong(0)).sorted.toSeq
+    val half2 = TextOps.weightedSample(d, lit(50)).collect().map(_.getLong(0)).sorted.toSeq
+    assert(half1 == half2 && half1.nonEmpty && half1.size < 40)
+    // per-source config: only the even source survives a 0/100 split
+    val mixed = TextOps.weightedSample(d,
+      when(col("source") === "srcEven", lit(100)).otherwise(lit(0)))
+      .collect().map(_.getLong(0))
+    assert(mixed.nonEmpty && mixed.forall(_ % 2 == 0))
+  }
+
+  test("packSequences: bins respect the token budget over per-source doc order") {
+    import org.apache.spark.sql.functions.lit
+    // 5 docs of 4 tokens each in one source, budget 10:
+    // cum-before = 0,4,8,12,16 -> bins 0,0,0,1,1
+    val d = docs((1L to 5L).map(i => i -> "w x y z"): _*)
+      .withColumn("source", lit("s0"))
+    val bins = TextOps.packSequences(d, budget = 10)
+      .orderBy("doc_id").collect().map(_.getInt(3)).toSeq
+    assert(bins == Seq(0, 0, 0, 1, 1))
+  }
+
   test("sourceFilter drops ALL docs of a failing source, keeps ALL of a passing one") {
     import spark.implicits._
     // srcGood avg 400 chars; srcBad avg 100 — one long doc can't save it
