@@ -635,36 +635,9 @@ object SparkEntry {
     "t5_chunks" -> TextOracles.chunksSql(),
     "t6_redact" -> TextOracles.redactSql,
     "t9_data_mix" -> TextOracles.mixSql,
-    "t10_seq_pack" -> """
-      WITH c AS (
-        SELECT doc_id, source,
-          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-          sum(len(string_split(text, ' '))) OVER (
-            PARTITION BY source ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) AS cum
-        FROM documents)
-      SELECT doc_id, source, n_tokens,
-        CAST((cum - n_tokens) // 512 AS INT) AS bin
-      FROM c""",
-    "t7_source_filter" -> """
-      WITH s AS (
-        SELECT source, count(*) AS n_docs,
-          sum(CAST(length(text) AS BIGINT)) AS sum_chars
-        FROM documents GROUP BY source)
-      SELECT d.doc_id, d.source
-      FROM documents d JOIN s USING (source)
-      WHERE s.sum_chars >= s.n_docs * 300""",
-    "t8_rep_signal" -> """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      SELECT doc_id,
-        CAST(greatest(len(t) - 2, 0) AS INT) AS n_grams,
-        CAST(len(list_distinct(list_transform(
-          range(1, greatest(len(t) - 2, 0) + 1),
-          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_distinct,
-        CAST(greatest(len(t) - 2, 0) - len(list_distinct(list_transform(
-          range(1, greatest(len(t) - 2, 0) + 1),
-          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_dup
-      FROM toks""",
+    "t10_seq_pack" -> TextOracles.seqPackSql(),
+    "t7_source_filter" -> TextOracles.sourceGateSql(),
+    "t8_rep_signal" -> TextOracles.repSignalSql,
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,

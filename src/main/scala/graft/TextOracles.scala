@@ -149,13 +149,56 @@ FROM c"""
 
   /** t9: deterministic weighted mix — ticket = polyhash31("mix|"+doc_id)
     * mod 100 vs the per-source keep rate (even-numbered sources 100%,
-    * odd 25% — the driver query's example mixing config).
+    * odd 25% — the driver query's example mixing config). TRY_CAST, not
+    * CAST: a digit-free source must fall to the ELSE rate exactly like
+    * Spark's `''.cast(int)` → NULL → otherwise(25), not hard-error.
     */
   def mixSql: String =
     s"""SELECT doc_id, source FROM documents
 WHERE ${ph("'mix|' || CAST(doc_id AS STRING)")} % 100 <
-  CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+  CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
        THEN 100 ELSE 25 END"""
+
+  /** t7: source-level corpus gate (integer-exact aggregate threshold). */
+  def sourceGateSql(minAvgChars: Long = 300L): String =
+    s"""WITH s AS (
+  SELECT source, count(*) AS n_docs,
+    sum(CAST(length(text) AS BIGINT)) AS sum_chars
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN s USING (source)
+WHERE s.sum_chars >= s.n_docs * $minAvgChars"""
+
+  /** t8: within-doc repetition signal — total vs distinct word 3-grams
+    * (same window construction as the shingle CTEs; the distinct-gram
+    * lambda is computed ONCE in a CTE so the gram definition lives in one
+    * place).
+    */
+  def repSignalSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    CAST(greatest(len(t) - 2, 0) AS INT) AS n_grams,
+    CAST(len(list_distinct(list_transform(
+      range(1, greatest(len(t) - 2, 0) + 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INT) AS n_distinct
+  FROM toks)
+SELECT doc_id, n_grams, n_distinct, n_grams - n_distinct AS n_dup FROM g"""
+
+  /** t10: greedy sequence packing — running token total per source,
+    * bin = exact integer floor division by the budget.
+    */
+  def seqPackSql(budget: Int = 512): String =
+    s"""WITH c AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    sum(len(string_split(text, ' '))) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT doc_id, source, n_tokens,
+  CAST((cum - n_tokens) // $budget AS INT) AS bin
+FROM c"""
 
   /** t6: PII redaction — same RE2-safe patterns as TextOps.redactPii,
     * same URL→email→phone order, counts on the same intermediate string

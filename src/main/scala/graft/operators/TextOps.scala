@@ -300,8 +300,11 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), col("source"), size(tokens).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      // `div`, not `/`: Column division promotes the BIGINT running sum
+      // to double (exact only below 2^53); integral floor division stays
+      // bit-identical to the oracle's `//` at any corpus size
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        ((col("cum") - col("n_tokens")) / budget).cast("int").as("bin"))
+        expr(s"CAST((cum - n_tokens) DIV $budget AS INT)").as("bin"))
   }
 
   /** Source-level corpus gate — the C4/RefinedWeb-style step that drops
