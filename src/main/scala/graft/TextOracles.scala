@@ -185,18 +185,24 @@ g AS (
   FROM toks)
 SELECT doc_id, n_grams, n_distinct, n_grams - n_distinct AS n_dup FROM g"""
 
-  /** t10: greedy sequence packing — running token total per source,
-    * bin = exact integer floor division by the budget.
+  /** t10: greedy sequence packing — running token total per
+    * (source, shard), bin = exact integer floor division by the budget.
+    * Shard mirrors TextOps.packSequences: polyhash31("pack|"+doc_id)
+    * mod nShards.
     */
-  def seqPackSql(budget: Int = 512): String =
+  def seqPackSql(budget: Int = 512, nShards: Int = 4): String =
     s"""WITH c AS (
   SELECT doc_id, source,
+    CAST(${ph("'pack|' || CAST(doc_id AS STRING)")} % $nShards AS INT)
+      AS shard,
     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
     sum(len(string_split(text, ' '))) OVER (
-      PARTITION BY source ORDER BY doc_id
+      PARTITION BY source,
+        ${ph("'pack|' || CAST(doc_id AS STRING)")} % $nShards
+      ORDER BY doc_id
       ROWS UNBOUNDED PRECEDING) AS cum
   FROM documents)
-SELECT doc_id, source, n_tokens,
+SELECT doc_id, source, shard, n_tokens,
   CAST((cum - n_tokens) // $budget AS INT) AS bin
 FROM c"""
 

@@ -113,6 +113,12 @@ case class JsonArrRaw(child: Expression) extends UnaryExpression {
   */
 object TextJson {
 
+  /** Max bracket nesting inside one raw value token; deeper input is
+    * rejected as malformed (standard parser practice — Jackson caps at
+    * 1000). Bounds the per-token kind-stack allocation in scanValue.
+    */
+  private val maxNestingDepth = 512
+
   /** Parse a JSON object's top level into (decoded key, raw value) pairs.
     * Returns null unless the input is a syntactically well-formed object.
     */
@@ -223,6 +229,12 @@ object TextJson {
     b(i0) match {
       case '"' => scanString(b, i0, n)
       case '{' | '[' =>
+        // bracket-KIND stack (not a shared depth counter): '{]' / '[}'
+        // must be rejected at tokenization, or a mismatched nested token
+        // would flow downstream as "syntactically well-formed". One byte
+        // per open bracket; nesting past the cap is malformed-by-policy
+        // (Jackson-style depth limit), returned as -1 like other bad input.
+        val stack = new Array[Byte](maxNestingDepth)
         var depth = 0
         var i = i0
         while (i < n) {
@@ -231,9 +243,15 @@ object TextJson {
               val e = scanString(b, i, n)
               if (e < 0) return -1
               i = e
-            case '{' | '[' => depth += 1; i += 1
-            case '}' | ']' =>
-              depth -= 1; i += 1
+            case c @ ('{' | '[') =>
+              if (depth == maxNestingDepth) return -1
+              stack(depth) = c; depth += 1; i += 1
+            case c @ ('}' | ']') =>
+              depth -= 1
+              if (depth < 0) return -1
+              val open = stack(depth)
+              if ((c == '}' && open != '{') || (c == ']' && open != '[')) return -1
+              i += 1
               if (depth == 0) return i
             case _ => i += 1
           }

@@ -99,10 +99,17 @@ package object functions {
         litNum(exprs(2))), "scala_udf")
   }
 
-  /** Foldable numeric argument of a SQL call (n/salt of sign_projections). */
-  private def litNum(e: Expression): Long = e.eval(null) match {
-    case n: Number => n.longValue
-    case other => throw new IllegalArgumentException(
-      s"expected a numeric literal argument, got $other")
+  /** Foldable numeric argument of a SQL call (n/salt of sign_projections).
+    * Foldability is checked BEFORE eval: eval(null) on a column reference
+    * throws an opaque unbound-attribute error instead of this message.
+    */
+  private def litNum(e: Expression): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected a numeric literal argument, got non-literal $e")
+    e.eval(null) match {
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal argument, got $other")
+    }
   }
 }

@@ -156,10 +156,17 @@ object Pipeline {
     // diff.d KEY PRESENCE drives SET NULL — the value is ignored, and may
     // itself be JSON null (transformer.go:279-282), so probe the key set,
     // not the value.
+    // Scalar guard on diff.u: a nested object/array value would render its
+    // raw JSON braces bare into the SET clause (malformed SQL). The
+    // reference's own renderer has no map case, so its `?` placeholder
+    // survives and SHIFTS every later value one slot left
+    // (transformer.go:34-52 populateValuesInQuery) — a bug, not semantics
+    // to preserve. We emit `k = NULL`, same as diff.d key presence.
     val setParts = setKeys.sorted.map { k =>
       val u = element_at(col("ukv"), lit(k))
-      when(u.isNotNull, concat(lit(k + " = "), sqlLiteralRaw(u)))
-        .when(element_at(col("dkv"), lit(k)).isNotNull, lit(k + " = NULL"))
+      when(isScalarRaw(u), concat(lit(k + " = "), sqlLiteralRaw(u)))
+        .when(u.isNotNull || element_at(col("dkv"), lit(k)).isNotNull,
+          lit(k + " = NULL"))
     }
     withDiffKv(withKv(parsed.filter(col("op") === "UPD")))
       .withColumn("stmt",
@@ -258,9 +265,12 @@ object Pipeline {
     val setKeys = array_sort(array_union(
       coalesce(map_keys(col("ukv")), empty),
       coalesce(map_keys(col("dkv")), empty)))
+    // isScalarRaw guard: nested diff.u values fall through to `k = NULL`
+    // (see renderUpdate — the reference's renderer shifts later values on
+    // a non-scalar, which is a bug, not semantics)
     val setParts = transform(setKeys, k => {
       val u = element_at(col("ukv"), k)
-      when(u.isNotNull && u =!= "null", concat(k, lit(" = "), sqlLiteralRaw(u)))
+      when(isScalarRaw(u), concat(k, lit(" = "), sqlLiteralRaw(u)))
         .otherwise(concat(k, lit(" = NULL")))
     })
     withDiffKv(withKv(parsed.filter(col("op") === "UPD")).filter(kv.isNotNull))
@@ -417,7 +427,12 @@ object Pipeline {
       .withColumn("nk", explode(nestedKeys))
       .withColumn("nraw", element_at(kv, col("nk")))
       .withColumn("child_tbl", concat(col("tbl"), lit("_"), col("nk")))
-      .withColumn("parent_raw", element_at(kv, lit("_id")))
+      // parent without `_id` → FK is JSON null, NOT a dropped child row:
+      // a null map value would null jsonOfKv's concat and silently drop
+      // the whole child (the reference inserts it with FK NULL —
+      // transformer.go:127-134 via GetValueFromObject's nil)
+      .withColumn("parent_raw",
+        coalesce(element_at(kv, lit("_id")), lit("null")))
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("db"),
         col("tbl"), col("child_tbl"), col("parent_raw"),
         posexplode(when(col("nraw").startsWith("{"), array(col("nraw")))
@@ -503,22 +518,27 @@ object Pipeline {
     */
   def ddlAlterTables(parsed: DataFrame,
                      driftKeys: Seq[String] = Seq("extra")): DataFrame = {
-    val w = Window.partitionBy(col("db"), col("tbl"))
-      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
-    val ins = parsed.filter(col("op") === "INS")
-      .withColumn("rn", row_number().over(w))
-    val perKey = driftKeys.sorted.map { k =>
-      val has = jval(k).isNotNull
-      ins.groupBy(col("db"), col("tbl"))
-        .agg(max(when(col("rn") === 1, has)).as("first_has"),
-          max(has).as("any_has"))
-        .filter(col("any_has") && !col("first_has"))
-        .withColumn("stmt",
-          concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),
-            lit(s" ADD $k VARCHAR(255);")))
-        .select("db", "tbl", "stmt")
-    }
-    perKey.reduce(_.unionByName(_))
+    // Same two-phase min-struct aggregate shape as firstSeen / the dynamic
+    // form — NOT a row_number window over (db,tbl), which shuffles every
+    // insert row into |tables| reducer partitions (a skew cliff at corpus
+    // scale). One scan, one ≤|tables|-row exchange: map-side partials
+    // carry (first-seen presence flags via min-struct, any-presence via
+    // max) for ALL drift keys at once.
+    val keys = driftKeys.sorted
+    val flags = struct(keys.map(k => jval(k).isNotNull.as(k)): _*)
+    val anyAggs = keys.map(k => max(jval(k).isNotNull).as("any_" + k))
+    val aggd = parsed.filter(col("op") === "INS")
+      .groupBy(col("db"), col("tbl"))
+      .agg(min(struct(col("ts"), col("conv_id"), col("turn_idx"),
+        flags.as("f"))).as("m"), anyAggs: _*)
+    aggd
+      .select(col("db"), col("tbl"), explode(array(keys.map(k =>
+        when(col("any_" + k) && !col("m.f." + k), lit(k))): _*)).as("key"))
+      .filter(col("key").isNotNull)
+      .withColumn("stmt",
+        concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),
+          lit(" ADD "), col("key"), lit(" VARCHAR(255);")))
+      .select("db", "tbl", "stmt")
   }
 
   // ------------------------------------------------------- full SQL stream

@@ -290,20 +290,29 @@ object TextOps {
     * documents into training sequences. bin = (running token total before
     * this doc) / budget over a deterministic per-shard order, so bin
     * assignment is reproducible and any bin's contents can be rebuilt
-    * independently. The window runs per source; at corpus scale shard
-    * further by (source, polyhash(doc_id) mod nShards) so no single
-    * window partition outgrows an executor — packing quality is per-shard
-    * greedy either way.
+    * independently. The window runs per (source, shard): shard =
+    * polyhash("pack|"+doc_id) mod nShards bounds every window partition
+    * to ~|source|/nShards rows, so one giant source can't pin a single
+    * executor — packing quality is per-shard greedy either way. Bins are
+    * emitted as (shard, bin) pairs; a consumer concatenates within one
+    * shard's bin, never across shards.
     */
-  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+  def packSequences(docs: DataFrame, budget: Int = 512,
+                    nShards: Int = 4): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = (coalesce(poly_hash31(
+      concat(lit("pack|"), col("doc_id").cast("string"))), lit(0L))
+      % nShards).cast("int")
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("source"), size(tokens).as("n_tokens"))
+    docs.select(col("doc_id"), col("source"), shard.as("shard"),
+        size(tokens).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // `div`, not `/`: Column division promotes the BIGINT running sum
       // to double (exact only below 2^53); integral floor division stays
       // bit-identical to the oracle's `//` at any corpus size
-      .select(col("doc_id"), col("source"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         expr(s"CAST((cum - n_tokens) DIV $budget AS INT)").as("bin"))
   }
 

@@ -180,6 +180,35 @@ class GoldenSpec extends SparkSuite {
       Seq("ALTER TABLE test.student_address ADD pincode VARCHAR(255);"))
   }
 
+  test("nested diff.u value renders SET k = NULL, never bare JSON braces (r2 ADVICE)") {
+    // the reference renderer has NO map case: its `?` placeholder survives
+    // and shifts every later value one slot left (transformer.go:34-52) —
+    // a bug, not semantics. We emit k = NULL like diff.d key presence.
+    val df = turns(("c1", 1, "assistant",
+      """UPD test.t {"_id":"x1","diff":{"u":{"addr":{"city":"x"},"name":"n"}}}""",
+      "tool_0", T))
+    val want =
+      Seq("UPDATE test.t SET addr = NULL, name = 'n' WHERE _id = 'x1';")
+    assert(stmtsOrdered(Pipeline.renderUpdateDynamic(parsedValid(df))) == want)
+    // keyed path guards identically
+    assert(stmtsOrdered(Pipeline.renderUpdate(parsedValid(df),
+      Seq("addr", "name"))) == want)
+  }
+
+  test("parent without _id: child row survives with FK NULL (GetValueFromObject nil → NULL)") {
+    // a null FK map value would null out jsonOfKv's concat and silently
+    // DROP the child; the reference still inserts it (FK nil → NULL).
+    // Under this engine's JSON-null convention the null-valued FK key is
+    // omitted from the column list like every other null value — the row
+    // itself must survive, keyed by the deterministic "null|…" surrogate.
+    val df = turns(("c1", 1, "user",
+      """INS test.t {"sub":{"v":2}}""", "tool_0", T))
+    val got = Pipeline.renderChildInsertsDynamic(parsedValid(df))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("INSERT INTO test.t_sub (_id, v) VALUES " +
+      s"('${sha256hex("null|t_sub|0")}', 2);"))
+  }
+
   test("child docs with their own _id keep it; no FK/synthesized key added (transformer.go:127-134)") {
     val df = turns(("c1", 1, "user",
       """INS test.t {"_id":"p1","sub":{"_id":"own1","v":2}}""", "tool_0", T))

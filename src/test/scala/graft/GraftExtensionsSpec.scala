@@ -35,4 +35,20 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(info.getName == "poly_hash31")
     assert(info.getClassName == "graft.functions.PolyHash31")
   }
+
+  test("sign_projections with a non-literal n/salt raises the friendly error, not an unbound eval") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.testbridge.registerFunctions(
+      ext, new SimpleFunctionRegistry)
+    val colRef = AttributeReference("n", IntegerType)()
+    val err = intercept[IllegalArgumentException] {
+      reg.lookupFunction(FunctionIdentifier("sign_projections"),
+        Seq(Literal.create(Seq(1L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), colRef, Literal(7L)))
+    }
+    assert(err.getMessage.contains("numeric literal"), err.getMessage)
+  }
 }

@@ -54,6 +54,20 @@ class JsonKvSpec extends SparkSuite {
       "(_id VARCHAR(255) PRIMARY KEY, x FLOAT);"))
   }
 
+  test("mismatched bracket KINDS reject at tokenization (r2 ADVICE: '{]' is not well-formed)") {
+    // a shared depth counter would accept these as valid raw tokens
+    assert(kvOf("""{"a":{]}""") == null)
+    assert(kvOf("""{"a":[}}""") == null)
+    assert(kvOf("""{"a":[1,{"b":2]}}""") == null)
+    // matched deep nesting still tokenizes
+    assert(kvOf("""{"a":{"b":[{"c":[[]]}]}}""")("a") == """{"b":[{"c":[[]]}]}""")
+    // nesting depth is capped (parser practice, bounds the kind stack):
+    // 512 deep passes, 513 rejects as malformed
+    val deep512 = "[" * 512 + "]" * 512
+    assert(kvOf(s"""{"a":$deep512}""")("a") == deep512)
+    assert(kvOf(s"""{"a":${"[" * 513 + "]" * 513}}""") == null)
+  }
+
   test("whitespace tolerated; non-objects and malformed input yield null") {
     assert(kvOf("""  { "a" : 1 , "b" : [ 1, {"x":"}"} ] } """)("b") == """[ 1, {"x":"}"} ]""")
     assert(kvOf("[1,2]") == null)

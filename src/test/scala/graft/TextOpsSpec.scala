@@ -132,13 +132,35 @@ class TextOpsSpec extends SparkSuite {
 
   test("packSequences: bins respect the token budget over per-source doc order") {
     import org.apache.spark.sql.functions.lit
-    // 5 docs of 4 tokens each in one source, budget 10:
+    // 5 docs of 4 tokens each in one source, budget 10, single shard:
     // cum-before = 0,4,8,12,16 -> bins 0,0,0,1,1
     val d = docs((1L to 5L).map(i => i -> "w x y z"): _*)
       .withColumn("source", lit("s0"))
-    val bins = TextOps.packSequences(d, budget = 10)
-      .orderBy("doc_id").collect().map(_.getInt(3)).toSeq
+    val bins = TextOps.packSequences(d, budget = 10, nShards = 1)
+      .orderBy("doc_id").collect().map(_.getAs[Int]("bin")).toSeq
     assert(bins == Seq(0, 0, 0, 1, 1))
+  }
+
+  test("packSequences: hash sub-shards bound every window partition on a skewed source") {
+    import org.apache.spark.sql.functions.lit
+    // one giant source — without sharding this is ONE window partition
+    val d = docs((1L to 200L).map(i => i -> "w x y z"): _*)
+      .withColumn("source", lit("hot"))
+    val packed = TextOps.packSequences(d, budget = 10, nShards = 4)
+    val perShard = packed.groupBy("source", "shard").count()
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    assert(perShard.keySet == Set(0, 1, 2, 3), s"shards used: $perShard")
+    // the polyhash ticket spreads the hot source: no shard hoards it
+    assert(perShard.values.max <= 100L, s"skewed shard: $perShard")
+    assert(perShard.values.sum == 200L)
+    // bins are still budget-exact WITHIN each shard: 4-token docs, budget
+    // 10 -> bin == (rank-within-shard - 1) * 4 DIV 10
+    val rows = packed.orderBy("shard", "doc_id").collect()
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      rs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("bin") == (i * 4) / 10)
+      }
+    }
   }
 
   test("sourceFilter drops ALL docs of a failing source, keeps ALL of a passing one") {
