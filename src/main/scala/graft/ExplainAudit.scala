@@ -73,9 +73,26 @@ object ExplainAudit {
     audit("e3_ivf", e3, Seq("BroadcastHashJoin"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // e1 brute top-k: heap-merge aggregation (TopKAggregator) — ≤k rows
+    // per (query, partition) through the exchange; a Window over the
+    // scored cross join would shuffle the FULL scored set into |queries|
+    // reducer partitions (the r2 verdict's remaining scale hole)
+    val e1 = SparkEntry.queries("e1_knn_brute")(spark, sfDir)
+    audit("e1_brute_topk", e1, Seq("ObjectHashAggregate"),
+      forbid = Seq("Window", "CartesianProduct"))
+
     // q20 as-of: union-merge window form — no join at all, one exchange
     audit("q20_asof", SparkEntry.queries("q20_asof_join")(spark, sfDir),
       Seq("Window"), forbid = Seq("CartesianProduct", "SortMergeJoin"))
+
+    // t11 end-to-end pipeline: gate's semi join broadcasts, the pack
+    // window partitions on (split|source, shard); the ladder's band/
+    // shingle joins are legitimate hash-shuffle joins — but NO stage may
+    // introduce a cartesian/nested-loop product
+    audit("t11_corpus_pipeline",
+      SparkEntry.queries("t11_corpus_pipeline")(spark, sfDir),
+      Seq("BroadcastHashJoin", "Window"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
     // t7 source gate: the per-source rollup joins back as a BROADCAST
     // LEFT SEMI — the corpus side is never shuffled

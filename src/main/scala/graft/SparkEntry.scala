@@ -316,6 +316,19 @@ object SparkEntry {
           === 0, lit(100)).otherwise(lit(25)))),
     "t10_seq_pack" -> ((s, dir) =>
       operators.TextOps.packSequences(t(s, dir, "documents"))),
+    // the END-TO-END composed pipeline (gate → synthetic-PII augment →
+    // redact → ladder dedup → mix → split → pack), every stage the same
+    // operator the standalone queries check — the oracle chains the same
+    // CTEs, so stage-BOUNDARY effects are verified cross-engine
+    "t11_corpus_pipeline" -> ((s, dir) =>
+      operators.TextOps.corpusPipeline(t(s, dir, "documents"),
+        mixPct = when(regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int") % 2 === 0, lit(100)).otherwise(lit(25)),
+        augment = df => df.withColumn("text",
+          concat(col("text"), lit(" contact doc"),
+            col("doc_id").cast("string"),
+            lit("@corp.example.com call +1 (555) 123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
     // corpus carries no PII: append a deterministic contact line per row
     // (mirrored in TextOracles.redactSql) so the redaction regexes are
     // exercised for real in both engines
@@ -325,8 +338,13 @@ object SparkEntry {
           col("doc_id").cast("string"),
           lit("@corp.example.com call +1 (555) 123-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
+    // heap-merge top-k (TopKAggregator): ≤k rows per (query, partition)
+    // through the exchange — the window form would shuffle every scored
+    // row into |queries| partitions (10¹⁰ rows through 10 reducers at
+    // 10⁹×10); spec-asserted row-identical to the window form and plan-
+    // audited Window-free (ExplainAudit e1)
     "e1_knn_brute" -> ((s, dir) =>
-      operators.Similarity.knnBrute(t(s, dir, "embeddings"))),
+      operators.Similarity.knnBruteAgg(t(s, dir, "embeddings"))),
     "e2_knn_lsh" -> ((s, dir) =>
       operators.Similarity.knnLsh(t(s, dir, "embeddings"))),
     "e3_knn_ivf" -> ((s, dir) =>
@@ -634,6 +652,7 @@ object SparkEntry {
     "t4_split" -> TextOracles.splitSql,
     "t5_chunks" -> TextOracles.chunksSql(),
     "t6_redact" -> TextOracles.redactSql,
+    "t11_corpus_pipeline" -> TextOracles.corpusPipelineSql(),
     "t9_data_mix" -> TextOracles.mixSql,
     "t10_seq_pack" -> TextOracles.seqPackSql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),

@@ -27,10 +27,12 @@ object TextOracles {
       s"AS BIGINT), 0) % $P31)"
 
   /** Distinct word 3-gram shingles per doc (mirror of TextOps.shingleRows
-    * without the lang/length blocking columns).
+    * without the lang/length blocking columns). `rel` is the docs
+    * relation — `documents` for the standalone queries, the redacted CTE
+    * for the composed pipeline (t11).
     */
-  private val shingleCtes: String = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private def shingleCtes(rel: String = "documents"): String = s"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
 sh AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
@@ -68,7 +70,7 @@ voted AS (
 
   /** d2: banded MinHash-LSH candidate pairs (≥1 shared band). */
   def minhashCandidatesSql(k: Int = 32, bands: Int = 8): String =
-    s"WITH $shingleCtes ${minhashCtes(k, bands)}\n" +
+    s"WITH ${shingleCtes()} ${minhashCtes(k, bands)}\n" +
       "SELECT doc1, doc2 FROM voted WHERE band_hits >= 1"
 
   /** d7: the near-dup ladder — ≥2-band-vote candidates, then exact 3-gram
@@ -76,7 +78,7 @@ voted AS (
     */
   def nearDupLadderSql(k: Int = 32, bands: Int = 8,
                        minBandHits: Int = 2): String =
-    s"""WITH $shingleCtes ${minhashCtes(k, bands)},
+    s"""WITH ${shingleCtes()} ${minhashCtes(k, bands)},
 cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -235,6 +237,79 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(c1, '$email')) AS INT) AS n_email,
   CAST(len(regexp_extract_all(c2, '$phone')) AS INT) AS n_phone
 FROM s2"""
+  }
+
+  /** t11: the composed end-to-end corpus pipeline — source gate →
+    * synthetic-PII augment → redact → near-dup dedup (ladder) → weighted
+    * mix → split → per-(split, source, shard) packing. Every stage is the
+    * same CTE logic as its standalone oracle (t7/t6/d7/t9/t4/t10),
+    * chained over the PREVIOUS stage's output so stage-boundary effects
+    * (dedup over redacted text, packing over post-mix survivors) are
+    * checked cross-engine.
+    */
+  def corpusPipelineSql(minAvgChars: Long = 300L, k: Int = 32,
+                        bands: Int = 8, minBandHits: Int = 2,
+                        budget: Int = 512, nShards: Int = 4): String = {
+    val url = graft.operators.TextOps.UrlPat
+    val email = graft.operators.TextOps.EmailPat
+    val phone = graft.operators.TextOps.PhonePat
+    val shardExpr = s"${ph("'pack|' || CAST(doc_id AS STRING)")} % $nShards"
+    s"""WITH gatesrc AS (
+  SELECT source FROM documents GROUP BY source
+  HAVING sum(CAST(length(text) AS BIGINT)) >= count(*) * $minAvgChars),
+gated AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN gatesrc USING (source)),
+aug AS (
+  SELECT doc_id, source,
+    text || ' contact doc' || CAST(doc_id AS STRING) ||
+      '@corp.example.com call +1 (555) 123-' ||
+      lpad(CAST(doc_id % 10000 AS STRING), 4, '0') AS text
+  FROM gated),
+red AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'),
+      '$phone', '<PHONE>', 'g') AS text
+  FROM aug),
+${shingleCtes("red")} ${minhashCtes(k, bands)},
+cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc1, doc2, count(*) AS inter
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = doc1
+  JOIN sh s2 ON s2.doc_id = doc2 AND s2.shingle = s1.shingle
+  GROUP BY doc1, doc2),
+dropped AS (
+  SELECT DISTINCT doc2 AS doc_id FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7),
+surv AS (
+  SELECT * FROM red r
+  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = r.doc_id)),
+mixed AS (
+  SELECT * FROM surv
+  WHERE ${ph("'mix|' || CAST(doc_id AS STRING)")} % 100 <
+    CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+         THEN 100 ELSE 25 END),
+spl AS (
+  SELECT *, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM (SELECT *, ${ph("'split|' || CAST(doc_id AS STRING)")} % 10 AS b
+        FROM mixed)),
+packed AS (
+  SELECT doc_id, source, split,
+    CAST($shardExpr AS INT) AS shard,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    sum(len(string_split(text, ' '))) OVER (
+      PARTITION BY split, source, $shardExpr
+      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM spl)
+SELECT doc_id, source, split, shard, n_tokens,
+  CAST((cum - n_tokens) // $budget AS INT) AS bin
+FROM packed"""
   }
 
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit

@@ -184,6 +184,55 @@ object TextOps {
       .select(col("doc1"), col("doc2"), col("inter"), col("n1"), col("n2"))
   }
 
+  /** Near-dup DEDUP over the ladder's verified pairs: the larger member
+    * of every qualifying pair is dropped, the smaller kept — the standard
+    * keep-first policy, deterministic because pairs are emitted with
+    * doc1 < doc2. The anti-join's right side is only the victims
+    * (near-dups are sparse in a gated corpus), so AQE resolves it to a
+    * broadcast anti join at scale; the corpus side is never shuffled.
+    */
+  def dropNearDups(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                   minBandHits: Int = 2): DataFrame = {
+    val dropped = nearDupLadder(docs, k, bands, minBandHits)
+      .select(col("doc2").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** t11 — the reference's defining trait re-expressed over the corpus:
+    * ONE linear dataflow end-to-end (/root/reference/main.go:84-107 runs
+    * scan→filter→route→transform→sink as a single pass), here the
+    * training-data shape: source gate → PII redaction → near-dup dedup
+    * (MinHash-LSH ladder) → weighted mix → train/val/test split →
+    * per-(split, source, shard) sequence packing. Every stage is the
+    * SAME operator the standalone driver queries check (t7/t6/d7/t9/t4/
+    * t10), composed full-row so stage-boundary effects are real: dedup
+    * shingles see REDACTED text, packing sees only post-mix survivors,
+    * and bins never cross a split boundary.
+    *
+    * `augment` runs between gate and redaction — identity in production;
+    * the test harness injects a synthetic contact line so redaction is
+    * non-vacuous on the PII-free synthetic corpus (same trick as the t6
+    * driver query).
+    */
+  def corpusPipeline(docs: DataFrame,
+                     mixPct: Column = lit(100),
+                     augment: DataFrame => DataFrame = identity,
+                     minAvgChars: Long = 300L,
+                     budget: Int = 512, nShards: Int = 4): DataFrame = {
+    val red = redactDocs(augment(gateDocs(docs, minAvgChars)))
+    val sp = splitDocs(mixDocs(dropNearDups(red), mixPct))
+    // pack WITHIN (split, source): reuse packSequences unchanged by
+    // folding the split into its partition key, then unfolding after —
+    // sequences must never cross a split boundary
+    val packed = packSequences(
+      sp.withColumn("source", concat_ws("|", col("split"), col("source"))),
+      budget, nShards)
+    packed.select(col("doc_id"),
+      substring_index(col("source"), "|", -1).as("source"),
+      substring_index(col("source"), "|", 1).as("split"),
+      col("shard"), col("n_tokens"), col("bin"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 62-bit cross-engine fingerprint (custom
@@ -239,6 +288,22 @@ object TextOps {
     * intermediate string each replace consumes, so count and replacement
     * always agree.
     */
+  /** The scrub chain itself (URL → email → phone, in that order — a URL
+    * may embed an '@', so it goes first). Shared by the audit view
+    * [[redactPii]] and the full-row composition stage [[redactDocs]].
+    */
+  private def scrubbed: Column =
+    regexp_replace(regexp_replace(regexp_replace(col("text"),
+      UrlPat, "<URL>"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+
+  /** Full-row redaction stage: `text` is replaced by its scrubbed form,
+    * every other column passes through — the shape the end-to-end
+    * pipeline composes over ([[corpusPipeline]]); [[redactPii]] is the
+    * audit-count projection of the same chain.
+    */
+  def redactDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", scrubbed)
+
   def redactPii(docs: DataFrame): DataFrame = {
     val s1 = regexp_replace(col("text"), UrlPat, "<URL>")
     val s2 = regexp_replace(s1, EmailPat, "<EMAIL>")
@@ -279,10 +344,16 @@ object TextOps {
     *                  own attributes (a literal CASE over source/lang in
     *                  practice — the mixing config)
     */
-  def weightedSample(docs: DataFrame, weightPct: Column): DataFrame = {
+  def weightedSample(docs: DataFrame, weightPct: Column): DataFrame =
+    mixDocs(docs, weightPct).select(col("doc_id"), col("source"))
+
+  /** Full-row mix stage ([[weightedSample]] is its (doc_id, source)
+    * projection): hash-ticket per-row filter, all columns pass through.
+    */
+  def mixDocs(docs: DataFrame, weightPct: Column): DataFrame = {
     val ticket = coalesce(poly_hash31(
       concat(lit("mix|"), col("doc_id").cast("string"))), lit(0L)) % 100
-    docs.filter(ticket < weightPct).select(col("doc_id"), col("source"))
+    docs.filter(ticket < weightPct)
   }
 
   /** Greedy sequence packing: assign documents to fixed token-budget bins
@@ -324,14 +395,20 @@ object TextOps {
     * shuffled. The gate is integer-exact (sum_chars ≥ n_docs·minAvgChars
     * instead of a float mean) to stay bit-identical cross-engine.
     */
-  def sourceFilter(docs: DataFrame, minAvgChars: Long = 300L): DataFrame = {
+  def sourceFilter(docs: DataFrame, minAvgChars: Long = 300L): DataFrame =
+    gateDocs(docs, minAvgChars).select(col("doc_id"), col("source"))
+
+  /** Full-row source gate ([[sourceFilter]] is its (doc_id, source)
+    * projection): documents of surviving sources with every column
+    * intact, for end-to-end composition.
+    */
+  def gateDocs(docs: DataFrame, minAvgChars: Long = 300L): DataFrame = {
     val good = docs.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("sum_chars"))
       .filter(col("sum_chars") >= col("n_docs") * minAvgChars)
       .select(col("source"))
     docs.join(broadcast(good), Seq("source"), "left_semi")
-      .select(col("doc_id"), col("source"))
   }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -354,14 +431,21 @@ object TextOps {
     * re-run, a backfill, or the DuckDB oracle all agree on every row; no
     * RNG state, no sampling seed to version. Pure per-row projection.
     */
-  def deterministicSplit(docs: DataFrame): DataFrame = {
+  def deterministicSplit(docs: DataFrame): DataFrame =
+    splitDocs(docs).select(col("doc_id"), col("bucket"), col("split"))
+
+  /** Full-row split stage ([[deterministicSplit]] is its projection):
+    * appends `bucket` and `split` columns, everything else passes through.
+    */
+  def splitDocs(docs: DataFrame): DataFrame = {
     // coalesce mirrors the oracle's COALESCE(list_sum(...), 0): a NULL
     // doc_id hashes to bucket 0 in both engines
     val bucket = (coalesce(poly_hash31(concat(lit("split|"),
       col("doc_id").cast("string"))), lit(0L)) % 10).cast("int")
-    docs.select(col("doc_id"), bucket.as("bucket"),
-      when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
-        .as("split"))
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") < 9, "val")
+          .otherwise("test"))
   }
 
   /** Context-window chunking: overlapping token windows of `chunkSize`

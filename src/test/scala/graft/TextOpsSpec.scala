@@ -163,6 +163,40 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("corpusPipeline: composed stages — gate drops sources, dedup drops the larger twin, packing stays within split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // src_0: ten distinct 60-token docs + doc 11 an exact copy of doc 1
+    // (the ladder must drop 11, keep 1); src_bad: tiny docs failing the
+    // 300-avg-chars gate
+    val rows =
+      (1L to 10L).map(i => (i, (1 to 60).map(j => s"t${i}w$j").mkString(" "),
+        "en", "src_0", 300L)) ++
+      Seq((11L, (1 to 60).map(j => s"t1w$j").mkString(" "), "en", "src_0", 300L)) ++
+      (20L to 23L).map(i => (i, "tiny", "en", "src_bad", 4L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.corpusPipeline(d, mixPct = lit(100))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 10L).toSet, s"got $ids") // 11 deduped, src_bad gated
+    // split column agrees with the standalone split op for every doc
+    val want = TextOps.deterministicSplit(d)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.collect().foreach { r =>
+      assert(r.getAs[String]("split") == want(r.getAs[Long]("doc_id")))
+    }
+    // bins are per-(split, source, shard) contiguous from 0 — packing
+    // never crosses a split boundary
+    out.collect().groupBy(r => (r.getAs[String]("split"),
+        r.getAs[String]("source"), r.getAs[Int]("shard")))
+      .foreach { case (_, rs) =>
+        val bins = rs.map(_.getAs[Int]("bin")).toSet
+        assert(bins == (0 to bins.max).toSet, s"bins not contiguous: $bins")
+      }
+    // n_tokens reflects the REDACTED text (identity augment + PII-free
+    // corpus here: token count equals the raw text's)
+    assert(out.collect().forall(_.getAs[Int]("n_tokens") == 60))
+  }
+
   test("sourceFilter drops ALL docs of a failing source, keeps ALL of a passing one") {
     import spark.implicits._
     // srcGood avg 400 chars; srcBad avg 100 — one long doc can't save it
