@@ -108,6 +108,94 @@ ivftop AS (
     s"WITH $eqCte ${ivfChain(nQueries, nCells, nProbe)}\n" +
       s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ivftop WHERE rnk <= $k"
 
+  /** L2 distance surrogate to a centroid: ||c||² − 2·x·c (the ||x||² term
+    * is constant per vector, so argmin is the true L2 argmin) — mirrors
+    * Similarity.cellDists exactly, pure int64.
+    */
+  private def distSql(q: String, cv: String): String =
+    s"(CAST(list_sum(list_transform(range(1, len($cv) + 1), " +
+      s"i -> $cv[i] * $cv[i])) AS BIGINT) - 2 * ${dotSql(q, cv)})"
+
+  /** Deterministic seeded Lloyd's k-means, UNROLLED: kc0 = the vectors
+    * with vec_id < nCells; each iteration t emits assignment ka_t
+    * (argmin dist, ties by cell — ORDER BY dist, cell mirrors the Spark
+    * side's lexicographic struct min), per-component integer sums ks_t,
+    * and centroids kc_t (component = s // n, truncating division exactly
+    * like Scala's Long `/`; empty cells COALESCE to their previous
+    * centroid). Digit-for-digit mirror of Similarity.kmeansCentroids.
+    */
+  private def kmeansCtes(nCells: Int, iters: Int, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+kc0 AS (
+  SELECT CAST(vec_id AS INT) AS cell, q AS cv FROM eq WHERE vec_id < $nCells)""")
+    for (t <- 1 to iters) {
+      val prev = s"kc${t - 1}"
+      sb.append(s""",
+ka$t AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT e.vec_id, e.q, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN $prev c)
+  WHERE rn = 1),
+ks$t AS (
+  SELECT cell, i, CAST(sum(q[i + 1]) AS BIGINT) AS s, count(*) AS n
+  FROM ka$t CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) d
+  GROUP BY cell, i),
+kc$t AS (
+  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+  FROM $prev p LEFT JOIN (
+    SELECT cell, list(s // n ORDER BY i) AS cv FROM ks$t GROUP BY cell) u
+  ON u.cell = p.cell)""")
+    }
+    sb.toString
+  }
+
+  /** Learned-centroid IVF chain ending in a `ktop` CTE (qid,nid,dot,rnk)
+    * — mirrors Similarity.knnIvfKmeans over the kc_iters centroids.
+    */
+  private def ivfkChain(nQueries: Int, nCells: Int, nProbe: Int,
+                        iters: Int): String =
+    kmeansCtes(nCells, iters) + s""",
+kassigned AS (
+  SELECT vec_id AS nid, q AS qn, cell FROM (
+    SELECT e.vec_id, e.q, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$iters c)
+  WHERE rn = 1),
+kprobes AS (
+  SELECT vec_id AS qid, q AS qq, cell FROM (
+    SELECT e.vec_id, e.q, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$iters c
+    WHERE e.vec_id < $nQueries)
+  WHERE rn <= $nProbe),
+kscored AS (
+  SELECT qid, nid, ${dotSql("qq", "qn")} AS dot
+  FROM kassigned JOIN kprobes USING (cell)
+  WHERE nid != qid),
+ktop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM kscored)"""
+
+  /** e6: learned-centroid (k-means) IVF ANN top-k. */
+  def knnIvfKmeansSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                      nProbe: Int = 3, iters: Int = 4): String =
+    s"WITH $eqCte ${ivfkChain(nQueries, nCells, nProbe, iters)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ktop WHERE rnk <= $k"
+
+  /** e7: recall@k of the learned-centroid IVF vs exact brute force. */
+  def ivfKmeansRecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                         nProbe: Int = 3, iters: Int = 4): String =
+    s"""WITH $eqCte ${ivfkChain(nQueries, nCells, nProbe, iters)}${bruteCte(nQueries, k)},
+kk AS (SELECT qid, nid FROM ktop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN kk l ON b.qid = l.qid AND b.nid = l.nid"""
+
   /** Exact brute-force top-k CTE chain ending in `brute` (qid,nid). */
   private def bruteCte(nQueries: Int, k: Int): String = s""",
 bscored AS (

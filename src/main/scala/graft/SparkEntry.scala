@@ -353,6 +353,12 @@ object SparkEntry {
       operators.Similarity.lshRecall(t(s, dir, "embeddings"))),
     "e5_ivf_recall" -> ((s, dir) =>
       operators.Similarity.ivfRecall(t(s, dir, "embeddings"))),
+    // learned (k-means) coarse quantizer: recall 0.84-1.00 at nProbe 3-4
+    // on the uniform corpus vs the sign anchors' 0.44-0.60 (e7 measures)
+    "e6_knn_ivfk" -> ((s, dir) =>
+      operators.Similarity.knnIvfKmeans(t(s, dir, "embeddings"))),
+    "e7_ivfk_recall" -> ((s, dir) =>
+      operators.Similarity.ivfKmeansRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -665,6 +671,8 @@ object SparkEntry {
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),
     "e5_ivf_recall" -> SimOracles.ivfRecallSql(),
+    "e6_knn_ivfk" -> SimOracles.knnIvfKmeansSql(),
+    "e7_ivfk_recall" -> SimOracles.ivfKmeansRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -202,6 +202,96 @@ object Similarity {
       .select(col("qid"), col("nid"), col("dot"), col("rnk"))
   }
 
+  // ------------------------------------------------ learned IVF (k-means)
+
+  /** Per-row array of (dist, cell) structs against LITERAL centroids:
+    * dist = ||c||² − 2·x·c (the ||x||² term is constant per row, so the
+    * argmin is the true L2 argmin) — exact int64 arithmetic, max operand
+    * 64·(3e4)²·2 ≈ 1.2e11 « 2⁶³. Struct order (dist, cell) makes every
+    * min/sort lexicographic ⇒ deterministic cell tie-break, mirrored by
+    * the oracle's ORDER BY dist, cell.
+    */
+  private def cellDists(cents: Array[Array[Long]]): Column =
+    array(cents.zipWithIndex.map { case (cv, ci) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - lit(2L) * dotCols(typedLit(cv.toSeq), col("qe")))
+        .as("dist"), lit(ci).as("cell"))
+    }: _*)
+
+  /** Deterministic seeded Lloyd's k-means over the quantized vectors —
+    * the LEARNED coarse quantizer (vs [[knnIvf]]'s arithmetic sign
+    * anchors). Seeds are the vectors with vec_id < nCells (fixed,
+    * replayable); `iters` fixed iterations of assign → integer-mean
+    * update (component = Σx DIV n, truncating division — identical in
+    * Scala `/` and DuckDB `//`); empty cells keep their previous
+    * centroid. All arithmetic is exact int64, so the DuckDB oracle
+    * (SimOracles.kmeansCtes) unrolls the same iterations digit-for-digit.
+    *
+    * Scale shape: each iteration is one corpus pass (assignment is
+    * in-row against literal centroids — no join) + one (nCells × dim)-row
+    * aggregate collected to the driver, exactly Lloyd's on Spark (MLlib
+    * KMeans does the same treeAggregate-to-driver). At 100 TB train the
+    * quantizer on a deterministic subsample (e.g. pmod(hash(id), S) = 0)
+    * — the assignment/probe path below is unchanged.
+    */
+  def kmeansCentroids(emb: DataFrame, nCells: Int = 16,
+                      iters: Int = 4): Array[Array[Long]] = {
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+    var cents: Array[Array[Long]] = q.filter(col("vec_id") < nCells)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("qe").toArray)
+    for (_ <- 0 until iters) {
+      val sums = q.withColumn("cell",
+          array_min(cellDists(cents)).getField("cell"))
+        .select(col("cell"), posexplode(col("qe")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("i")) =
+          r.getAs[Long]("s") / r.getAs[Long]("n")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF ANN over the LEARNED k-means cells: same probe shape as
+    * [[knnIvf]] (in-row assignment, no centroid join, broadcast probes,
+    * exact re-rank inside probed cells) with the Voronoi cells of
+    * [[kmeansCentroids]] instead of sign anchors — sharper cells lift
+    * recall at the same nProbe/nCells scan fraction (measured in e7).
+    */
+  def knnIvfKmeans(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                   nCells: Int = 16, nProbe: Int = 3,
+                   iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters)
+    val withD = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("dists", cellDists(cents))
+    val assigned = withD
+      .select(col("vec_id").as("nid"), col("qe").as("qe_n"),
+        array_min(col("dists")).getField("cell").as("cell"))
+    val probes = withD.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qe").as("qe_q"),
+        explode(transform(slice(array_sort(col("dists")), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", dotCols(col("qe_q"), col("qe_n")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+  }
+
+  /** Recall@k of the learned-centroid IVF vs brute force (e7). */
+  def ivfKmeansRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                      nCells: Int = 16, nProbe: Int = 3,
+                      iters: Int = 4): DataFrame =
+    recallVsBrute(emb, knnIvfKmeans(emb, nQueries, k, nCells, nProbe, iters),
+      nQueries, k)
+
   /** LSH-bucketed ANN — the scale path: banded random-hyperplane LSH
     * (bands independent hash tables of rowsPerBand sign bits each; a
     * candidate shares ANY band bucket with the query), then exact
@@ -259,7 +349,10 @@ object Similarity {
     * vs a random-probe baseline of nProbe/nCells (0.19 at 3/16) — the
     * anchor correlation buys ~2.3× over blind probing at a 19% scan
     * fraction. On clustered corpora (real near-dup structure) the cell
-    * assignment is far sharper; see SimilaritySpec's cluster test.
+    * assignment is far sharper; see SimilaritySpec's cluster test. The
+    * LEARNED quantizer ([[knnIvfKmeans]], measured by e7) reaches
+    * 0.84–1.00 at the same scan fraction — prefer it; this fixed-anchor
+    * tier remains as the zero-training baseline.
     */
   def ivfRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                 nCells: Int = 16, nProbe: Int = 3): DataFrame =

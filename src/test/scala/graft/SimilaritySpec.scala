@@ -89,6 +89,20 @@ class SimilaritySpec extends SparkSuite {
     assert(hits * 50 >= total * 20, s"recall=$hits/$total")
   }
 
+  test("learned-centroid IVF recall@5 >= 0.8 at nProbe=3 and beats the sign anchors (sf0.01)") {
+    val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val km = Similarity.ivfKmeansRecall(embReal).collect()(0)
+    val (kh, kt) = (km.getLong(0), km.getLong(1))
+    assert(kt == 50L)
+    // k-means Voronoi cells at the SAME 19% scan fraction (nProbe 3/16):
+    // measured 0.84 here, 0.90 at sf0.1 — vs the sign anchors' 0.44.
+    // Deterministic arithmetic + fixed corpus, so the bound is stable.
+    assert(kh * 10 >= kt * 8, s"kmeans recall=$kh/$kt")
+    val anchors = Similarity.ivfRecall(embReal).collect()(0)
+    assert(kh > anchors.getLong(0),
+      s"kmeans $kh should beat anchors ${anchors.getLong(0)}")
+  }
+
   test("IVF assignment is in-row (no corpus x centroid join/window in the plan)") {
     val plan = Similarity.knnIvf(emb, nQueries = 2, k = 3, nCells = 8,
       nProbe = 2).queryExecution.optimizedPlan.toString
