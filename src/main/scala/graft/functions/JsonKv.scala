@@ -145,8 +145,13 @@ object TextJson {
       i = skipWs(b, i + 1, n)
       val valEnd = scanValue(b, i, n)
       if (valEnd < 0) return null
-      keys.add(key)
-      vals.add(UTF8String.fromBytes(b, i, valEnd - i))
+      // duplicate keys: LAST occurrence wins with a single entry — the
+      // reference decodes into a Go map (encoding/json overwrites), and a
+      // dup-keyed MapData would leak the key twice through map_keys into
+      // rendered column lists
+      val dup = keys.indexOf(key)
+      val tok = UTF8String.fromBytes(b, i, valEnd - i)
+      if (dup >= 0) vals.set(dup, tok) else { keys.add(key); vals.add(tok) }
       i = skipWs(b, valEnd, n)
       if (i >= n) return null
       if (b(i) == '}') {

@@ -54,6 +54,19 @@ class JsonKvSpec extends SparkSuite {
       "(_id VARCHAR(255) PRIMARY KEY, x FLOAT);"))
   }
 
+  test("duplicate keys: LAST occurrence wins with a single entry (Go map decode semantics)") {
+    // the reference decodes into map[string]interface{} — encoding/json
+    // overwrites on duplicate keys; a dup-keyed MapData would leak the
+    // key twice through map_keys into rendered column lists
+    assert(kvOf("""{"a":1,"a":2}""") == Map("a" -> "2"))
+    assert(kvOf("""{"a":1,"b":"x","a":null}""") ==
+      Map("a" -> "null", "b" -> "\"x\""))
+    val df = turns(("c1", 1, "user",
+      """INS test.t {"_id":"d1","k":1,"k":2}""", "tool_0", T))
+    assert(stmtsOrdered(Pipeline.renderInsertDynamic(parsedValid(df))) ==
+      Seq("INSERT INTO test.t (_id, k) VALUES ('d1', 2);"))
+  }
+
   test("mismatched bracket KINDS reject at tokenization (r2 ADVICE: '{]' is not well-formed)") {
     // a shared depth counter would accept these as valid raw tokens
     assert(kvOf("""{"a":{]}""") == null)
