@@ -71,6 +71,51 @@ object StreamBench {
     Run(sec, progress.length, progress.map(_.numInputRows).sum)
   }
 
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Streaming text-tier dedup run: the documents table replicated
+    * `mult`× with offset doc_ids (replicas are exact near-dups of the
+    * originals — every replica collides with its bucket representative,
+    * the state-heaviest realistic shape), driven through StreamDedup's
+    * incremental banded candidates to a noop sink.
+    */
+  private def runTextDedup(spark: SparkSession, sfDir: String, mult: Int,
+                           filesPerTrigger: Int): (Run, Long) = {
+    val docsPath = s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val n = base.count()
+    val f = new java.io.File(docsPath)
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+            col("text")))
+        .reduce(_.unionByName(_))
+        .repartition(filesPerTrigger * 8)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val ck = new java.io.File("target/streambench_ck_textdedup")
+    rmrf(ck)
+    val in = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(docsPath)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamDedup.candidates(spark, in).toDF().writeStream
+      .format("noop")
+      .option("checkpointLocation", ck.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    (Run(sec, progress.length, progress.map(_.numInputRows).sum), n * mult)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -118,14 +163,23 @@ object StreamBench {
     val rDedupRocks = dedup(RocksDb, "rocksdb")
     val rWindow = windowAgg()
 
+    // text-tier incremental near-dup candidates (StreamDedup) — RocksDB
+    // provider, the at-scale configuration for bucket state
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    val (rText, nDocs) =
+      try runTextDedup(spark, sfDir, mult, perTrigger)
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
     for ((tag, r) <- Seq("route" -> rRoute, "dedup_hdfs" -> rDedupHdfs,
         "dedup_rocksdb" -> rDedupRocks, "window" -> rWindow))
       require(r.rowsIn == nTurns,
         s"$tag read ${r.rowsIn} of $nTurns rows — stale checkpoint or lost input")
+    require(rText.rowsIn == nDocs,
+      s"text_dedup read ${rText.rowsIn} of $nDocs docs — stale checkpoint or lost input")
 
     val thr = nTurns / rRoute.sec
     println(
-      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
+      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec},"text_dedup_sec":${rText.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"text_dedup":{"docs":$nDocs,"docs_per_sec":${nDocs / rText.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

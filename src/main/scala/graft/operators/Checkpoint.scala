@@ -69,6 +69,53 @@ object Checkpoint {
       .write.mode("append").parquet(ledgerPath)
   }
 
+  case class CompactStats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  private def parquetFileCount(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Small-file compaction for the (batch_id, sink) layout — the
+    * rewrite_data_files / bin-pack maintenance pass every table-format
+    * sink needs: each micro-batch commit writes one file per task per
+    * partition, so N batches × P tasks × S sinks accumulate N·P·S tiny
+    * files and scan planning starts to dominate reads. The rewrite
+    * repartitions BY the partition columns (all rows of one (batch_id,
+    * sink) land in one task → one file per partition directory, split
+    * only past `maxRecordsPerFile`), writes to a staging directory, then
+    * swaps it in — a crash mid-compact leaves the original sink intact
+    * (the snapshot-swap analog; a real Iceberg catalog makes the swap a
+    * metadata commit). Batch replay stays idempotent afterwards: a
+    * re-committed batch_id still dynamic-overwrites its own partitions.
+    */
+  def compactSink(spark: SparkSession, sinkPath: String,
+                  maxRecordsPerFile: Long = 1L << 20): CompactStats = {
+    val before = parquetFileCount(spark, sinkPath)
+    val staging = sinkPath + ".compact-staging"
+    val df = spark.read.parquet(sinkPath)
+    val rows = df.count()
+    df.repartition(col("batch_id"), col("sink"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("batch_id", "sink")
+      .parquet(staging)
+    val root = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.delete(root, true))
+      throw new java.io.IOException(s"compaction swap: cannot remove $sinkPath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root))
+      throw new java.io.IOException(
+        s"compaction swap failed: data is intact at $staging")
+    CompactStats(before, parquetFileCount(spark, sinkPath), rows)
+  }
+
   /** One resumable pipeline increment: filter past the ledger watermark,
     * route, commit. Returns rows committed this run.
     */

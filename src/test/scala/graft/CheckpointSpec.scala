@@ -67,4 +67,39 @@ class CheckpointSpec extends SparkSuite {
     assert(spark.read.parquet(sink).count() == n)
     routed.unpersist()
   }
+
+  test("compactSink bin-packs per (batch_id, sink); data identical, replay still idempotent") {
+    val base = tmp()
+    val sink = s"$base/sink"
+    val ledger = s"$base/ledger"
+    val routed = Pipeline.route(Pipeline.enrich(
+      parsedValid(allTurns), toolDim))
+      // many tasks per commit → the many-tiny-files shape under every
+      // (batch_id, sink) directory that maintenance must clean up
+      .repartition(16).cache()
+    val n = routed.count()
+    (0L to 2L).foreach(b => Checkpoint.commitBatch(routed, sink, ledger, b))
+    // batch_id comes back as a partition-inferred int — compare as string
+    val pre = spark.read.parquet(sink)
+      .groupBy("batch_id", "sink").count().collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+
+    val stats = Checkpoint.compactSink(spark, sink)
+    assert(stats.rows == 3 * n)
+    // one file per (batch_id, sink) partition directory afterwards
+    val nParts = pre.size
+    assert(stats.filesAfter == nParts,
+      s"want $nParts files, got ${stats.filesAfter} (before: ${stats.filesBefore})")
+    assert(stats.filesBefore > stats.filesAfter * 4, // genuinely tiny-file input
+      s"before=${stats.filesBefore} after=${stats.filesAfter}")
+    // data unchanged, partition values intact
+    val post = spark.read.parquet(sink)
+      .groupBy("batch_id", "sink").count().collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(post == pre)
+    // a crash-replay of batch 1 AFTER compaction still overwrites in place
+    Checkpoint.commitBatch(routed, sink, ledger, 1L)
+    assert(spark.read.parquet(sink).count() == 3 * n)
+    routed.unpersist()
+  }
 }

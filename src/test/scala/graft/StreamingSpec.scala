@@ -54,6 +54,55 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming near-dup candidates: state survives restart, no pair re-emission") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val base = tmp()
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val ck = s"$base/ck"
+    def doc(id: Long, seed: String) =
+      (id, (1 to 30).map(i => s"$seed$i").mkString(" "))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(in)
+      val q = StreamDedup.candidates(spark, stream).toDF().writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // tranche 1: doc 2 is an exact twin of doc 1; 3-5 unrelated
+    Seq(doc(1, "a"), doc(2, "a"), doc(3, "b"), doc(4, "c"), doc(5, "d"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    run()
+    val first = spark.read.parquet(out).as[StreamDedup.CandPair].collect()
+    assert(first.map(p => (p.doc1, p.doc2)).toSet == Set((1L, 2L)))
+    assert(first.length == 8, "twin collides in all 8 bands")
+    // tranche 2 after restart: doc 6 twins doc 1 again, doc 7 unrelated.
+    // The representative (doc 1) lives only in CHECKPOINTED state — the
+    // new query must pair 6 against it, and must NOT re-emit (1,2).
+    Seq(doc(6, "a"), doc(7, "e")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    run()
+    val all = spark.read.parquet(out).as[StreamDedup.CandPair].collect()
+    assert(all.map(p => (p.doc1, p.doc2)).toSet == Set((1L, 2L), (1L, 6L)))
+    assert(all.length == 16, s"8 bands per twin, no re-emission: ${all.length}")
+    // cross-mode parity: the batch tier surfaces the same candidate set
+    val batchCand = graft.operators.TextOps.minhashCandidates(
+      spark.read.parquet(in).withColumn("lang", lit("en"))
+        .withColumn("source", lit("s")).withColumn("n_chars", length(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCand == Set((1L, 2L), (1L, 6L), (2L, 6L)),
+      s"batch all-pairs form: $batchCand")
+  }
+
   test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {
     val base = tmp()
     val in = s"$base/in"
