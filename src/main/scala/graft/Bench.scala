@@ -31,12 +31,19 @@ object Bench {
     val fingerprint = s"${(Transcripts.derivationCte + "|rep-v1|" + mult +
       "|" + sfDir + "|" + partitions).hashCode}"
     val fpFile = java.nio.file.Paths.get(path, "_fingerprint")
-    val fpMatches = try {
-      java.nio.file.Files.readString(fpFile).trim == fingerprint
-    } catch { case _: Exception => false }
+    // missing fingerprint/table = "not materialized yet" (rebuild); any
+    // OTHER failure propagates — swallowing a permissions/corruption error
+    // here would mask it behind a silent slow rebuild every run
+    val fpMatches =
+      java.nio.file.Files.exists(fpFile) &&
+        java.nio.file.Files.readString(fpFile).trim == fingerprint
     if (fpMatches) {
-      val existing = try spark.read.parquet(path).count()
-        catch { case _: Exception => -1L }
+      val existing =
+        try spark.read.parquet(path).count()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" => -1L
+        }
       if (existing == expected) return existing
     }
     val base = Transcripts.transcripts(spark, sfDir)
