@@ -41,8 +41,11 @@ object Bench {
       val existing =
         try spark.read.parquet(path).count()
         catch {
+          // UNABLE_TO_INFER_SCHEMA = dir exists (the fingerprint proved
+          // that) but the data files are gone — rebuild, don't abort
           case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "PATH_NOT_FOUND" => -1L
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                e.getCondition == "UNABLE_TO_INFER_SCHEMA" => -1L
         }
       if (existing == expected) return existing
     }

@@ -54,15 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litNum(exprs(1)).toInt, litNum(exprs(2)))))
   }
 
-  private def litNum(e: Expression): Long = {
-    // foldability first — eval(null) on a column reference throws an
-    // opaque unbound-attribute error instead of the friendly message
-    if (!e.foldable) throw new IllegalArgumentException(
-      s"expected a numeric literal argument, got non-literal $e")
-    e.eval(null) match {
-      case n: Number => n.longValue
-      case other => throw new IllegalArgumentException(
-        s"expected a numeric literal argument, got $other")
-    }
-  }
+  // literal-argument handling is shared with the registry path:
+  // graft.functions.litNum (one definition, one behavior)
+  private def litNum(e: Expression): Long = graft.functions.litNum(e)
 }

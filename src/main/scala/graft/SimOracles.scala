@@ -124,7 +124,10 @@ ivftop AS (
     * like Scala's Long `/`; empty cells COALESCE to their previous
     * centroid). Digit-for-digit mirror of Similarity.kmeansCentroids.
     */
-  private def kmeansCtes(nCells: Int, iters: Int, dim: Int = 64): String = {
+  // `dim` must match the corpus's embedding width (the Spark side is
+  // dim-agnostic via posexplode; the SQL mirror needs it explicitly —
+  // testdata embeddings are 64-wide). Exposed through the e6/e7 builders.
+  private def kmeansCtes(nCells: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb.append(s""",
 kc0 AS (
@@ -156,8 +159,8 @@ kc$t AS (
     * — mirrors Similarity.knnIvfKmeans over the kc_iters centroids.
     */
   private def ivfkChain(nQueries: Int, nCells: Int, nProbe: Int,
-                        iters: Int): String =
-    kmeansCtes(nCells, iters) + s""",
+                        iters: Int, dim: Int): String =
+    kmeansCtes(nCells, iters, dim) + s""",
 kassigned AS (
   SELECT vec_id AS nid, q AS qn, cell FROM (
     SELECT e.vec_id, e.q, c.cell,
@@ -184,14 +187,14 @@ ktop AS (
 
   /** e6: learned-centroid (k-means) IVF ANN top-k. */
   def knnIvfKmeansSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
-                      nProbe: Int = 3, iters: Int = 4): String =
-    s"WITH $eqCte ${ivfkChain(nQueries, nCells, nProbe, iters)}\n" +
+                      nProbe: Int = 3, iters: Int = 4, dim: Int = 64): String =
+    s"WITH $eqCte ${ivfkChain(nQueries, nCells, nProbe, iters, dim)}\n" +
       s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ktop WHERE rnk <= $k"
 
   /** e7: recall@k of the learned-centroid IVF vs exact brute force. */
   def ivfKmeansRecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
-                         nProbe: Int = 3, iters: Int = 4): String =
-    s"""WITH $eqCte ${ivfkChain(nQueries, nCells, nProbe, iters)}${bruteCte(nQueries, k)},
+                         nProbe: Int = 3, iters: Int = 4, dim: Int = 64): String =
+    s"""WITH $eqCte ${ivfkChain(nQueries, nCells, nProbe, iters, dim)}${bruteCte(nQueries, k)},
 kk AS (SELECT qid, nid FROM ktop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN kk l ON b.qid = l.qid AND b.nid = l.nid"""

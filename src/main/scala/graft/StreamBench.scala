@@ -85,12 +85,21 @@ object StreamBench {
     */
   private def runTextDedup(spark: SparkSession, sfDir: String, mult: Int,
                            filesPerTrigger: Int): (Run, Long) = {
-    val docsPath = s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
+    // layout key includes the trigger sizing (it shapes the micro-batch
+    // count being measured); reuse is gated on the expected row count so
+    // a regenerated source dataset rebuilds instead of streaming stale
+    // replicas into a misleading rows-read failure
+    val docsPath = s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}" +
+      s"_${mult}_$filesPerTrigger"
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val n = base.count()
     val f = new java.io.File(docsPath)
-    if (!f.exists()) {
+    val stale = f.exists() &&
+      (try spark.read.parquet(docsPath).count() != n * mult
+       catch { case _: org.apache.spark.sql.AnalysisException => true })
+    if (stale) rmrf(f)
+    if (!f.exists() || stale) {
       import org.apache.spark.sql.functions._
       (0 until mult).map(i =>
           base.select((col("doc_id") + lit(i.toLong * n)).as("doc_id"),

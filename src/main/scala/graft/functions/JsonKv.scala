@@ -237,9 +237,12 @@ object TextJson {
         // bracket-KIND stack (not a shared depth counter): '{]' / '[}'
         // must be rejected at tokenization, or a mismatched nested token
         // would flow downstream as "syntactically well-formed". One byte
-        // per open bracket; nesting past the cap is malformed-by-policy
-        // (Jackson-style depth limit), returned as -1 like other bad input.
-        val stack = new Array[Byte](maxNestingDepth)
+        // per open bracket, starting small (corpus payloads nest 1-3
+        // deep; a 512B array per nested token would be hot-path churn)
+        // and doubling up to the cap; nesting past the cap is
+        // malformed-by-policy (Jackson-style depth limit), returned as
+        // -1 like other bad input.
+        var stack = new Array[Byte](16)
         var depth = 0
         var i = i0
         while (i < n) {
@@ -250,6 +253,9 @@ object TextJson {
               i = e
             case c @ ('{' | '[') =>
               if (depth == maxNestingDepth) return -1
+              if (depth == stack.length)
+                stack = java.util.Arrays.copyOf(stack,
+                  math.min(stack.length * 2, maxNestingDepth))
               stack(depth) = c; depth += 1; i += 1
             case c @ ('}' | ']') =>
               depth -= 1

@@ -102,8 +102,10 @@ package object functions {
   /** Foldable numeric argument of a SQL call (n/salt of sign_projections).
     * Foldability is checked BEFORE eval: eval(null) on a column reference
     * throws an opaque unbound-attribute error instead of this message.
+    * Shared by both registration paths (this registry helper and
+    * GraftExtensions) — one definition, one behavior.
     */
-  private def litNum(e: Expression): Long = {
+  private[graft] def litNum(e: Expression): Long = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"expected a numeric literal argument, got non-literal $e")
     e.eval(null) match {

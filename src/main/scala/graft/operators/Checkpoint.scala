@@ -94,9 +94,20 @@ object Checkpoint {
     * (the snapshot-swap analog; a real Iceberg catalog makes the swap a
     * metadata commit). Batch replay stays idempotent afterwards: a
     * re-committed batch_id still dynamic-overwrites its own partitions.
+    *
+    * Crash anatomy: the staging write completes BEFORE the original is
+    * touched, so no crash point loses data — a kill between the remove
+    * and the rename leaves the full compacted copy at `<sink>
+    * .compact-staging` with the sink path briefly absent, and the next
+    * compactSink (or [[healCompaction]]) completes the swap before doing
+    * anything else. Readers racing the swap window see a missing path,
+    * not partial data — the same visibility gap any non-catalog
+    * directory swap has; a real Iceberg catalog closes it by making the
+    * swap a metadata commit.
     */
   def compactSink(spark: SparkSession, sinkPath: String,
                   maxRecordsPerFile: Long = 1L << 20): CompactStats = {
+    healCompaction(spark, sinkPath)
     val before = parquetFileCount(spark, sinkPath)
     val staging = sinkPath + ".compact-staging"
     val df = spark.read.parquet(sinkPath)
@@ -114,6 +125,18 @@ object Checkpoint {
       throw new java.io.IOException(
         s"compaction swap failed: data is intact at $staging")
     CompactStats(before, parquetFileCount(spark, sinkPath), rows)
+  }
+
+  /** Complete a compaction swap interrupted between remove and rename:
+    * if the sink path is gone but a finished staging copy exists, rename
+    * it in. Safe to call any time; no-op when the sink is healthy.
+    */
+  def healCompaction(spark: SparkSession, sinkPath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(sinkPath)
+    val staging = new org.apache.hadoop.fs.Path(sinkPath + ".compact-staging")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root) && fs.exists(staging)) fs.rename(staging, root)
+    else false
   }
 
   /** One resumable pipeline increment: filter past the ledger watermark,

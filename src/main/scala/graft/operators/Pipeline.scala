@@ -531,9 +531,13 @@ object Pipeline {
       .groupBy(col("db"), col("tbl"))
       .agg(min(struct(col("ts"), col("conv_id"), col("turn_idx"),
         flags.as("f"))).as("m"), anyAggs: _*)
+    // getField / backticked names, not "m.f."+k path strings: a drift
+    // key containing '.' would otherwise parse as a deeper field path
+    // and fail resolution
     aggd
       .select(col("db"), col("tbl"), explode(array(keys.map(k =>
-        when(col("any_" + k) && !col("m.f." + k), lit(k))): _*)).as("key"))
+        when(col(s"`any_$k`") &&
+          !col("m").getField("f").getField(k), lit(k))): _*)).as("key"))
       .filter(col("key").isNotNull)
       .withColumn("stmt",
         concat(lit("ALTER TABLE "), col("db"), lit("."), col("tbl"),

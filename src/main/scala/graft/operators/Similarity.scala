@@ -236,25 +236,31 @@ object Similarity {
     */
   def kmeansCentroids(emb: DataFrame, nCells: Int = 16,
                       iters: Int = 4): Array[Array[Long]] = {
+    // eager function (collect per iteration), so cache/unpersist is
+    // leak-free here: without it every Lloyd pass re-scans the source
+    // and re-runs the quantization projection
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
-    var cents: Array[Array[Long]] = q.filter(col("vec_id") < nCells)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getAs[scala.collection.Seq[Long]]("qe").toArray)
-    for (_ <- 0 until iters) {
-      val sums = q.withColumn("cell",
-          array_min(cellDists(cents)).getField("cell"))
-        .select(col("cell"), posexplode(col("qe")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("i")) =
-          r.getAs[Long]("s") / r.getAs[Long]("n")
+      .cache()
+    try {
+      var cents: Array[Array[Long]] = q.filter(col("vec_id") < nCells)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getAs[scala.collection.Seq[Long]]("qe").toArray)
+      for (_ <- 0 until iters) {
+        val sums = q.withColumn("cell",
+            array_min(cellDists(cents)).getField("cell"))
+          .select(col("cell"), posexplode(col("qe")).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getAs[Int]("cell"))(r.getAs[Int]("i")) =
+            r.getAs[Long]("s") / r.getAs[Long]("n")
+        }
+        cents = next
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally { q.unpersist(): Unit }
   }
 
   /** IVF ANN over the LEARNED k-means cells: same probe shape as

@@ -221,16 +221,10 @@ object TextOps {
                      budget: Int = 512, nShards: Int = 4): DataFrame = {
     val red = redactDocs(augment(gateDocs(docs, minAvgChars)))
     val sp = splitDocs(mixDocs(dropNearDups(red), mixPct))
-    // pack WITHIN (split, source): reuse packSequences unchanged by
-    // folding the split into its partition key, then unfolding after —
-    // sequences must never cross a split boundary
-    val packed = packSequences(
-      sp.withColumn("source", concat_ws("|", col("split"), col("source"))),
-      budget, nShards)
-    packed.select(col("doc_id"),
-      substring_index(col("source"), "|", -1).as("source"),
-      substring_index(col("source"), "|", 1).as("split"),
-      col("shard"), col("n_tokens"), col("bin"))
+    // pack WITHIN (split, source) — sequences must never cross a split
+    // boundary; both are real window-key columns (no delimiter folding)
+    packSequences(sp, budget, nShards, partitionCols = Seq("split", "source"))
+      .select("doc_id", "source", "split", "shard", "n_tokens", "bin")
   }
 
   // --------------------------------------------------------------- SimHash
@@ -368,23 +362,28 @@ object TextOps {
     * emitted as (shard, bin) pairs; a consumer concatenates within one
     * shard's bin, never across shards.
     */
-  def packSequences(docs: DataFrame, budget: Int = 512,
-                    nShards: Int = 4): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Int = 512, nShards: Int = 4,
+                    partitionCols: Seq[String] = Seq("source")): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val shard = (coalesce(poly_hash31(
       concat(lit("pack|"), col("doc_id").cast("string"))), lit(0L))
       % nShards).cast("int")
-    val w = Window.partitionBy(col("source"), col("shard"))
+    // `partitionCols` are REAL columns in the window key (the composed
+    // pipeline packs per (split, source)) — never fold several keys into
+    // one delimited string: a delimiter occurring in a value would
+    // corrupt the unfold and silently diverge from the oracle
+    val keyCols = partitionCols.map(col)
+    val w = Window.partitionBy(keyCols :+ col("shard"): _*)
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("source"), shard.as("shard"),
-        size(tokens).as("n_tokens"))
+    docs.select(col("doc_id") +: keyCols :+ shard.as("shard") :+
+        size(tokens).as("n_tokens"): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // `div`, not `/`: Column division promotes the BIGINT running sum
       // to double (exact only below 2^53); integral floor division stays
       // bit-identical to the oracle's `//` at any corpus size
-      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
-        expr(s"CAST((cum - n_tokens) DIV $budget AS INT)").as("bin"))
+      .select(col("doc_id") +: keyCols :+ col("shard") :+ col("n_tokens") :+
+        expr(s"CAST((cum - n_tokens) DIV $budget AS INT)").as("bin"): _*)
   }
 
   /** Source-level corpus gate — the C4/RefinedWeb-style step that drops

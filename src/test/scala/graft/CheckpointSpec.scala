@@ -100,6 +100,17 @@ class CheckpointSpec extends SparkSuite {
     // a crash-replay of batch 1 AFTER compaction still overwrites in place
     Checkpoint.commitBatch(routed, sink, ledger, 1L)
     assert(spark.read.parquet(sink).count() == 3 * n)
+
+    // crash-window recovery: simulate a kill between remove and rename
+    // (sink gone, finished staging copy present) — the next compact run
+    // completes the swap before doing anything else
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(sink),
+      new org.apache.hadoop.fs.Path(sink + ".compact-staging"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink)))
+    assert(Checkpoint.healCompaction(spark, sink))
+    assert(spark.read.parquet(sink).count() == 3 * n)
     routed.unpersist()
   }
 }

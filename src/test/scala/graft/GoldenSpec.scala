@@ -180,6 +180,21 @@ class GoldenSpec extends SparkSuite {
       Seq("ALTER TABLE test.student_address ADD pincode VARCHAR(255);"))
   }
 
+  test("keyed ALTER detection accepts dotted drift keys (JSON-path probe, no column-path crash)") {
+    // keyed drift keys are JSON paths (jval = get_json_object "$."+k), so
+    // "meta.extra" probes the NESTED meta.extra; the aggregate's derived
+    // column names must not re-parse the dots as field paths (backticks +
+    // getField — the naive "m.f."+k form threw at analysis)
+    val df = turns(
+      ("c1", 1, "user", """INS test.t {"_id":"a1","k":1}""", "tool_0", T),
+      ("c1", 2, "user",
+        """INS test.t {"_id":"a2","k":2,"meta":{"extra":"x"}}""",
+        "tool_0", "2024-01-01 10:05:00"))
+    val alters = Pipeline.ddlAlterTables(parsedValid(df), Seq("meta.extra"))
+      .select("stmt").collect().map(_.getString(0)).toSeq
+    assert(alters == Seq("ALTER TABLE test.t ADD meta.extra VARCHAR(255);"))
+  }
+
   test("nested diff.u value renders SET k = NULL, never bare JSON braces (r2 ADVICE)") {
     // the reference renderer has NO map case: its `?` placeholder survives
     // and shifts every later value one slot left (transformer.go:34-52) —

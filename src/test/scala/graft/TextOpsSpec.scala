@@ -169,15 +169,19 @@ class TextOpsSpec extends SparkSuite {
     // src_0: ten distinct 60-token docs + doc 11 an exact copy of doc 1
     // (the ladder must drop 11, keep 1); src_bad: tiny docs failing the
     // 300-avg-chars gate
+    // NOTE the '|' in the source name: pack partition keys are real
+    // columns, so delimiter characters in values must survive verbatim
     val rows =
       (1L to 10L).map(i => (i, (1 to 60).map(j => s"t${i}w$j").mkString(" "),
-        "en", "src_0", 300L)) ++
-      Seq((11L, (1 to 60).map(j => s"t1w$j").mkString(" "), "en", "src_0", 300L)) ++
+        "en", "src|0", 300L)) ++
+      Seq((11L, (1 to 60).map(j => s"t1w$j").mkString(" "), "en", "src|0", 300L)) ++
       (20L to 23L).map(i => (i, "tiny", "en", "src_bad", 4L))
     val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextOps.corpusPipeline(d, mixPct = lit(100))
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == (1L to 10L).toSet, s"got $ids") // 11 deduped, src_bad gated
+    assert(out.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("src|0"))
     // split column agrees with the standalone split op for every doc
     val want = TextOps.deterministicSplit(d)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
