@@ -69,9 +69,19 @@ object ExplainAudit {
     // exactly one join in the whole plan (candidates x broadcast probes),
     // no corpus x centroid cross join, no per-vector assignment window
     // (the r1 scale bug). WindowGroupLimit + one Window = the top-k only.
+    // Window is forbidden on the whole ANN serving tier: all of e2/e3/e6
+    // reduce per-query top-k through the heap-merge aggregator, so no
+    // plan may shuffle the full scored/candidate set into |queries|
+    // reducer partitions
     val e3 = SparkEntry.queries("e3_knn_ivf")(spark, sfDir)
     audit("e3_ivf", e3, Seq("BroadcastHashJoin"),
-      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+    audit("e2_lsh", SparkEntry.queries("e2_knn_lsh")(spark, sfDir),
+      Seq("ObjectHashAggregate"),
+      forbid = Seq("CartesianProduct", "Window"))
+    audit("e6_ivf_kmeans", SparkEntry.queries("e6_knn_ivfk")(spark, sfDir),
+      Seq("ObjectHashAggregate"),
+      forbid = Seq("CartesianProduct", "Window"))
 
     // e1 brute top-k: heap-merge aggregation (TopKAggregator) — ≤k rows
     // per (query, partition) through the exchange; a Window over the

@@ -55,10 +55,38 @@ object Similarity {
   private def dotCols(a: Column, b: Column): Column =
     graft.functions.dot_long(a, b)
 
+  /** Per-query top-k of a scored (qid, nid, dot) set via the typed
+    * heap-merge aggregator — map-side partial top-k per (query,
+    * partition), so ≤ k·tasks rows cross the exchange. The row_number
+    * window form shuffles EVERY scored row into |queries| reducer
+    * partitions — fatal once the scored set is a large corpus fraction
+    * (brute force scores all of it; LSH candidates are ~73% on the
+    * uniform corpus; IVF probes ~19%). Row-identical to the window form
+    * (ties by smaller nid), spec-asserted.
+    */
+  private def topKByDot(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val topK = new graft.functions.TopKAggregator(k).toColumn
+    scored.select(col("qid"), col("dot"), col("nid"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, d, n) => (d, n) }
+      .agg(topK.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((d, n), i) => (qid, n, d, i + 1) }
+      }
+      .toDF("qid", "nid", "dot", "rnk")
+  }
+
   /** Exact top-k by quantized dot product, brute force: broadcast the
     * query set (small) against the full corpus — one pass, no shuffle of
-    * the corpus side; the only exchange is the final per-query top-k
-    * (TakeOrdered-style via window over qid).
+    * the corpus side. The final per-query top-k here is the row_number
+    * WINDOW form — kept as the oracle-tier reference implementation (it
+    * mirrors the SQL oracle structurally); every serving-path op
+    * ([[knnBruteAgg]]/[[knnLsh]]/[[knnIvf]]/[[knnIvfKmeans]]) uses the
+    * heap-merge [[topKByDot]] instead, which is spec-asserted
+    * row-identical.
     */
   def knnBrute(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val corpus = emb.select(col("vec_id").as("nid"),
@@ -81,24 +109,14 @@ object Similarity {
     * results as [[knnBrute]] (asserted in SimilaritySpec).
     */
   def knnBruteAgg(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val corpus = emb.select(col("vec_id").as("nid"),
       quantized(col("embedding")).as("qe_n"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
-    val scored = corpus.crossJoin(broadcast(queries))
+    topKByDot(corpus.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), dotCols(col("qe_q"), col("qe_n")).as("dot"), col("nid"))
-      .as[(Long, Long, Long)]
-    val topK = new graft.functions.TopKAggregator(k).toColumn
-    scored.groupByKey(_._1)
-      .mapValues { case (_, d, n) => (d, n) }
-      .agg(topK.name("top"))
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case ((d, n), i) => (qid, n, d, i + 1) }
-      }
-      .toDF("qid", "nid", "dot", "rnk")
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: exact all-pairs quantized dot
@@ -193,13 +211,10 @@ object Similarity {
       .select(col("vid").as("qid"), col("qv").as("qe_q"),
         explode(filter(cellSeq, c =>
           element_at(col("rnks"), c + 1) < nProbe)).as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    topKByDot(assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("dot", dotCols(col("qe_q"), col("qe_n")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
   }
 
   // ------------------------------------------------ learned IVF (k-means)
@@ -282,13 +297,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("qe").as("qe_q"),
         explode(transform(slice(array_sort(col("dists")), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    topKByDot(assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("dot", dotCols(col("qe_q"), col("qe_n")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
   }
 
   /** Recall@k of the learned-centroid IVF vs brute force (e7). */
@@ -326,16 +338,12 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"))
       .distinct()
     val qe = base.select(col("vec_id"), col("qe"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dot").desc, col("nid"))
-    cand
+    topKByDot(cand
       .join(broadcast(qe.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("qe").as("qe_q"))), "qid")
       .join(qe.select(col("vec_id").as("nid"), col("qe").as("qe_n")), "nid")
-      .select(col("qid"), col("nid"), dotCols(col("qe_q"), col("qe_n")).as("dot"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("dot"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
   }
 
   /** Recall@k of the multi-probe LSH tier against exact brute force, as
