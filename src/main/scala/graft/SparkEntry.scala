@@ -316,6 +316,14 @@ object SparkEntry {
           === 0, lit(100)).otherwise(lit(25)))),
     "t10_seq_pack" -> ((s, dir) =>
       operators.TextOps.packSequences(t(s, dir, "documents"))),
+    // eval-set leakage guard: 3-gram overlap vs a deterministic eval
+    // carve-out; broadcast eval shingle set, corpus never shuffled
+    "t12_decontaminate" -> ((s, dir) =>
+      operators.TextOps.decontaminate(t(s, dir, "documents"))),
+    // KMV distinct-count sketch: the ESTIMATE is integer-exact
+    // cross-engine, so even the approximation is hash-checked
+    "d9_kmv_distinct" -> ((s, dir) =>
+      operators.TextOps.kmvDistinct(t(s, dir, "documents"))),
     // the END-TO-END composed pipeline (gate → synthetic-PII augment →
     // redact → ladder dedup → mix → split → pack), every stage the same
     // operator the standalone queries check — the oracle chains the same
@@ -661,6 +669,8 @@ object SparkEntry {
     "t11_corpus_pipeline" -> TextOracles.corpusPipelineSql(),
     "t9_data_mix" -> TextOracles.mixSql,
     "t10_seq_pack" -> TextOracles.seqPackSql(),
+    "t12_decontaminate" -> TextOracles.decontaminateSql(),
+    "d9_kmv_distinct" -> TextOracles.kmvSql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),
     "t8_rep_signal" -> TextOracles.repSignalSql,
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),

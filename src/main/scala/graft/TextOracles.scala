@@ -312,6 +312,56 @@ SELECT doc_id, source, split, shard, n_tokens,
 FROM packed"""
   }
 
+  /** t12: benchmark decontamination — eval set = doc_id ≡ 3 mod 29, a
+    * training doc is contaminated when ≥ minHits of its distinct 3-gram
+    * shingles appear anywhere in the eval set. Mirror of
+    * TextOps.decontaminate (same shingle CTE, same polyhash join key,
+    * same left-join-from-docs so shingle-less docs report 0/0/clean).
+    */
+  def decontaminateSql(minHits: Int = 3): String =
+    s"""WITH ${shingleCtes()},
+phs AS (SELECT doc_id, ${ph("shingle")} AS ph FROM sh),
+ev AS (SELECT DISTINCT ph, 1 AS hit FROM phs WHERE doc_id % 29 = 3),
+st AS (
+  SELECT c.doc_id, count(*) AS n_sh, count(ev.hit) AS n_hits
+  FROM phs c LEFT JOIN ev USING (ph)
+  WHERE c.doc_id % 29 <> 3
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+  COALESCE(st.n_sh, 0) AS n_sh,
+  COALESCE(st.n_hits, 0) AS n_hits,
+  COALESCE(st.n_hits, 0) >= $minHits AS contaminated
+FROM documents d LEFT JOIN st USING (doc_id)
+WHERE d.doc_id % 29 <> 3"""
+
+  /** d9: per-source KMV distinct-token sketch — mirror of
+    * TextOps.kmvDistinct (including the Knuth multiplicative finalizer
+    * that de-clusters polynomial hashes of similar tokens). The k
+    * smallest distinct token hashes per source via row_number; the
+    * estimate's integer division (`//`) equals the JVM's `/` on positive
+    * longs, so the estimate itself hash-matches.
+    */
+  def kmvSql(k: Int = 64): String = {
+    val num = (k - 1).toLong * P31
+    val mul = graft.functions.VectorOps.HashMul
+    s"""WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT DISTINCT source,
+  (${ph("'kmv|' || tok")} * $mul) % $P31 AS h FROM toks),
+r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+    count(*) OVER (PARTITION BY source) AS nd
+  FROM h)
+SELECT source,
+  CAST(least(max(nd), $k) AS INT) AS n_mins,
+  CASE WHEN max(nd) >= $k THEN max(CASE WHEN rn = $k THEN h END)
+       ELSE CAST(-1 AS BIGINT) END AS kth_min,
+  CASE WHEN max(nd) >= $k THEN $num // max(CASE WHEN rn = $k THEN h END)
+       ELSE max(nd) END AS est_distinct
+FROM r GROUP BY source"""
+  }
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

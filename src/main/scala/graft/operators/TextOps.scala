@@ -487,4 +487,95 @@ object TextOps {
     docs.select(col("doc_id"), col("lang"),
       best._1.as("guess"), best._2.as("marker_hits"))
   }
+
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag every training document that shares
+    * ≥ `minHits` distinct word 3-gram shingles with the evaluation set —
+    * the standard guard against test-set leakage into training data (the
+    * n-gram overlap rule of GPT-3 appx. C / PaLM / Llama data cards). The
+    * eval set here is carved deterministically from the corpus
+    * (doc_id ≡ 3 mod 29, ~3%) so the check is self-contained and
+    * oracle-able; in production it would be the benchmark suite read from
+    * its own table — same plan shape.
+    *
+    * Scale shape: the eval shingle-hash set is tiny (benchmarks are MBs
+    * even when the corpus is 100 TB) → broadcast it; the corpus explodes
+    * to shingle hashes ONCE, marks membership via the broadcast LEFT OUTER
+    * join (no corpus shuffle), and one partial-aggregated groupBy(doc_id)
+    * reduces to per-doc counts. Output: every non-eval doc with its
+    * shingle count, overlap count, and the contamination verdict.
+    */
+  def decontaminate(docs: DataFrame, minHits: Int = 3): DataFrame = {
+    val isEval = col("doc_id") % 29 === 3
+    // shingles3 output is already distinct per doc, so count(*) per doc
+    // below counts distinct shingles
+    val sh = docs.select(col("doc_id"),
+        explode(shingles3(tokens)).as("shingle"))
+      .select(col("doc_id"), poly_hash31(col("shingle")).as("ph"))
+    val evalSet = sh.filter(isEval).select(col("ph")).distinct()
+      .withColumn("hit", lit(1))
+    val stats = sh.filter(!isEval)
+      .join(broadcast(evalSet), Seq("ph"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hits"))
+    // left join from the full doc list: a doc too short to shingle still
+    // reports (0, 0, clean) instead of vanishing
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  // ------------------------------------------------------------- KMV sketch
+
+  /** Per-source distinct-token estimate via the k-minimum-values sketch:
+    * hash every token occurrence, keep the k smallest distinct hashes per
+    * source ([[graft.functions.MinKAggregator]] — ≤ k longs per (source,
+    * partition) cross the exchange), estimate |distinct| as
+    * (k-1)·P31 / h_k. Exact count(DISTINCT tok) shuffles every distinct
+    * token; the sketch's exchange is KBs at any corpus size, with ~1/√k
+    * relative error (±12% at k=64). Saturated sources estimate through
+    * h_k; sources with < k distinct hashes report their exact count
+    * (kth_min = -1 sentinel).
+    *
+    * All arithmetic is exact int64 (JVM integer division here, `//` in the
+    * DuckDB oracle — identical on positive operands), so even the
+    * ESTIMATE is cross-engine hash-checkable.
+    *
+    * The token hash is polyhash31 followed by a Knuth multiplicative
+    * finalizer mod P31. The finalizer is NOT optional: similar tokens
+    * (shared prefix, same length) differ only in low powers of B under a
+    * polynomial hash, so raw polyhash CLUSTERS them and the k-th minimum
+    * lands wherever the lowest cluster happens to sit — measured estimate
+    * 29 for a true 500 in the spec corpus. Multiplying by a large odd
+    * constant mod the same prime spreads small deltas across the full
+    * range (universal-hash step), restoring the ~1/√k error bound. Max
+    * operand (P31-1)·HashMul ≈ 5.7e18 < 2^63.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val th = docs.select(col("source"), explode(tokens).as("tok"))
+      .select(col("source"),
+        (poly_hash31(concat(lit("kmv|"), col("tok")))
+          * graft.functions.VectorOps.HashMul % P31).as("h"))
+    val minK = new graft.functions.MinKAggregator(k).toColumn
+    th.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(minK.name("mins"))
+      .map { case (source, mins) =>
+        if (mins.length >= k) {
+          // mins is sorted ascending and distinct: h_k = last; h_k > 0
+          // because k >= 2 distinct non-negative values
+          val kth = mins.last
+          (source, mins.length, kth, (k - 1).toLong * P31 / kth)
+        } else (source, mins.length, -1L, mins.length.toLong)
+      }
+      .toDF("source", "n_mins", "kth_min", "est_distinct")
+  }
 }

@@ -238,6 +238,56 @@ class TextOpsSpec extends SparkSuite {
     assert(short.select(explode(graft.functions.shingles3(split(col("text"), " ")))).count() == 0)
   }
 
+  test("decontaminate: eval-overlap threshold, clean docs pass, shingle-less docs survive") {
+    // doc_id % 29 == 3 is the eval carve-out: id 3 is eval here
+    val evalText = (1 to 10).map(i => s"e$i").mkString(" ")
+    val d = docs(
+      3L -> evalText,                                        // eval member
+      1L -> evalText,                                        // full copy: 8/8 hits
+      2L -> (1 to 10).map(i => s"z$i").mkString(" "),        // disjoint: 0 hits
+      4L -> ("e1 e2 e3 e4 " + (1 to 6).map(i => s"y$i").mkString(" ")), // 2 hits < 3
+      5L -> "one two")                                       // no shingles at all
+    val got = TextOps.decontaminate(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 5L)) // eval doc 3 excluded from output
+    assert(got(1L) == ((8L, 8L, true)))
+    assert(got(2L) == ((8L, 0L, false)))
+    assert(got(4L) == ((8L, 2L, false)))
+    assert(got(5L) == ((0L, 0L, false)))
+    // scale shape: the eval shingle set joins back via BROADCAST — the
+    // corpus side is never shuffled for the membership mark
+    val plan = TextOps.decontaminate(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("kmvDistinct: unsaturated sources exact, saturated estimate self-consistent and bounded") {
+    import org.apache.spark.sql.functions.{col, when}
+    // srcSmall: 5 distinct tokens repeated (duplicates must not fill slots)
+    // srcBig: 500 distinct tokens, saturates k=16
+    val small = (1L to 3L).map(i => i -> "a b c d e a b c")
+    val big = (10L to 19L).map(i =>
+      i -> (0 until 50).map(j => s"tok${(i - 10) * 50 + j}").mkString(" "))
+    val d = docs(small ++ big: _*)
+      .withColumn("source",
+        when(col("doc_id") < 10L, "srcSmall").otherwise("srcBig"))
+    val k = 16
+    val got = TextOps.kmvDistinct(d, k).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // unsaturated: exact distinct count, -1 sentinel
+    assert(got("srcSmall") == ((5, -1L, 5L)))
+    // saturated: n_mins == k, estimate == (k-1)*P31/h_k and within 2x of
+    // the true 500 (k=16 gives ~25% relative error; 2x is a safe band)
+    val (nMins, kth, est) = got("srcBig")
+    assert(nMins == k && kth > 0L)
+    assert(est == (k - 1).toLong * TextHashes.P31 / kth)
+    assert(est > 250L && est < 1000L, s"estimate $est far from 500")
+    // deterministic across runs
+    assert(TextOps.kmvDistinct(d, k).collect().toSeq ==
+      TextOps.kmvDistinct(d, k).collect().toSeq)
+  }
+
   test("kernel edge semantics: null-array shingles -> empty; dot_long mismatch/null-element -> NULL") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
