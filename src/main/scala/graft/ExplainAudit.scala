@@ -111,6 +111,24 @@ object ExplainAudit {
       Seq("BroadcastHashJoin", "LeftSemi"),
       forbid = Seq("SortMergeJoin", "CartesianProduct"))
 
+    // t12 decontamination: the eval shingle-hash set (benchmark-sized —
+    // MBs at any corpus scale) is marked onto the corpus's shingle pass
+    // via BROADCAST; the only corpus-wide exchanges are the groupBy(doc_id)
+    // count reductions. No product join may appear.
+    audit("t12_decontaminate",
+      SparkEntry.queries("t12_decontaminate")(spark, sfDir),
+      Seq("BroadcastHashJoin", "HashAggregate"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // d9 KMV sketch: the typed MinK aggregator must run partial+final
+    // (ObjectHashAggregate both sides of the exchange) so only ≤k longs
+    // per (source, partition) cross it — never a per-key Window sort of
+    // the full token-hash stream
+    audit("d9_kmv_distinct",
+      SparkEntry.queries("d9_kmv_distinct")(spark, sfDir),
+      Seq("ObjectHashAggregate"),
+      forbid = Seq("Window", "CartesianProduct"))
+
     spark.stop()
   }
 }
