@@ -77,18 +77,21 @@ object ExplainAudit {
     audit("e3_ivf", e3, Seq("BroadcastHashJoin"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
     audit("e2_lsh", SparkEntry.queries("e2_knn_lsh")(spark, sfDir),
-      Seq("ObjectHashAggregate"),
+      Seq("ObjectHashAggregate", "partial_topkaggregator"),
       forbid = Seq("CartesianProduct", "Window"))
     audit("e6_ivf_kmeans", SparkEntry.queries("e6_knn_ivfk")(spark, sfDir),
-      Seq("ObjectHashAggregate"),
+      Seq("ObjectHashAggregate", "partial_topkaggregator"),
       forbid = Seq("CartesianProduct", "Window"))
 
     // e1 brute top-k: heap-merge aggregation (TopKAggregator) — ≤k rows
-    // per (query, partition) through the exchange; a Window over the
-    // scored cross join would shuffle the FULL scored set into |queries|
-    // reducer partitions (the r2 verdict's remaining scale hole)
+    // per (query, partition) through the exchange (partial_topkaggregator
+    // = the map-side half; a final-only aggregate would be exactly the
+    // full-scored-set shuffle this form exists to avoid); a Window over
+    // the scored cross join would shuffle the FULL scored set into
+    // |queries| reducer partitions (the r2 verdict's remaining scale hole)
     val e1 = SparkEntry.queries("e1_knn_brute")(spark, sfDir)
-    audit("e1_brute_topk", e1, Seq("ObjectHashAggregate"),
+    audit("e1_brute_topk", e1,
+      Seq("ObjectHashAggregate", "partial_topkaggregator"),
       forbid = Seq("Window", "CartesianProduct"))
 
     // q20 as-of: union-merge window form — no join at all, one exchange
@@ -111,22 +114,23 @@ object ExplainAudit {
       Seq("BroadcastHashJoin", "LeftSemi"),
       forbid = Seq("SortMergeJoin", "CartesianProduct"))
 
-    // t12 decontamination: the eval shingle-hash set (benchmark-sized —
-    // MBs at any corpus scale) is marked onto the corpus's shingle pass
-    // via BROADCAST; the only corpus-wide exchanges are the groupBy(doc_id)
-    // count reductions. No product join may appear.
+    // t12 decontamination: the eval shingle-hash set (benchmark-sized in
+    // production) marks hits via a broadcast INNER join on the corpus's
+    // one shingle pass; only hit rows reach the groupBy(doc_id), which
+    // must combine map-side (partial_count) before its exchange. No
+    // product join may appear.
     audit("t12_decontaminate",
       SparkEntry.queries("t12_decontaminate")(spark, sfDir),
-      Seq("BroadcastHashJoin", "HashAggregate"),
+      Seq("BroadcastHashJoin", "partial_count"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
-    // d9 KMV sketch: the typed MinK aggregator must run partial+final
-    // (ObjectHashAggregate both sides of the exchange) so only ≤k longs
-    // per (source, partition) cross it — never a per-key Window sort of
-    // the full token-hash stream
+    // d9 KMV sketch: the typed MinK aggregator must run partial+final —
+    // `partial_minkaggregator` is the map-side half; without it a
+    // final-only ObjectHashAggregate would shuffle the full token-hash
+    // stream instead of ≤k longs per (source, partition)
     audit("d9_kmv_distinct",
       SparkEntry.queries("d9_kmv_distinct")(spark, sfDir),
-      Seq("ObjectHashAggregate"),
+      Seq("ObjectHashAggregate", "partial_minkaggregator"),
       forbid = Seq("Window", "CartesianProduct"))
 
     spark.stop()

@@ -317,7 +317,9 @@ object SparkEntry {
     "t10_seq_pack" -> ((s, dir) =>
       operators.TextOps.packSequences(t(s, dir, "documents"))),
     // eval-set leakage guard: 3-gram overlap vs a deterministic eval
-    // carve-out; broadcast eval shingle set, corpus never shuffled
+    // carve-out (oracle stand-in for the benchmark-sized production
+    // suite); broadcast eval shingle set, n_sh in-row, corpus never
+    // the shuffled side
     "t12_decontaminate" -> ((s, dir) =>
       operators.TextOps.decontaminate(t(s, dir, "documents"))),
     // KMV distinct-count sketch: the ESTIMATE is integer-exact

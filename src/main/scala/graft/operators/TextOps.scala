@@ -493,38 +493,45 @@ object TextOps {
   /** Benchmark decontamination: flag every training document that shares
     * ≥ `minHits` distinct word 3-gram shingles with the evaluation set —
     * the standard guard against test-set leakage into training data (the
-    * n-gram overlap rule of GPT-3 appx. C / PaLM / Llama data cards). The
-    * eval set here is carved deterministically from the corpus
-    * (doc_id ≡ 3 mod 29, ~3%) so the check is self-contained and
-    * oracle-able; in production it would be the benchmark suite read from
-    * its own table — same plan shape.
+    * n-gram overlap rule of GPT-3 appx. C / PaLM / Llama data cards).
     *
-    * Scale shape: the eval shingle-hash set is tiny (benchmarks are MBs
-    * even when the corpus is 100 TB) → broadcast it; the corpus explodes
-    * to shingle hashes ONCE, marks membership via the broadcast LEFT OUTER
-    * join (no corpus shuffle), and one partial-aggregated groupBy(doc_id)
-    * reduces to per-doc counts. Output: every non-eval doc with its
-    * shingle count, overlap count, and the contamination verdict.
+    * `evalDocs` is the benchmark suite — a table with `text` — and the
+    * broadcast of its distinct shingle hashes is the load-bearing scale
+    * assumption: eval suites are MBs even when the corpus is 100 TB.
+    * The default (None) carves eval deterministically from the corpus
+    * (doc_id ≡ 3 mod 29, ~3%) so the driver query is self-contained and
+    * oracle-able; that carve-out SCALES WITH THE CORPUS, so the forced
+    * broadcast is only safe for it at test scale — production callers
+    * must pass the real (benchmark-sized) suite.
+    *
+    * Scale shape: the corpus explodes to shingle hashes ONCE; n_sh needs
+    * no aggregation at all (size(shingles3) in-row — the t8 pattern);
+    * hit marking is an INNER join against the broadcast eval set, so
+    * only hit rows (≈ contaminated docs × overlap, tiny for a clean
+    * corpus) reach the groupBy(doc_id), and the resulting hit-stats
+    * relation is small enough for AQE to broadcast back. The corpus is
+    * never the shuffled side of anything. Output: every training doc
+    * with its shingle count, overlap count, and the verdict — docs too
+    * short to shingle report (0, 0, clean) instead of vanishing.
     */
-  def decontaminate(docs: DataFrame, minHits: Int = 3): DataFrame = {
+  def decontaminate(docs: DataFrame, minHits: Int = 3,
+                    evalDocs: Option[DataFrame] = None): DataFrame = {
     val isEval = col("doc_id") % 29 === 3
-    // shingles3 output is already distinct per doc, so count(*) per doc
-    // below counts distinct shingles
-    val sh = docs.select(col("doc_id"),
-        explode(shingles3(tokens)).as("shingle"))
+    val train = evalDocs.map(_ => docs).getOrElse(docs.filter(!isEval))
+    def shOf(d: DataFrame) = d
+      .select(col("doc_id"), explode(shingles3(tokens)).as("shingle"))
       .select(col("doc_id"), poly_hash31(col("shingle")).as("ph"))
-    val evalSet = sh.filter(isEval).select(col("ph")).distinct()
-      .withColumn("hit", lit(1))
-    val stats = sh.filter(!isEval)
-      .join(broadcast(evalSet), Seq("ph"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hits"))
-    // left join from the full doc list: a doc too short to shingle still
-    // reports (0, 0, clean) instead of vanishing
-    docs.filter(!isEval).select(col("doc_id"))
-      .join(stats, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+    val evalSet = shOf(evalDocs.getOrElse(docs.filter(isEval)))
+      .select(col("ph")).distinct()
+    // shingles3 is distinct per doc, so the inner-join row count per doc
+    // is exactly the number of shared distinct shingles
+    val hits = shOf(train)
+      .join(broadcast(evalSet), Seq("ph"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col("doc_id"), size(shingles3(tokens)).cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }

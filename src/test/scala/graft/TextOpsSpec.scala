@@ -259,6 +259,13 @@ class TextOpsSpec extends SparkSuite {
     // corpus side is never shuffled for the membership mark
     val plan = TextOps.decontaminate(d).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // production path: an explicit benchmark table — ALL corpus docs are
+    // training then, including ids the carve-out would have claimed
+    val evalTbl = docs(100L -> evalText)
+    val ext = TextOps.decontaminate(d, evalDocs = Some(evalTbl)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(ext.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ext(1L) && ext(3L) && !ext(2L) && !ext(4L) && !ext(5L))
   }
 
   test("kmvDistinct: unsaturated sources exact, saturated estimate self-consistent and bounded") {
