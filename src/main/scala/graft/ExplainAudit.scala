@@ -124,6 +124,15 @@ object ExplainAudit {
       Seq("BroadcastHashJoin", "partial_count"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // d1 exact dedup: keep-first via two-phase min(doc_id) aggregate —
+    // map-side partial_min absorbs a boilerplate fingerprint duplicated
+    // millions of times; a row_number window would sort that key's whole
+    // partition on one reducer
+    audit("d1_exact_dedup",
+      SparkEntry.queries("d1_dedup_exact")(spark, sfDir),
+      Seq("partial_min"),
+      forbid = Seq("Window", "CartesianProduct"))
+
     // d9 KMV sketch: the typed MinK aggregator must run partial+final —
     // `partial_minkaggregator` is the map-side half; without it a
     // final-only ObjectHashAggregate would shuffle the full token-hash

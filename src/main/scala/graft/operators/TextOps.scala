@@ -27,15 +27,24 @@ object TextOps {
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: content fingerprint (sha256) → keep-first by doc_id.
-    * At scale: groupBy(fingerprint) shuffles only (hash, doc_id) pairs —
-    * project before shuffling; never shuffle full text.
+    * At scale: only (hash, doc_id) pairs are ever shuffled — project
+    * before shuffling; never shuffle full text.
+    *
+    * Keep-first is a two-phase min(doc_id) aggregate joined back, NOT a
+    * row_number window over fingerprint: web corpora duplicate boilerplate
+    * pages millions of times, and a window must sort each fingerprint's
+    * entire partition on ONE reducer (the skew cliff the DDL first-seen
+    * path already retired). The aggregate combines the hot key map-side,
+    * and the join back is AQE-skew-splittable because the build side
+    * carries one row per fingerprint. Semantics identical (smallest
+    * doc_id survives); the oracle keeps its window form.
     */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    docs.select(col("doc_id"), sha2(col("text"), 256).as("fingerprint"))
-      .withColumn("rn", row_number().over(w))
+    val fp = docs.select(col("doc_id"), sha2(col("text"), 256).as("fingerprint"))
+    val first = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+    fp.join(first, Seq("fingerprint"))
       .select(col("doc_id"), col("fingerprint"),
-        (col("rn") > 1).as("is_duplicate"))
+        (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
   }
 
   // ---------------------------------------------------------- n-gram jaccard
