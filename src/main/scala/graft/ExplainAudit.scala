@@ -124,6 +124,22 @@ object ExplainAudit {
       Seq("BroadcastHashJoin", "partial_count"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // t13 per-source sample: MinK thresholds (partial+final) broadcast
+    // back as a per-row filter — never a per-source ORDER BY/window
+    audit("t13_sample_source",
+      SparkEntry.queries("t13_sample_source")(spark, sfDir),
+      Seq("BroadcastHashJoin", "partial_minkaggregator"),
+      forbid = Seq("Window", "CartesianProduct"))
+
+    // t14 unigram quality: vocab top-V must be TakeOrderedAndProject
+    // (per-partition heaps, V rows to the driver — not Sort->Limit over
+    // the whole frequency table), the vocab joins broadcast, and the
+    // per-doc groupBy combines map-side
+    audit("t14_unigram_quality",
+      SparkEntry.queries("t14_unigram_quality")(spark, sfDir),
+      Seq("TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "GlobalLimit"))
+
     // d1 exact dedup: keep-first via two-phase min(doc_id) aggregate —
     // map-side partial_min absorbs a boilerplate fingerprint duplicated
     // millions of times; a row_number window would sort that key's whole

@@ -326,6 +326,16 @@ object SparkEntry {
     // cross-engine, so even the approximation is hash-checked
     "d9_kmv_distinct" -> ((s, dir) =>
       operators.TextOps.kmvDistinct(t(s, dir, "documents"))),
+    // deterministic ~k-per-source sample: MinK thresholds broadcast
+    // back as a per-row filter — no per-source sort/window anywhere.
+    // k=10 < the 25 docs/source at sf0.01, so the threshold filter
+    // actually downselects at every driver scale
+    "t13_sample_source" -> ((s, dir) =>
+      operators.TextOps.samplePerSource(t(s, dir, "documents"), k = 10)),
+    // unigram LM quality: top-V vocab (TakeOrdered) broadcast, per-doc
+    // integer-quantized logprob — even the score is hash-checked
+    "t14_unigram_quality" -> ((s, dir) =>
+      operators.TextOps.unigramQuality(t(s, dir, "documents"))),
     // the END-TO-END composed pipeline (gate → synthetic-PII augment →
     // redact → ladder dedup → mix → split → pack), every stage the same
     // operator the standalone queries check — the oracle chains the same
@@ -673,6 +683,8 @@ object SparkEntry {
     "t10_seq_pack" -> TextOracles.seqPackSql(),
     "t12_decontaminate" -> TextOracles.decontaminateSql(),
     "d9_kmv_distinct" -> TextOracles.kmvSql(),
+    "t13_sample_source" -> TextOracles.samplePerSourceSql(k = 10),
+    "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),
     "t8_rep_signal" -> TextOracles.repSignalSql,
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),

@@ -362,6 +362,54 @@ SELECT source,
 FROM r GROUP BY source"""
   }
 
+  /** t13: deterministic ~k-per-source sample — mirror of
+    * TextOps.samplePerSource. Threshold = the source's k-th smallest
+    * DISTINCT finalized doc_id hash (MaxValue when the source has fewer
+    * than k docs); the sample is every doc at or below it.
+    */
+  def samplePerSourceSql(k: Int = 25): String = {
+    val mul = graft.functions.VectorOps.HashMul
+    s"""WITH h AS (
+  SELECT source, doc_id,
+    (${ph("'smp|' || CAST(doc_id AS VARCHAR)")} * $mul) % $P31 AS h
+  FROM documents),
+d AS (SELECT DISTINCT source, h AS dh FROM h),
+r AS (
+  SELECT source, dh,
+    row_number() OVER (PARTITION BY source ORDER BY dh) AS rn,
+    count(*) OVER (PARTITION BY source) AS nd
+  FROM d),
+th AS (
+  SELECT source,
+    CASE WHEN max(nd) >= $k THEN max(CASE WHEN rn = $k THEN dh END)
+         ELSE 9223372036854775807 END AS th
+  FROM r GROUP BY source)
+SELECT h.doc_id, h.source, h.h
+FROM h JOIN th USING (source)
+WHERE h.h <= th.th"""
+  }
+
+  /** t14: unigram LM quality — mirror of TextOps.unigramQuality. The
+    * per-token logprob is length(bin(cnt)) (integer ⌊log₂⌋+1, identical
+    * in both engines); DuckDB's integer sum widens to HUGEINT so it is
+    * CAST back to BIGINT; `div`/`//` agree on positive operands.
+    */
+  def unigramQualitySql(vocabSize: Int = 256): String =
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, cnt FROM freq
+  ORDER BY cnt DESC, ${ph("tok")} ASC, tok ASC LIMIT $vocabSize),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_tok, count(v.cnt) AS n_invocab,
+    CAST(COALESCE(sum(length(bin(v.cnt))), 0) AS BIGINT) AS logprob_sum
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tok, n_invocab, logprob_sum,
+  (100 * logprob_sum) // n_tok AS score_x100
+FROM scored"""
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

@@ -594,4 +594,83 @@ object TextOps {
       }
       .toDF("source", "n_mins", "kth_min", "est_distinct")
   }
+
+  // ----------------------------------------------------- per-source sampling
+
+  /** Deterministic ~k-per-source uniform sample via consistent hashing:
+    * keep every doc whose finalized doc_id hash is ≤ the source's k-th
+    * smallest distinct hash. The standard way to carve inspection / eval
+    * / holdout samples at corpus scale — reproducible across runs,
+    * engines, and re-partitions (no RNG state), and stable under corpus
+    * growth (a doc's membership only changes if the threshold moves).
+    *
+    * Scale shape: one [[graft.functions.MinKAggregator]] pass computes
+    * per-source thresholds (≤ k longs per (source, partition) cross the
+    * exchange — same reducer as d9), the tiny (source, threshold) table
+    * broadcasts back, and the sample is a per-row filter. No corpus-wide
+    * sort anywhere; `ORDER BY hash LIMIT k` per source would be a
+    * row_number window — the d1/DDL skew cliff again. Sources with < k
+    * docs keep everything (threshold = MaxValue). Hash-collision ties
+    * (~n²/2P₃₁ docs) keep BOTH docs, so the sample size is ≥ k by at
+    * most the collision count — the oracle mirrors the same ≤-threshold
+    * rule exactly.
+    */
+  def samplePerSource(docs: DataFrame, k: Int = 25): DataFrame = {
+    require(k >= 2, s"samplePerSource needs k >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.select(col("source"), col("doc_id"),
+      (poly_hash31(concat(lit("smp|"), col("doc_id").cast("string")))
+        * graft.functions.VectorOps.HashMul % P31).as("h"))
+    val minK = new graft.functions.MinKAggregator(k).toColumn
+    val thresholds = hashed.select(col("source"), col("h")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(minK.name("mins"))
+      .map { case (source, mins) =>
+        (source, if (mins.length >= k) mins.last else Long.MaxValue)
+      }
+      .toDF("source", "th")
+    hashed.join(broadcast(thresholds), Seq("source"))
+      .filter(col("h") <= col("th"))
+      .select(col("doc_id"), col("source"), col("h"))
+  }
+
+  // ---------------------------------------------------- unigram LM quality
+
+  /** CCNet/Gopher-style unigram language-model quality signal: score each
+    * document by how much of it is made of high-frequency corpus tokens.
+    * A corpus-wide token-frequency table is built, the top `vocabSize`
+    * tokens become the model vocabulary, and each doc reports its token
+    * count, in-vocabulary token count, and a quantized log-probability
+    * sum — the per-token "logprob" is length(bin(count)) =
+    * ⌊log₂ count⌋+1, a PURE-INTEGER quantization, so the score is exact
+    * cross-engine (a float log₂ would hash-mismatch at the ulp level).
+    * score_x100 = 100·logprob_sum div n_tok is the per-token average;
+    * gibberish/rare-token docs score low, natural text scores high.
+    *
+    * Scale shape: the frequency build is one two-phase hash aggregate
+    * whose exchange is vocabulary-sized (how every LM vocab is built);
+    * top-V is TakeOrderedAndProject — never a global sort — with the
+    * deterministic tie-break (cnt desc, token hash, token); the tiny
+    * vocab broadcasts; scoring is a map-side join + one partial-agged
+    * groupBy(doc_id) whose exchange is ~1 row per doc. The corpus is
+    * never the shuffled side of a join.
+    */
+  def unigramQuality(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = freq
+      .orderBy(col("cnt").desc, poly_hash31(col("tok")).asc, col("tok").asc)
+      .limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        count(col("cnt")).as("n_invocab"),
+        coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("logprob_sum"))
+      .select(col("doc_id"), col("n_tok"), col("n_invocab"),
+        col("logprob_sum"),
+        expr("(100 * logprob_sum) div n_tok").as("score_x100"))
+  }
 }

@@ -295,6 +295,53 @@ class TextOpsSpec extends SparkSuite {
       TextOps.kmvDistinct(d, k).collect().toSeq)
   }
 
+  test("samplePerSource: ~k per saturated source, everything from small sources, deterministic and threshold-consistent") {
+    import org.apache.spark.sql.functions.{col, when}
+    // srcBig: 200 docs (saturates k=10); srcSmall: 4 docs (all kept)
+    val d = docs((1L to 204L).map(i => i -> s"doc $i"): _*)
+      .withColumn("source",
+        when(col("doc_id") <= 200L, "srcBig").otherwise("srcSmall"))
+    val k = 10
+    val got = TextOps.samplePerSource(d, k).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val bySrc = got.groupBy(_._1)
+    // small source: all 4 docs survive
+    assert(bySrc("srcSmall").map(_._2).toSet == Set(201L, 202L, 203L, 204L))
+    // big source: exactly k docs unless hashes collide (none in 200 docs
+    // here), and every kept hash <= every dropped hash
+    val keptBig = bySrc("srcBig")
+    assert(keptBig.length == k, s"got ${keptBig.length}")
+    assert(keptBig.map(_._3).max < Long.MaxValue)
+    // deterministic across runs
+    assert(TextOps.samplePerSource(d, k).collect().toSeq.sortBy(_.getLong(0)) ==
+      TextOps.samplePerSource(d, k).collect().toSeq.sortBy(_.getLong(0)))
+    // scale shape: thresholds broadcast back; no Window node anywhere
+    val plan = TextOps.samplePerSource(d, k).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("Window"), plan)
+  }
+
+  test("unigramQuality: common-token docs outscore rare-token docs; exact quantized arithmetic") {
+    // 'the' appears 12x, 'cat'/'dog' 6x each, z* tokens once each.
+    // vocabSize=3 -> vocab = {the:12, cat:6, dog:6} (hash tie-break on
+    // the 6s, both still in)
+    val d = docs(
+      1L -> "the cat the dog the cat the dog the cat the dog",  // all in-vocab
+      2L -> "the cat the dog the cat the dog the cat the dog",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")           // none in-vocab
+    val got = TextOps.unigramQuality(d, vocabSize = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc1: 12 tokens, all in vocab; logprob = 6*len(bin(12)) + 3*len(bin(6))*2
+    //     = 6*4 + 6*3 = 42; score = 4200 div 12 = 350
+    assert(got(1L) == ((12L, 12L, 42L, 350L)))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((12L, 0L, 0L, 0L)))
+    // scale shape: vocab via TakeOrdered (no global Sort->Limit), corpus
+    // joined broadcast
+    val qe = TextOps.unigramQuality(d, 3).queryExecution.executedPlan.toString
+    assert(qe.contains("TakeOrderedAndProject") && qe.contains("BroadcastHashJoin"), qe)
+  }
+
   test("kernel edge semantics: null-array shingles -> empty; dot_long mismatch/null-element -> NULL") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
