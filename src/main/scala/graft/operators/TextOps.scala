@@ -547,6 +547,30 @@ object TextOps {
 
   // ------------------------------------------------------------- KMV sketch
 
+  /** Finalized uniform hash shared by the KMV sketch (d9) and the
+    * per-source sampler (t13): polyhash31 of a salted string, spread by
+    * the Knuth multiplicative finalizer mod P31 (see kmvDistinct's
+    * Scaladoc for why the finalizer is load-bearing). NULL input hashes
+    * to 0 — the same value the DuckDB oracle's ph() COALESCE produces,
+    * so a null doc_id degrades identically in both engines instead of
+    * crashing the non-nullable Long encoder.
+    */
+  private def finalizedHash(salt: String, c: Column): Column =
+    coalesce(poly_hash31(concat(lit(salt), c))
+      * graft.functions.VectorOps.HashMul % P31, lit(0L))
+
+  /** The k smallest DISTINCT hashes per key — the shared reducer of d9
+    * and t13. ≤ k longs per (key, partition) cross the exchange
+    * (partial+final typed aggregation, audited `partial_minkaggregator`).
+    */
+  private def minKByKey(kv: org.apache.spark.sql.Dataset[(String, Long)],
+                        k: Int): org.apache.spark.sql.Dataset[(String, Seq[Long])] = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    kv.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.MinKAggregator(k).toColumn.name("mins"))
+  }
+
   /** Per-source distinct-token estimate via the k-minimum-values sketch:
     * hash every token occurrence, keep the k smallest distinct hashes per
     * source ([[graft.functions.MinKAggregator]] — ≤ k longs per (source,
@@ -576,14 +600,8 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val th = docs.select(col("source"), explode(tokens).as("tok"))
-      .select(col("source"),
-        (poly_hash31(concat(lit("kmv|"), col("tok")))
-          * graft.functions.VectorOps.HashMul % P31).as("h"))
-    val minK = new graft.functions.MinKAggregator(k).toColumn
-    th.as[(String, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(minK.name("mins"))
+      .select(col("source"), finalizedHash("kmv|", col("tok")).as("h"))
+    minKByKey(th.as[(String, Long)], k)
       .map { case (source, mins) =>
         if (mins.length >= k) {
           // mins is sorted ascending and distinct: h_k = last; h_k > 0
@@ -616,17 +634,13 @@ object TextOps {
     * rule exactly.
     */
   def samplePerSource(docs: DataFrame, k: Int = 25): DataFrame = {
-    require(k >= 2, s"samplePerSource needs k >= 2, got $k")
+    require(k >= 1, s"samplePerSource needs k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs.select(col("source"), col("doc_id"),
-      (poly_hash31(concat(lit("smp|"), col("doc_id").cast("string")))
-        * graft.functions.VectorOps.HashMul % P31).as("h"))
-    val minK = new graft.functions.MinKAggregator(k).toColumn
-    val thresholds = hashed.select(col("source"), col("h")).as[(String, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(minK.name("mins"))
+      finalizedHash("smp|", col("doc_id").cast("string")).as("h"))
+    val thresholds =
+      minKByKey(hashed.select(col("source"), col("h")).as[(String, Long)], k)
       .map { case (source, mins) =>
         (source, if (mins.length >= k) mins.last else Long.MaxValue)
       }

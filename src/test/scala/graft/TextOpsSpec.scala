@@ -308,10 +308,15 @@ class TextOpsSpec extends SparkSuite {
     // small source: all 4 docs survive
     assert(bySrc("srcSmall").map(_._2).toSet == Set(201L, 202L, 203L, 204L))
     // big source: exactly k docs unless hashes collide (none in 200 docs
-    // here), and every kept hash <= every dropped hash
+    // here), and the kept set is EXACTLY the k smallest hashes — compare
+    // against a run with k >= |source| (keeps everything, exposing every
+    // doc's hash)
     val keptBig = bySrc("srcBig")
     assert(keptBig.length == k, s"got ${keptBig.length}")
-    assert(keptBig.map(_._3).max < Long.MaxValue)
+    val allHashes = TextOps.samplePerSource(d, 300).collect()
+      .filter(_.getString(1) == "srcBig").map(_.getLong(2)).sorted
+    assert(allHashes.length == 200)
+    assert(keptBig.map(_._3).sorted.toSeq == allHashes.take(k).toSeq)
     // deterministic across runs
     assert(TextOps.samplePerSource(d, k).collect().toSeq.sortBy(_.getLong(0)) ==
       TextOps.samplePerSource(d, k).collect().toSeq.sortBy(_.getLong(0)))
