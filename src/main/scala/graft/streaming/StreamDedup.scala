@@ -25,8 +25,49 @@ object StreamDedup {
 
   case class BandHit(band: Int, bucket: Long, doc_id: Long)
   case class CandPair(doc1: Long, doc2: Long, band: Int)
+  case class DeconVerdict(doc_id: Long, n_sh: Long, n_hits: Long,
+                          contaminated: Boolean)
 
   private val P31: Long = TextHashes.P31
+
+  /** Distinct shingle hashes of the (benchmark-sized) eval table,
+    * collected to the driver — the streaming analog of the batch op's
+    * broadcast build side (TextOps.decontaminate). Same shingle kernel
+    * and hash family, so batch and stream agree doc-for-doc.
+    */
+  def evalHashSet(evalDocs: DataFrame): Set[Long] =
+    evalDocs
+      .select(explode(graft.functions.shingles3(
+        split(col("text"), " "))).as("s"))
+      .select(graft.functions.poly_hash31(col("s")).as("ph"))
+      .distinct().collect().map(_.getLong(0)).toSet
+
+  /** Streaming decontamination: per-document eval-overlap verdicts with
+    * ZERO state — each doc's shingles are hashed and membership-checked
+    * in one in-row loop against the broadcast eval set, so the operator
+    * is a stateless map (no watermark, no state store, works in any
+    * output mode and composes before/after any stateful stage). The
+    * batch form's explode → broadcast-join → groupBy collapses to this
+    * loop because the verdict only needs the doc's OWN shingles plus the
+    * shared read-only set. Matches TextOps.decontaminate row-for-row
+    * (StreamingSpec).
+    */
+  def verdicts(spark: SparkSession, docs: DataFrame, evalSet: Set[Long],
+               minHits: Int = 3): Dataset[DeconVerdict] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(evalSet)
+    docs.select(col("doc_id"),
+        graft.functions.shingles3(split(col("text"), " ")).as("shs"))
+      .as[(Long, Seq[String])]
+      .map { case (id, shs) =>
+        var hits = 0L
+        shs.foreach { s =>
+          if (bc.value.contains(
+            TextHashes.polyHash31(UTF8String.fromString(s)))) hits += 1
+        }
+        DeconVerdict(id, shs.length.toLong, hits, hits >= minHits)
+      }
+  }
 
   /** Per-document (band, bucket) keys, computed IN-ROW via a typed
     * flatMap — a plain JVM loop per row. (The batch form's explode →

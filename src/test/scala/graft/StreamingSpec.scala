@@ -103,6 +103,47 @@ class StreamingSpec extends SparkSuite {
       s"batch all-pairs form: $batchCand")
   }
 
+  test("streaming decontamination: stateless verdicts match the batch op row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def txt(seed: String) = (1 to 12).map(i => s"$seed$i").mkString(" ")
+    val evalDocs = Seq((100L, txt("e"))).toDF("doc_id", "text")
+    // doc 1 copies the eval text (contaminated), 2 disjoint, 3 shingle-less
+    val corpus = Seq((1L, txt("e")), (2L, txt("z")), (3L, "too short"))
+    val evalSet = StreamDedup.evalHashSet(evalDocs)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamDedup
+      .verdicts(spark, ms.toDF().toDF("doc_id", "text"), evalSet)
+      .toDF().writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      ms.addData(corpus: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM decon").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+
+    // batch reference: same corpus + explicit eval table
+    val batchDf = corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val batch = graft.operators.TextOps
+      .decontaminate(batchDf, evalDocs = Some(evalDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(t => t._1 -> t._4).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false))
+    // stateless: the running query holds no state rows
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {
     val base = tmp()
     val in = s"$base/in"
