@@ -336,6 +336,10 @@ object SparkEntry {
     // integer-quantized logprob — even the score is hash-checked
     "t14_unigram_quality" -> ((s, dir) =>
       operators.TextOps.unigramQuality(t(s, dir, "documents"))),
+    // C4-style segment-level dedup: corpus-wide keep-first on 10-token
+    // segments (min-struct aggregate, no window), docs reassembled
+    "t15_segment_dedup" -> ((s, dir) =>
+      operators.TextOps.segmentDedup(t(s, dir, "documents"))),
     // the END-TO-END composed pipeline (gate → synthetic-PII augment →
     // redact → ladder dedup → mix → split → pack), every stage the same
     // operator the standalone queries check — the oracle chains the same
@@ -685,6 +689,7 @@ object SparkEntry {
     "d9_kmv_distinct" -> TextOracles.kmvSql(),
     "t13_sample_source" -> TextOracles.samplePerSourceSql(k = 10),
     "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
+    "t15_segment_dedup" -> TextOracles.segmentDedupSql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),
     "t8_rep_signal" -> TextOracles.repSignalSql,
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),

@@ -389,6 +389,36 @@ FROM h JOIN th USING (source)
 WHERE h.h <= th.th"""
   }
 
+  /** t15: segment-level dedup — mirror of TextOps.segmentDedup. The
+    * oracle uses the row_number window (the oracle tier); the Spark
+    * operator's min-struct aggregate is keep-first-identical. string_agg
+    * ORDER BY seg_idx = concat_ws over the array_sort'ed struct list;
+    * empty survivors COALESCE to '' to match concat_ws's non-null "".
+    */
+  def segmentDedupSql(segTokens: Int = 10): String = {
+    val w = segTokens
+    s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (
+  SELECT doc_id, toks,
+    unnest(range((len(toks) + ${w - 1}) // $w)) AS seg_idx
+  FROM t),
+segs AS (
+  SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+    array_to_string(toks[seg_idx*$w+1 : seg_idx*$w+$w], ' ') AS seg
+  FROM e),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+    row_number() OVER (PARTITION BY sha256(seg)
+                       ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id, count(*) AS n_segs,
+  count(*) FILTER (WHERE rn = 1) AS n_kept,
+  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+           '') AS clean_text
+FROM ranked GROUP BY doc_id"""
+  }
+
   /** t14: unigram LM quality — mirror of TextOps.unigramQuality. The
     * per-token logprob is length(bin(cnt)) (integer ⌊log₂⌋+1, identical
     * in both engines); DuckDB's integer sum widens to HUGEINT so it is

@@ -650,6 +650,53 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("h"))
   }
 
+  // ------------------------------------------------------ segment-level dedup
+
+  /** C4/Llama-style sub-document dedup: the corpus is cut into
+    * non-overlapping `segTokens`-token segments, every segment duplicated
+    * ANYWHERE in the corpus keeps only its first occurrence (ordered by
+    * (doc_id, seg_idx)), and each document is reassembled from its
+    * surviving segments — the remove-boilerplate / repeated-paragraph
+    * step that whole-document dedup (d1/d7) cannot express. Output per
+    * doc: segment count, kept count, and the cleaned text (empty when
+    * every segment was seen earlier — an exact dup doc cleans to "").
+    *
+    * Scale shape: segments are hashed with sha2 (full-content, like d1 —
+    * the 64-char polyhash window would false-positive long segments), so
+    * the keep-first aggregate shuffles only (32B hash, id, idx) — never
+    * segment text; keep-first is the same two-phase min-struct aggregate
+    * + join back as d1 (map-side combine absorbs a boilerplate segment
+    * duplicated millions of times; no window). Reassembly groups by
+    * doc_id — bounded by a single document's segment count.
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
+    val w = segTokens
+    val t = tokens
+    val nSeg = floor((size(t) + w - 1) / w).cast("int")
+    // seg construction is an interpreted-HOF lambda, but it runs once per
+    // DOC over ~len/w elements — not per segment pair — so the d2-style
+    // HOF tax is bounded (and the hot path below is codegen'd sha2/agg)
+    val segs = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(t, i * w + lit(1), lit(w)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"),
+        col("seg"), sha2(col("seg"), 256).as("sh"))
+    val firsts = segs.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    segs.join(firsts, Seq("sh"))
+      .withColumn("kept", col("first.doc_id") === col("doc_id") &&
+        col("first.seg_idx") === col("seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+  }
+
   // ---------------------------------------------------- unigram LM quality
 
   /** CCNet/Gopher-style unigram language-model quality signal: score each

@@ -325,6 +325,30 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("Window"), plan)
   }
 
+  test("segmentDedup: corpus-wide keep-first on segments, docs reassembled in order") {
+    // w=10: doc 1 has segments A(t1..t10) B(t11..t20); doc 2 = B then C —
+    // its copy of B must vanish, C survives; doc 3 is an exact copy of
+    // doc 1 and cleans to ""
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = docs(
+      1L -> s"$segA $segB",
+      2L -> s"$segB $segC",
+      3L -> s"$segA $segB",
+      4L -> "short tail")  // one partial segment, unique -> untouched
+    val got = TextOps.segmentDedup(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, s"$segA $segB")))
+    assert(got(2L) == ((2L, 1L, segC)))
+    assert(got(3L) == ((2L, 0L, "")))
+    assert(got(4L) == ((1L, 1L, "short tail")))
+    // scale shape: keep-first is the min-struct aggregate — no Window
+    val plan = TextOps.segmentDedup(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("unigramQuality: common-token docs outscore rare-token docs; exact quantized arithmetic") {
     // 'the' appears 12x, 'cat'/'dog' 6x each, z* tokens once each.
     // vocabSize=3 -> vocab = {the:12, cat:6, dog:6} (hash tie-break on
