@@ -55,6 +55,29 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinKAggregator laws: sorted-unique ≤k buffer, order/split-invariant, equals brute-force k smallest distinct") {
+    val agg = new graft.functions.MinKAggregator(8)
+    val longs = Gen.listOf(Gen.chooseNum(0L, 50L)) // small domain forces dups
+    sample(Gen.zip(longs, Gen.chooseNum(0, 10)), 300).foreach {
+      case (xs, cut) =>
+        val expected = xs.distinct.sorted.take(8)
+        // single reduce chain
+        val direct = xs.foldLeft(agg.zero)(agg.reduce)
+        assert(direct == expected, s"direct on $xs")
+        // arbitrary split point, merged partials — the partial+final path
+        val (a, b) = xs.splitAt(math.min(cut, xs.length))
+        val merged = agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        assert(merged == expected, s"merge split@$cut on $xs")
+        // shuffled arrival order changes nothing
+        val shuffled = new scala.util.Random(xs.length)
+          .shuffle(xs).foldLeft(agg.zero)(agg.reduce)
+        assert(shuffled == expected, s"shuffle on $xs")
+        // invariant: buffer always sorted, distinct, bounded
+        assert(direct.length <= 8 && direct == direct.distinct.sorted)
+    }
+  }
+
   test("ParseTurn.parse: grammar round-trip for op/ns/payload triples") {
     val ident = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val gen = for {
