@@ -340,6 +340,10 @@ object SparkEntry {
     // segments (min-struct aggregate, no window), docs reassembled
     "t15_segment_dedup" -> ((s, dir) =>
       operators.TextOps.segmentDedup(t(s, dir, "documents"))),
+    // source-overlap matrix from KMV sketches: one distributed MinK
+    // pass, pair math on KB-sized driver sketches — integer-exact
+    "d10_source_overlap" -> ((s, dir) =>
+      operators.TextOps.sourceOverlap(t(s, dir, "documents"))),
     // the END-TO-END composed pipeline (gate → synthetic-PII augment →
     // redact → ladder dedup → mix → split → pack), every stage the same
     // operator the standalone queries check — the oracle chains the same
@@ -690,6 +694,7 @@ object SparkEntry {
     "t13_sample_source" -> TextOracles.samplePerSourceSql(k = 10),
     "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
     "t15_segment_dedup" -> TextOracles.segmentDedupSql(),
+    "d10_source_overlap" -> TextOracles.sourceOverlapSql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),
     "t8_rep_signal" -> TextOracles.repSignalSql,
     "d2_dedup_minhash" -> TextOracles.minhashCandidatesSql(),

@@ -362,6 +362,47 @@ SELECT source,
 FROM r GROUP BY source"""
   }
 
+  /** d10: source-overlap matrix — mirror of TextOps.sourceOverlap. Per
+    * source the k smallest distinct finalized shingle hashes (the KMV
+    * sketch) via row_number; per pair the k smallest of the sketch union
+    * with membership flags, counted with pure integer math. DuckDB
+    * permits lateral alias reuse in the final SELECT.
+    */
+  def sourceOverlapSql(k: Int = 64): String = {
+    val mul = graft.functions.VectorOps.HashMul
+    s"""WITH ${shingleCtes()},
+srcsh AS (
+  SELECT d.source, (${ph("'ovl|' || s.shingle")} * $mul) % $P31 AS h
+  FROM sh s JOIN documents d USING (doc_id)),
+phs AS (SELECT DISTINCT source, h FROM srcsh),
+r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM phs),
+sk AS (SELECT source, h FROM r WHERE rn <= $k),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+u AS (
+  SELECT p.s1, p.s2, sk.h,
+    bool_or(sk.source = p.s1) AS in_a,
+    bool_or(sk.source = p.s2) AS in_b
+  FROM pairs p JOIN sk ON sk.source = p.s1 OR sk.source = p.s2
+  GROUP BY p.s1, p.s2, sk.h),
+ru AS (
+  SELECT s1, s2, in_a, in_b,
+    row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn,
+    count(*) OVER (PARTITION BY s1, s2) AS nu
+  FROM u)
+SELECT s1 AS src1, s2 AS src2,
+  CAST(least(max(nu), $k) AS INT) AS k_used,
+  CAST(count(*) FILTER (WHERE rn <= $k AND in_a AND in_b) AS INT)
+    AS n_common,
+  (1000 * n_common) // k_used AS jaccard_x1000
+FROM ru GROUP BY s1, s2"""
+  }
+
   /** t13: deterministic ~k-per-source sample — mirror of
     * TextOps.samplePerSource. Threshold = the source's k-th smallest
     * DISTINCT finalized doc_id hash (MaxValue when the source has fewer

@@ -613,6 +613,51 @@ object TextOps {
       .toDF("source", "n_mins", "kth_min", "est_distinct")
   }
 
+  // ---------------------------------------------------- source overlap matrix
+
+  /** Pairwise content-overlap matrix between sources — the dataset-
+    * curation report that tells you two crawls/dumps cover the same
+    * content before you pay for cross-source dedup. Per source, one KMV
+    * sketch of its shingle hashes (the d9/t13 reducer — ≤ k longs per
+    * (source, partition) cross the exchange); per source PAIR, the
+    * standard KMV set-operation estimate: X = k smallest of
+    * sketch(A) ∪ sketch(B) (= the sketch of A ∪ B), and
+    * J(A,B) ≈ |{x ∈ X : x ∈ sketch(A) ∧ x ∈ sketch(B)}| / |X|
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007 for the union/Jaccard
+    * form). Identical sources estimate 1000, disjoint 0.
+    *
+    * The pair arithmetic runs on the DRIVER over the collected sketches —
+    * deliberately: sketches are |sources|·k longs (KBs) at ANY corpus
+    * size; that driver hop is the entire point of sketching, and the
+    * same shape as pulling k-means centroids to the driver (e6). All
+    * integer math, mirrored in the oracle, so even the estimates are
+    * hash-checked. Sources too short to shingle are absent (no sketch —
+    * same in the oracle).
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 1, s"sourceOverlap needs k >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("source"),
+        explode(shingles3(tokens)).as("shingle"))
+      .select(col("source"), finalizedHash("ovl|", col("shingle")).as("h"))
+    val sketches = minKByKey(sh.as[(String, Long)], k).collect().sortBy(_._1)
+    val rows = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (s1, m1) = sketches(i)
+      val (s2, m2) = sketches(j)
+      val set1 = m1.toSet
+      val set2 = m2.toSet
+      val union = (m1 ++ m2).distinct.sorted.take(k)
+      val kUsed = union.length
+      val nCommon = union.count(h => set1.contains(h) && set2.contains(h))
+      (s1, s2, kUsed, nCommon, 1000L * nCommon / kUsed)
+    }
+    rows.toDF("src1", "src2", "k_used", "n_common", "jaccard_x1000")
+  }
+
   // ----------------------------------------------------- per-source sampling
 
   /** Deterministic ~k-per-source uniform sample via consistent hashing:

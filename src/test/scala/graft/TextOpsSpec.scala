@@ -349,6 +349,33 @@ class TextOpsSpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("sourceOverlap: identical sources 1000, disjoint 0, half-overlap in band; shingle-less sources absent") {
+    import org.apache.spark.sql.functions.{col, when}
+    // srcX and srcY share the SAME 400 shingles (identical text corpus);
+    // srcZ is disjoint; srcH shares roughly half with srcX; srcEmpty
+    // can't shingle
+    def body(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val d = docs(
+      1L -> body("x", 400), 2L -> body("x", 400),  // X and Y twins
+      3L -> body("z", 400),                         // Z disjoint
+      4L -> (body("x", 200) + " " + body("h", 200)),// H: ~half x-shingles
+      5L -> "no shingles")
+      .withColumn("source", when(col("doc_id") === 1L, "srcX")
+        .when(col("doc_id") === 2L, "srcY")
+        .when(col("doc_id") === 3L, "srcZ")
+        .when(col("doc_id") === 4L, "srcH").otherwise("srcEmpty"))
+    val got = TextOps.sourceOverlap(d, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got.keySet.flatMap(p => Set(p._1, p._2)) ==
+      Set("srcX", "srcY", "srcZ", "srcH")) // srcEmpty absent
+    assert(got(("srcX", "srcY")) == 1000L)
+    assert(got(("srcX", "srcZ")) == 0L && got(("srcY", "srcZ")) == 0L)
+    // true J(X,H) = 199/(398+199-199+...)≈0.33; KMV at k=64 has ~12%
+    // relative error — assert a generous band around the true 1/3
+    val xh = got(("srcH", "srcX"))
+    assert(xh > 150L && xh < 550L, s"J(X,H) estimate $xh")
+  }
+
   test("unigramQuality: common-token docs outscore rare-token docs; exact quantized arithmetic") {
     // 'the' appears 12x, 'cat'/'dog' 6x each, z* tokens once each.
     // vocabSize=3 -> vocab = {the:12, cat:6, dog:6} (hash tie-break on
