@@ -140,13 +140,15 @@ object ExplainAudit {
       Seq("TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"),
       forbid = Seq("Window", "CartesianProduct", "GlobalLimit"))
 
-    // t15 segment dedup: corpus-wide keep-first on segment hashes via the
-    // same two-phase min-struct aggregate as d1 — a boilerplate segment
+    // t15 segment dedup: corpus-wide keep-first on segment hashes via a
+    // two-phase min over ONE packed long — a struct min would plan a
+    // SortAggregate (sorting every segment row per partition), so
+    // SortAggregate is forbidden alongside Window; a boilerplate segment
     // duplicated millions of times combines map-side, never one reducer
     audit("t15_segment_dedup",
       SparkEntry.queries("t15_segment_dedup")(spark, sfDir),
       Seq("partial_min"),
-      forbid = Seq("Window", "CartesianProduct"))
+      forbid = Seq("Window", "CartesianProduct", "SortAggregate"))
 
     // d1 exact dedup: keep-first via two-phase min(doc_id) aggregate —
     // map-side partial_min absorbs a boilerplate fingerprint duplicated

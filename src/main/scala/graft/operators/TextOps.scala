@@ -42,9 +42,13 @@ object TextOps {
   def exactDedup(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), sha2(col("text"), 256).as("fingerprint"))
     val first = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-    fp.join(first, Seq("fingerprint"))
-      .select(col("doc_id"), col("fingerprint"),
-        (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
+    // null-SAFE join: sha2(NULL) = NULL, and both the old window form and
+    // the oracle's PARTITION BY group all NULL-text docs into ONE dup
+    // group — a plain equi-join would silently drop them instead
+    fp.as("a").join(first.as("b"),
+        col("a.fingerprint") <=> col("b.fingerprint"))
+      .select(col("a.doc_id"), col("a.fingerprint"),
+        (col("a.doc_id") =!= col("b.keep_id")).as("is_duplicate"))
   }
 
   // ---------------------------------------------------------- n-gram jaccard
@@ -509,9 +513,11 @@ object TextOps {
     * assumption: eval suites are MBs even when the corpus is 100 TB.
     * The default (None) carves eval deterministically from the corpus
     * (doc_id ≡ 3 mod 29, ~3%) so the driver query is self-contained and
-    * oracle-able; that carve-out SCALES WITH THE CORPUS, so the forced
-    * broadcast is only safe for it at test scale — production callers
-    * must pass the real (benchmark-sized) suite.
+    * oracle-able; that carve-out SCALES WITH THE CORPUS, so the
+    * broadcast is only FORCED on the explicit-eval path — the carve-out
+    * path leaves the join strategy to the planner/AQE (it broadcasts at
+    * test scale, and degrades to a shuffle join instead of hitting the
+    * 8 GB broadcast cap if someone runs the carve-out at corpus scale).
     *
     * Scale shape: the corpus explodes to shingle hashes ONCE; n_sh needs
     * no aggregation at all (size(shingles3) in-row — the t8 pattern);
@@ -532,10 +538,16 @@ object TextOps {
       .select(col("doc_id"), poly_hash31(col("shingle")).as("ph"))
     val evalSet = shOf(evalDocs.getOrElse(docs.filter(isEval)))
       .select(col("ph")).distinct()
+    // FORCE the broadcast only on the contractual path (an explicit,
+    // benchmark-sized eval table). The default carve-out grows linearly
+    // with the corpus, so there the planner/AQE must stay free to fall
+    // back to a shuffle join past the broadcast threshold instead of
+    // dying on the 8 GB broadcast cap — the guard is code, not a comment.
+    val evalSide = if (evalDocs.isDefined) broadcast(evalSet) else evalSet
     // shingles3 is distinct per doc, so the inner-join row count per doc
     // is exactly the number of shared distinct shingles
     val hits = shOf(train)
-      .join(broadcast(evalSet), Seq("ph"))
+      .join(evalSide, Seq("ph"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     train
       .select(col("doc_id"), size(shingles3(tokens)).cast("long").as("n_sh"))
@@ -638,9 +650,18 @@ object TextOps {
     require(k >= 1, s"sourceOverlap needs k >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col("source"),
-        explode(shingles3(tokens)).as("shingle"))
+    // NULL sources can never satisfy the oracle's `a.source < b.source`
+    // pair predicate, so exclude them before sketching (a null key would
+    // also NPE the string sort below)
+    val sh = docs.filter(col("source").isNotNull)
+      .select(col("source"), explode(shingles3(tokens)).as("shingle"))
       .select(col("source"), finalizedHash("ovl|", col("shingle")).as("h"))
+    // order pairs by UTF-8 BYTE order (what DuckDB's VARCHAR `<` uses),
+    // not JVM UTF-16 code-unit order — they disagree on supplementary
+    // characters vs U+E000..U+FFFF
+    implicit val utf8Order: Ordering[String] = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     val sketches = minKByKey(sh.as[(String, Long)], k).collect().sortBy(_._1)
     val rows = for {
       i <- sketches.indices
@@ -707,39 +728,55 @@ object TextOps {
     * every segment was seen earlier — an exact dup doc cleans to "").
     *
     * Scale shape: segments are hashed with sha2 (full-content, like d1 —
-    * the 64-char polyhash window would false-positive long segments), so
-    * the keep-first aggregate shuffles only (32B hash, id, idx) — never
-    * segment text; keep-first is the same two-phase min-struct aggregate
-    * + join back as d1 (map-side combine absorbs a boilerplate segment
-    * duplicated millions of times; no window). Reassembly groups by
-    * doc_id — bounded by a single document's segment count.
+    * the 64-char polyhash window would false-positive long segments) and
+    * the segment TEXT is dropped before anything shuffles — the
+    * keep-first pass moves only (32B hash, packed id) rows, the kept
+    * positions aggregate to one small int-array row per doc, and each
+    * document's text crosses the final doc_id join exactly once, where
+    * surviving segments are re-sliced from it in-row. Keep-first itself
+    * is min over ONE packed long (doc_id · 2²¹ + seg_idx): a struct min
+    * would plan a SortAggregate (sorting every segment row per
+    * partition); the long min hash-aggregates with map-side combine
+    * absorbing a boilerplate segment duplicated millions of times. The
+    * packing bounds (doc_id < 2⁴², seg_idx < 2²¹) fail LOUDLY via
+    * raise_error, never silently mis-order.
     */
   def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
     require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
     val w = segTokens
+    val PackBits = 21
     val t = tokens
     val nSeg = floor((size(t) + w - 1) / w).cast("int")
     // seg construction is an interpreted-HOF lambda, but it runs once per
     // DOC over ~len/w elements — not per segment pair — so the d2-style
     // HOF tax is bounded (and the hot path below is codegen'd sha2/agg)
-    val segs = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nSeg - 1),
-          i => array_join(slice(t, i * w + lit(1), lit(w)), " ")))
-          .as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"),
-        col("seg"), sha2(col("seg"), 256).as("sh"))
-    val firsts = segs.groupBy(col("sh"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-    segs.join(firsts, Seq("sh"))
-      .withColumn("kept", col("first.doc_id") === col("doc_id") &&
-        col("first.seg_idx") === col("seg_idx"))
+    def segArr = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(t, i * w + lit(1), lit(w)), " "))
+    val packed = when(
+      col("doc_id") >= 0 && col("doc_id") < (1L << (63 - PackBits)) &&
+        col("seg_idx") < (1 << PackBits),
+      shiftleft(col("doc_id"), PackBits) + col("seg_idx"))
+      .otherwise(raise_error(concat(lit("segmentDedup pack overflow: "),
+        col("doc_id"), lit("/"), col("seg_idx"))))
+    // ids-only from here: text is gone before the first exchange
+    val segIds = docs.select(col("doc_id"),
+        posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), sha2(col("seg"), 256).as("sh"))
+      .withColumn("p", packed)
+    val firsts = segIds.groupBy(col("sh")).agg(min(col("p")).as("mp"))
+    val keptIdx = segIds.join(firsts, Seq("sh"))
+      .filter(col("p") === col("mp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segs"),
-        count(when(col("kept"), lit(1))).as("n_kept"),
+      .agg(sort_array(collect_list(col("seg_idx"))).as("kept"))
+    docs.select(col("doc_id"), t.as("toks"), nSeg.as("n"))
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_segs"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("kept"),
-            struct(col("seg_idx"), col("seg"))))),
-          x => x.getField("seg"))).as("clean_text"))
+          coalesce(col("kept"), array().cast("array<int>")),
+          i => array_join(slice(col("toks"), i * w + lit(1), lit(w)), " ")))
+          .as("clean_text"))
   }
 
   // ---------------------------------------------------- unigram LM quality

@@ -123,6 +123,12 @@ class StreamingSpec extends SparkSuite {
     try {
       ms.addData(corpus: _*)
       q.processAllAvailable()
+      // progress events post from the micro-batch thread; give the
+      // reporter a bounded grace period so the state assertion below
+      // can never be skipped for lack of a captured event
+      val deadline = System.currentTimeMillis + 10000
+      while (q.recentProgress.forall(_.numInputRows == 0) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
     } finally q.stop()
     val streamed = spark.sql("SELECT * FROM decon").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
@@ -139,9 +145,12 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     assert(streamed.map(t => t._1 -> t._4).toMap ==
       Map(1L -> true, 2L -> false, 3L -> false))
-    // stateless: the running query holds no state rows
-    assert(q.lastProgress == null ||
-      q.lastProgress.stateOperators.isEmpty)
+    // stateless: REQUIRE a captured progress event (a null lastProgress
+    // would make the check vacuous) and assert it shows no state ops
+    val progressed = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progressed.nonEmpty, "no progress event captured — assertion would be vacuous")
+    assert(progressed.forall(_.stateOperators.isEmpty),
+      progressed.map(_.stateOperators.length).mkString(","))
   }
 
   test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {

@@ -9,7 +9,8 @@ class TextOpsSpec extends SparkSuite {
 
   private def docs(rows: (Long, String)*): DataFrame = {
     import spark.implicits._
-    rows.toSeq.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+    rows.toSeq.map { case (id, t) =>
+      (id, t, "en", "src0", if (t == null) 0L else t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
@@ -17,10 +18,14 @@ class TextOpsSpec extends SparkSuite {
   private val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
   private val unrelated = (1 to 60).map(i => s"z$i").mkString(" ")
 
-  test("exactDedup flags only true copies, keep-first by doc_id") {
-    val d = TextOps.exactDedup(docs(1L -> base, 2L -> base, 3L -> nearDup))
+  test("exactDedup flags only true copies, keep-first by doc_id; NULL-text docs form one group") {
+    val d = TextOps.exactDedup(docs(1L -> base, 2L -> base, 3L -> nearDup,
+        4L -> null, 5L -> null))
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(d == Map(1L -> false, 2L -> true, 3L -> false))
+    // NULL-text docs are one dup group (sha2(NULL)=NULL partition — the
+    // window form's and the oracle's semantics): 4 kept, 5 flagged
+    assert(d == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true))
   }
 
   test("ngramJaccardPairs: near-dup pair found, unrelated not") {
