@@ -83,8 +83,36 @@ object StreamBench {
     * the state-heaviest realistic shape), driven through StreamDedup's
     * incremental banded candidates to a noop sink.
     */
+  /** Streaming decontamination run over the same replicated docs: the
+    * stateless tier (in-row shingle hash + broadcast eval-set membership)
+    * — its throughput is the ceiling any stateful text stage is measured
+    * against, and it needs no state-store provider at all.
+    */
+  private def runTextDecon(spark: SparkSession, docsPath: String,
+                           filesPerTrigger: Int): Run = {
+    import org.apache.spark.sql.functions.col
+    val evalSet = graft.streaming.StreamDedup.evalHashSet(
+      spark.read.parquet(docsPath).filter(col("doc_id") % 29 === 3))
+    val ck = new java.io.File("target/streambench_ck_textdecon")
+    rmrf(ck)
+    val in = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(docsPath)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamDedup.verdicts(spark, in, evalSet)
+      .toDF().writeStream
+      .format("noop")
+      .option("checkpointLocation", ck.getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    Run(sec, progress.length, progress.map(_.numInputRows).sum)
+  }
+
   private def runTextDedup(spark: SparkSession, sfDir: String, mult: Int,
-                           filesPerTrigger: Int): (Run, Long) = {
+                           filesPerTrigger: Int): (Run, Long, String) = {
     // layout key includes the trigger sizing (it shapes the micro-batch
     // count being measured); reuse is gated on the expected row count so
     // a regenerated source dataset rebuilds instead of streaming stale
@@ -122,7 +150,8 @@ object StreamBench {
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress.filter(_.numInputRows > 0)
-    (Run(sec, progress.length, progress.map(_.numInputRows).sum), n * mult)
+    (Run(sec, progress.length, progress.map(_.numInputRows).sum), n * mult,
+      docsPath)
   }
 
   def main(args: Array[String]): Unit = {
@@ -175,20 +204,23 @@ object StreamBench {
     // text-tier incremental near-dup candidates (StreamDedup) — RocksDB
     // provider, the at-scale configuration for bucket state
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
-    val (rText, nDocs) =
+    val (rText, nDocs, docsPath) =
       try runTextDedup(spark, sfDir, mult, perTrigger)
       finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // stateless decontamination over the same docs (no provider needed)
+    val rDecon = runTextDecon(spark, docsPath, perTrigger)
 
     for ((tag, r) <- Seq("route" -> rRoute, "dedup_hdfs" -> rDedupHdfs,
         "dedup_rocksdb" -> rDedupRocks, "window" -> rWindow))
       require(r.rowsIn == nTurns,
         s"$tag read ${r.rowsIn} of $nTurns rows — stale checkpoint or lost input")
-    require(rText.rowsIn == nDocs,
-      s"text_dedup read ${rText.rowsIn} of $nDocs docs — stale checkpoint or lost input")
+    for ((tag, r) <- Seq("text_dedup" -> rText, "text_decon" -> rDecon))
+      require(r.rowsIn == nDocs,
+        s"$tag read ${r.rowsIn} of $nDocs docs — stale checkpoint or lost input")
 
     val thr = nTurns / rRoute.sec
     println(
-      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec},"text_dedup_sec":${rText.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"text_dedup":{"docs":$nDocs,"docs_per_sec":${nDocs / rText.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
+      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec},"text_dedup_sec":${rText.sec},"text_decon_sec":${rDecon.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"text_dedup":{"docs":$nDocs,"docs_per_sec":${nDocs / rText.sec}},"text_decon":{"docs":$nDocs,"docs_per_sec":${nDocs / rDecon.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }
