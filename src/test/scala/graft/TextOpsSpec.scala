@@ -354,6 +354,36 @@ class TextOpsSpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("segmentDedup: generative equivalence with an in-memory keep-first model") {
+    // reference model: iterate docs by doc_id, segments in order, keep a
+    // segment iff its text was never seen before — exactly the
+    // (doc_id, seg_idx) min-packed semantics
+    def model(rows: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String)] = {
+      val seen = scala.collection.mutable.Set[String]()
+      rows.sortBy(_._1).map { case (id, text) =>
+        // split limit -1: Spark's split KEEPS trailing empty tokens
+        val toks = text.split(" ", -1).toSeq
+        val segs = (0 until (toks.length + w - 1) / w)
+          .map(i => toks.slice(i * w, i * w + w).mkString(" "))
+        val kept = segs.filter(seen.add)
+        id -> ((segs.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 12) {
+      val w = Seq(1, 2, 3, 5)(rnd.nextInt(4))
+      // tiny alphabet forces cross-doc duplicate segments
+      val rows = (1L to (3 + rnd.nextInt(5)).toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(26))("abc".charAt(rnd.nextInt(3)).toString)
+          .mkString(" ")
+      }
+      val got = TextOps.segmentDedup(docs(rows: _*), segTokens = w).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == model(rows, w), s"trial $trial w=$w rows=$rows")
+    }
+  }
+
   test("sourceOverlap: identical sources 1000, disjoint 0, half-overlap in band; shingle-less sources absent") {
     import org.apache.spark.sql.functions.{col, when}
     // srcX and srcY share the SAME 400 shingles (identical text corpus);
