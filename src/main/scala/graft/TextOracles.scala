@@ -29,15 +29,19 @@ object TextOracles {
   /** Distinct word 3-gram shingles per doc (mirror of TextOps.shingleRows
     * without the lang/length blocking columns). `rel` is the docs
     * relation — `documents` for the standalone queries, the redacted CTE
-    * for the composed pipeline (t11).
+    * for the composed pipeline (t11). `prefix` disambiguates CTE names
+    * when one query builds shingles over two relations (t11 builds them
+    * over `red` for decontamination and again over the decon survivors
+    * for the dedup ladder).
     */
-  private def shingleCtes(rel: String = "documents"): String = s"""
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
-sh AS (
+  private def shingleCtes(rel: String = "documents",
+                          prefix: String = ""): String = s"""
+${prefix}toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
+${prefix}sh AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-  FROM toks)"""
+  FROM ${prefix}toks)"""
 
   /** MinHash signature mins + banded buckets + candidate pairs with a band
     * vote — mirror of TextOps.minhashSignatures/minhashCandidatesVoted.
@@ -272,7 +276,22 @@ red AS (
       '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'),
       '$phone', '<PHONE>', 'g') AS text
   FROM aug),
-${shingleCtes("red")} ${minhashCtes(k, bands)},
+${shingleCtes("red", "d")},
+dphs AS (SELECT doc_id, ${ph("shingle")} AS ph FROM dsh),
+dev AS (SELECT DISTINCT ph FROM dphs WHERE doc_id % 29 = 3),
+dhits AS (
+  SELECT c.doc_id, count(*) AS n_sh, count(e.ph) AS n_hits
+  FROM dphs c LEFT JOIN dev e USING (ph)
+  WHERE c.doc_id % 29 <> 3
+  GROUP BY c.doc_id),
+decsurv AS (
+  -- fraction rule (mirror of dropContaminated): drop when eval overlap
+  -- reaches HALF the doc's shingles; shingle-less docs (absent from
+  -- dhits -> NULL comparison) survive via the COALESCE TRUE
+  SELECT r.doc_id, r.source, r.text
+  FROM red r LEFT JOIN dhits h USING (doc_id)
+  WHERE r.doc_id % 29 <> 3 AND COALESCE(2 * h.n_hits < h.n_sh, TRUE)),
+${shingleCtes("decsurv")} ${minhashCtes(k, bands)},
 cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -287,7 +306,7 @@ dropped AS (
   JOIN sizes s2 ON s2.doc_id = doc2
   WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7),
 surv AS (
-  SELECT * FROM red r
+  SELECT * FROM decsurv r
   WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = r.doc_id)),
 mixed AS (
   SELECT * FROM surv

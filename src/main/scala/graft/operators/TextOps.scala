@@ -214,26 +214,46 @@ object TextOps {
   /** t11 — the reference's defining trait re-expressed over the corpus:
     * ONE linear dataflow end-to-end (/root/reference/main.go:84-107 runs
     * scan→filter→route→transform→sink as a single pass), here the
-    * training-data shape: source gate → PII redaction → near-dup dedup
-    * (MinHash-LSH ladder) → weighted mix → train/val/test split →
-    * per-(split, source, shard) sequence packing. Every stage is the
-    * SAME operator the standalone driver queries check (t7/t6/d7/t9/t4/
-    * t10), composed full-row so stage-boundary effects are real: dedup
-    * shingles see REDACTED text, packing sees only post-mix survivors,
-    * and bins never cross a split boundary.
+    * training-data shape: source gate → PII redaction → benchmark
+    * decontamination → near-dup dedup (MinHash-LSH ladder) → weighted
+    * mix → train/val/test split → per-(split, source, shard) sequence
+    * packing. Every stage is the SAME operator the standalone driver
+    * queries check (t7/t6/t12/d7/t9/t4/t10), composed full-row so
+    * stage-boundary effects are real: decon and dedup shingles see
+    * REDACTED text, the ladder sees only decontaminated survivors,
+    * packing sees only post-mix survivors, and bins never cross a split
+    * boundary.
     *
     * `augment` runs between gate and redaction — identity in production;
     * the test harness injects a synthetic contact line so redaction is
     * non-vacuous on the PII-free synthetic corpus (same trick as the t6
     * driver query).
     */
+  /** Pipeline stage form of [[decontaminate]]: drop eval-carve-out
+    * members and any training doc whose eval overlap reaches HALF its
+    * own shingles. The stage uses this overlap-FRACTION rule rather than
+    * t12's absolute ≥3-hit flag because 3-gram shingles over-fire on
+    * background collisions (the literature's absolute thresholds assume
+    * 8–13-gram spans); a fraction of the doc's own shingle count is
+    * vocabulary-robust — true eval twins share ~all shingles and drop,
+    * random collisions don't. Shingle-less docs survive. Left-semi
+    * against the verdicts, so surviving rows keep every upstream column.
+    */
+  def dropContaminated(d: DataFrame): DataFrame =
+    d.join(decontaminate(d)
+        .filter(col("n_hits") * 2 < col("n_sh") || col("n_sh") === 0)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   def corpusPipeline(docs: DataFrame,
                      mixPct: Column = lit(100),
                      augment: DataFrame => DataFrame = identity,
                      minAvgChars: Long = 300L,
                      budget: Int = 512, nShards: Int = 4): DataFrame = {
     val red = redactDocs(augment(gateDocs(docs, minAvgChars)))
-    val sp = splitDocs(mixDocs(dropNearDups(red), mixPct))
+    // decontaminate BEFORE dedup: eval leakage must go regardless of
+    // which twin the ladder would have kept
+    val sp = splitDocs(mixDocs(dropNearDups(dropContaminated(red)), mixPct))
     // pack WITHIN (split, source) — sequences must never cross a split
     // boundary; both are real window-key columns (no delimiter folding)
     packSequences(sp, budget, nShards, partitionCols = Seq("split", "source"))

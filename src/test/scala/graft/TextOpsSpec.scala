@@ -184,7 +184,9 @@ class TextOpsSpec extends SparkSuite {
     val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextOps.corpusPipeline(d, mixPct = lit(100))
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids == (1L to 10L).toSet, s"got $ids") // 11 deduped, src_bad gated
+    // 3 is the decon eval carve-out (3 % 29 == 3), 11 deduped (twin of
+    // 1 — and NOT an eval hit, so it reaches the ladder), src_bad gated
+    assert(ids == (1L to 10L).toSet - 3L, s"got $ids")
     assert(out.select("source").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("src|0"))
     // split column agrees with the standalone split op for every doc
