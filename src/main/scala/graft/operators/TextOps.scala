@@ -665,6 +665,13 @@ object TextOps {
     * integer math, mirrored in the oracle, so even the estimates are
     * hash-checked. Sources too short to shingle are absent (no sketch —
     * same in the oracle).
+    *
+    * Honest bound: the driver loop is O(|sources|²·k) — instant for the
+    * curation-report regime this models (tens to hundreds of sources /
+    * crawls / dumps), ~minutes at 10⁴ sources. Past that, parallelize the
+    * PAIRS, not the corpus: broadcast the collected sketch map and map a
+    * DataFrame of (s1, s2) pairs through the same integer kernel — the
+    * corpus-side cost is one MinK pass either way.
     */
   def sourceOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
     require(k >= 1, s"sourceOverlap needs k >= 1, got $k")
