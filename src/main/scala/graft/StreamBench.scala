@@ -50,15 +50,16 @@ object StreamBench {
     * a stale checkpoint or an empty rerun would otherwise benchmark zero
     * work as an inflated throughput (callers assert rowsIn).
     */
-  private def runStream(spark: SparkSession, turnsPath: String, name: String,
-                        filesPerTrigger: Int)
+  private def runStream(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        name: String, filesPerTrigger: Int)
                        (build: DataFrame => DataFrame): Run = {
     val ck = new java.io.File(s"target/streambench_ck_$name")
     rmrf(ck)
     require(!ck.exists(), s"stale checkpoint survived delete: $ck")
-    val in = spark.readStream.schema(TranscriptStream.turnSchema)
+    val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(turnsPath)
+      .parquet(path)
     val t0 = System.nanoTime()
     val q = build(in).writeStream
       .format("noop")
@@ -86,29 +87,21 @@ object StreamBench {
   /** Streaming decontamination run over the same replicated docs: the
     * stateless tier (in-row shingle hash + broadcast eval-set membership)
     * — its throughput is the ceiling any stateful text stage is measured
-    * against, and it needs no state-store provider at all.
+    * against, and it needs no state-store provider at all. The eval set
+    * is derived from the UN-replicated base table: replicas duplicate
+    * text content, so the shingle-hash set is identical, and the driver
+    * materialization stays bounded by the base corpus instead of growing
+    * with the replication mult (the carve-out-scales-with-corpus trap
+    * decontaminate's own Scaladoc warns about).
     */
-  private def runTextDecon(spark: SparkSession, docsPath: String,
-                           filesPerTrigger: Int): Run = {
+  private def runTextDecon(spark: SparkSession, sfDir: String,
+                           docsPath: String, filesPerTrigger: Int): Run = {
     import org.apache.spark.sql.functions.col
     val evalSet = graft.streaming.StreamDedup.evalHashSet(
-      spark.read.parquet(docsPath).filter(col("doc_id") % 29 === 3))
-    val ck = new java.io.File("target/streambench_ck_textdecon")
-    rmrf(ck)
-    val in = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(docsPath)
-    val t0 = System.nanoTime()
-    val q = graft.streaming.StreamDedup.verdicts(spark, in, evalSet)
-      .toDF().writeStream
-      .format("noop")
-      .option("checkpointLocation", ck.getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.filter(_.numInputRows > 0)
-    Run(sec, progress.length, progress.map(_.numInputRows).sum)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 29 === 3))
+    runStream(spark, docsPath, docSchema, "textdecon", filesPerTrigger)(
+      graft.streaming.StreamDedup.verdicts(spark, _, evalSet).toDF())
   }
 
   private def runTextDedup(spark: SparkSession, sfDir: String, mult: Int,
@@ -136,22 +129,9 @@ object StreamBench {
         .repartition(filesPerTrigger * 8)
         .write.mode("overwrite").parquet(docsPath)
     }
-    val ck = new java.io.File("target/streambench_ck_textdedup")
-    rmrf(ck)
-    val in = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(docsPath)
-    val t0 = System.nanoTime()
-    val q = graft.streaming.StreamDedup.candidates(spark, in).toDF().writeStream
-      .format("noop")
-      .option("checkpointLocation", ck.getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.filter(_.numInputRows > 0)
-    (Run(sec, progress.length, progress.map(_.numInputRows).sum), n * mult,
-      docsPath)
+    val run = runStream(spark, docsPath, docSchema, "textdedup",
+      filesPerTrigger)(graft.streaming.StreamDedup.candidates(spark, _).toDF())
+    (run, n * mult, docsPath)
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,16 +162,17 @@ object StreamBench {
     // state-store stress (the worst case: nothing ever evicts).
     val wideWm = "60 days"
 
-    def route() = runStream(spark, turnsPath, "route", perTrigger)(
+    val turnSchema = TranscriptStream.turnSchema
+    def route() = runStream(spark, turnsPath, turnSchema, "route", perTrigger)(
       TranscriptStream.routed(_, toolDim))
     def dedup(provider: String, tag: String) = {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
-      try runStream(spark, turnsPath, s"dedup_$tag", perTrigger)(
+      try runStream(spark, turnsPath, turnSchema, s"dedup_$tag", perTrigger)(
         TranscriptStream.dedupedTurns(_, wideWm))
       finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-    def windowAgg() = runStream(spark, turnsPath, "window", perTrigger)(
-      TranscriptStream.windowedSinkCounts(_, toolDim, wideWm))
+    def windowAgg() = runStream(spark, turnsPath, turnSchema, "window",
+      perTrigger)(TranscriptStream.windowedSinkCounts(_, toolDim, wideWm))
 
     route() // warmup: codegen + parquet footers + page cache
     val rRoute = (1 to 3).map(_ => route()).minBy(_.sec)
@@ -208,7 +189,7 @@ object StreamBench {
       try runTextDedup(spark, sfDir, mult, perTrigger)
       finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     // stateless decontamination over the same docs (no provider needed)
-    val rDecon = runTextDecon(spark, docsPath, perTrigger)
+    val rDecon = runTextDecon(spark, sfDir, docsPath, perTrigger)
 
     for ((tag, r) <- Seq("route" -> rRoute, "dedup_hdfs" -> rDedupHdfs,
         "dedup_rocksdb" -> rDedupRocks, "window" -> rWindow))

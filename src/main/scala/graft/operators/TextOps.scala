@@ -772,6 +772,12 @@ object TextOps {
     require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
     val w = segTokens
     val PackBits = 21
+    // NULL text produces no segments, so such docs are OMITTED (the
+    // oracle's unnest emits no rows for them; without this filter the
+    // final left join would emit a spurious (doc, NULL, 0, "") row).
+    // doc_id is the corpus primary key and must be non-null — a null id
+    // hits the pack guard's raise_error below.
+    val in = docs.filter(col("text").isNotNull)
     val t = tokens
     val nSeg = floor((size(t) + w - 1) / w).cast("int")
     // seg construction is an interpreted-HOF lambda, but it runs once per
@@ -779,14 +785,17 @@ object TextOps {
     // HOF tax is bounded (and the hot path below is codegen'd sha2/agg)
     def segArr = transform(sequence(lit(0), nSeg - 1),
       i => array_join(slice(t, i * w + lit(1), lit(w)), " "))
+    // a NULL doc_id also lands in the otherwise branch (3-valued guard);
+    // coalesce keeps the diagnostic readable instead of a NULL message
     val packed = when(
       col("doc_id") >= 0 && col("doc_id") < (1L << (63 - PackBits)) &&
         col("seg_idx") < (1 << PackBits),
       shiftleft(col("doc_id"), PackBits) + col("seg_idx"))
       .otherwise(raise_error(concat(lit("segmentDedup pack overflow: "),
-        col("doc_id"), lit("/"), col("seg_idx"))))
+        coalesce(col("doc_id").cast("string"), lit("NULL")), lit("/"),
+        col("seg_idx").cast("string"))))
     // ids-only from here: text is gone before the first exchange
-    val segIds = docs.select(col("doc_id"),
+    val segIds = in.select(col("doc_id"),
         posexplode(segArr).as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx"), sha2(col("seg"), 256).as("sh"))
       .withColumn("p", packed)
@@ -795,7 +804,7 @@ object TextOps {
       .filter(col("p") === col("mp"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_idx"))).as("kept"))
-    docs.select(col("doc_id"), t.as("toks"), nSeg.as("n"))
+    in.select(col("doc_id"), t.as("toks"), nSeg.as("n"))
       .join(keptIdx, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n").cast("long").as("n_segs"),
