@@ -153,6 +153,43 @@ class StreamingSpec extends SparkSuite {
       progressed.map(_.stateOperators.length).mkString(","))
   }
 
+  test("per-row text ops are stream-transparent: split/mix/redact/quality identical on stream vs batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = (1L to 40L).map(i =>
+      (i, s"doc $i mail x$i@ex.org " + ("w " * (i % 7).toInt).trim,
+        "en", s"src${i % 3}", 20L + i))
+    val batch = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def check(name: String,
+              f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val want = f(batch).collect().map(_.toString).sorted.toSeq
+      val ms = MemoryStream[(Long, String, String, String, Long)]
+      val q = f(ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .writeStream.format("memory").queryName(s"rowops_$name")
+        .outputMode("append").start()
+      try {
+        // two micro-batches — per-row determinism must not depend on
+        // batch boundaries
+        ms.addData(rows.take(25): _*)
+        q.processAllAvailable()
+        ms.addData(rows.drop(25): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.sql(s"SELECT * FROM rowops_$name").collect()
+        .map(_.toString).sorted.toSeq
+      assert(got == want, s"$name: stream != batch")
+    }
+    check("redact", TextOps.redactPii)
+    check("quality", TextOps.qualityCounts)
+    check("split", TextOps.deterministicSplit)
+    check("mix", TextOps.weightedSample(_,
+      when(col("source") === "src0", lit(100)).otherwise(lit(50))))
+  }
+
   test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {
     val base = tmp()
     val in = s"$base/in"
