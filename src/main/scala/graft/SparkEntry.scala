@@ -275,6 +275,19 @@ object SparkEntry {
           percentile_approx(col("value"), lit(0.5), lit(1000000)).as("p50_approx"),
           expr("percentile(value, 0.5)").as("p50_exact"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax"))),
+    // unpivot (melt) — the q17 matrix back to long form; the oracle is
+    // the direct GROUP BY, so pivot→unpivot round-trips exactly (the
+    // n > 0 filter drops the fill-zeros pivot fabricated)
+    "q21_unpivot" -> ((s, dir) => {
+      val kinds = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", kinds)
+        .agg(count(lit(1))).na.fill(0L)
+        .unpivot(Array(col("user_id")), kinds.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n") > 0)
+    }),
     // ------------------------------ training-data ops (documents/embeddings)
     "d1_dedup_exact" -> ((s, dir) =>
       operators.TextOps.exactDedup(t(s, dir, "documents"))),
@@ -677,6 +690,11 @@ object SparkEntry {
         count(*) FILTER (event_type = 'signup') AS signup,
         count(*) FILTER (event_type = 'error') AS error
       FROM events GROUP BY user_id""",
+    "q21_unpivot" -> """
+      SELECT user_id, event_type, count(*) AS n
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+      GROUP BY user_id, event_type""",
     "q18_percentile" -> """
       SELECT event_type,
         quantile_disc(value, 0.5) AS p50_approx,
