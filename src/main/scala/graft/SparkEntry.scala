@@ -275,6 +275,18 @@ object SparkEntry {
           percentile_approx(col("value"), lit(0.5), lit(1000000)).as("p50_approx"),
           expr("percentile(value, 0.5)").as("p50_exact"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax"))),
+    // correlated scalar subquery — Catalyst decorrelates the per-user
+    // min(ts) into an aggregate + join (RewriteCorrelatedScalarSubquery);
+    // min, not avg: double-avg accumulation order differs cross-engine
+    "q22_correlated" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("ev_q22")
+      s.sql("""
+        SELECT e.user_id, count(*) AS n_later
+        FROM ev_q22 e
+        WHERE e.ts > (SELECT min(i.ts) FROM ev_q22 i
+                      WHERE i.user_id = e.user_id)
+        GROUP BY e.user_id""")
+    }),
     // unpivot (melt) — the q17 matrix back to long form; the oracle is
     // the direct GROUP BY, so pivot→unpivot round-trips exactly (the
     // n > 0 filter drops the fill-zeros pivot fabricated)
@@ -695,6 +707,12 @@ object SparkEntry {
       FROM events
       WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
       GROUP BY user_id, event_type""",
+    "q22_correlated" -> """
+      SELECT e.user_id, count(*) AS n_later
+      FROM events e
+      WHERE e.ts > (SELECT min(i.ts) FROM events i
+                    WHERE i.user_id = e.user_id)
+      GROUP BY e.user_id""",
     "q18_percentile" -> """
       SELECT event_type,
         quantile_disc(value, 0.5) AS p50_approx,
