@@ -262,12 +262,15 @@ object SparkEntry {
         .filter(col("tag") === 1)
         .select(col("event_id"), col("user_id"), col("last_signup_id"))
     }),
+    // fill scoped to the pivot VALUE columns — an unscoped fill would
+    // also rewrite a NULL user_id group key to 0, diverging from the
+    // oracle's NULL group
     "q17_pivot" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
     "q18_percentile" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -295,7 +298,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type", kinds)
-        .agg(count(lit(1))).na.fill(0L)
+        .agg(count(lit(1))).na.fill(0L, kinds)
         .unpivot(Array(col("user_id")), kinds.map(col).toArray,
           "event_type", "n")
         .filter(col("n") > 0)

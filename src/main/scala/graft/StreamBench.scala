@@ -107,20 +107,30 @@ object StreamBench {
   private def runTextDedup(spark: SparkSession, sfDir: String, mult: Int,
                            filesPerTrigger: Int): (Run, Long, String) = {
     // layout key includes the trigger sizing (it shapes the micro-batch
-    // count being measured); reuse is gated on the expected row count so
-    // a regenerated source dataset rebuilds instead of streaming stale
-    // replicas into a misleading rows-read failure
+    // count being measured); reuse is gated on a CONTENT fingerprint of
+    // the source files (name:size:mtime) + the replication scheme, not
+    // just row count — a regenerated source with the SAME count would
+    // otherwise silently stream stale replicas (the same trap
+    // Bench.materializeTurns guards with its derivation fingerprint)
     val docsPath = s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}" +
       s"_${mult}_$filesPerTrigger"
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val srcSig =
+      if (srcFile.isDirectory)
+        srcFile.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString(",")
+      else s"${srcFile.length}:${srcFile.lastModified}"
+    val fingerprint =
+      s"${(srcSig + "|docs-rep-v1|" + mult + "|" + filesPerTrigger).hashCode}"
+    val fpFile = java.nio.file.Paths.get(docsPath, "_fingerprint")
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val n = base.count()
-    val f = new java.io.File(docsPath)
-    val stale = f.exists() &&
-      (try spark.read.parquet(docsPath).count() != n * mult
-       catch { case _: org.apache.spark.sql.AnalysisException => true })
-    if (stale) rmrf(f)
-    if (!f.exists() || stale) {
+    val fresh = java.nio.file.Files.exists(fpFile) &&
+      java.nio.file.Files.readString(fpFile).trim == fingerprint
+    if (!fresh) {
+      rmrf(new java.io.File(docsPath))
       import org.apache.spark.sql.functions._
       (0 until mult).map(i =>
           base.select((col("doc_id") + lit(i.toLong * n)).as("doc_id"),
@@ -128,6 +138,7 @@ object StreamBench {
         .reduce(_.unionByName(_))
         .repartition(filesPerTrigger * 8)
         .write.mode("overwrite").parquet(docsPath)
+      java.nio.file.Files.writeString(fpFile, fingerprint)
     }
     val run = runStream(spark, docsPath, docSchema, "textdedup",
       filesPerTrigger)(graft.streaming.StreamDedup.candidates(spark, _).toDF())

@@ -95,15 +95,20 @@ object Checkpoint {
     * metadata commit). Batch replay stays idempotent afterwards: a
     * re-committed batch_id still dynamic-overwrites its own partitions.
     *
-    * Crash anatomy: the staging write completes BEFORE the original is
-    * touched, so no crash point loses data — a kill between the remove
-    * and the rename leaves the full compacted copy at `<sink>
-    * .compact-staging` with the sink path briefly absent, and the next
-    * compactSink (or [[healCompaction]]) completes the swap before doing
-    * anything else. Readers racing the swap window see a missing path,
-    * not partial data — the same visibility gap any non-catalog
-    * directory swap has; a real Iceberg catalog closes it by making the
-    * swap a metadata commit.
+    * Crash anatomy (rename-aside, never delete-then-rename): the staging
+    * write completes first, then the original is RENAMED to `<sink>
+    * .compact-old` (an atomic directory move — a complete copy exists at
+    * every instant, unlike a recursive delete, which a mid-kill leaves
+    * half-gone and indistinguishable from a healthy sink), staging is
+    * renamed in, and only then is the old copy deleted. A kill inside
+    * the two-rename window leaves the sink path briefly absent with
+    * BOTH full copies on disk; the next compactSink (or
+    * [[healCompaction]]) completes the swap before doing anything else,
+    * and a kill after the swap at worst strands the old copy, which heal
+    * also cleans. Readers racing the window see a missing path, not
+    * partial data. Compaction assumes no CONCURRENT writer (run it
+    * between increments); a real Iceberg catalog serializes both the
+    * swap and writers through the metadata commit.
     */
   def compactSink(spark: SparkSession, sinkPath: String,
                   maxRecordsPerFile: Long = 1L << 20): CompactStats = {
@@ -118,25 +123,38 @@ object Checkpoint {
       .partitionBy("batch_id", "sink")
       .parquet(staging)
     val root = new org.apache.hadoop.fs.Path(sinkPath)
+    val old = new org.apache.hadoop.fs.Path(sinkPath + ".compact-old")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.delete(root, true))
-      throw new java.io.IOException(s"compaction swap: cannot remove $sinkPath")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"compaction swap: cannot clear $old")
+    if (!fs.rename(root, old))
+      throw new java.io.IOException(
+        s"compaction swap: cannot move $sinkPath aside; sink untouched")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root))
       throw new java.io.IOException(
-        s"compaction swap failed: data is intact at $staging")
+        s"compaction swap failed: full copies intact at $old and $staging")
+    fs.delete(old, true) // best-effort; a stranded old is healed next run
     CompactStats(before, parquetFileCount(spark, sinkPath), rows)
   }
 
-  /** Complete a compaction swap interrupted between remove and rename:
-    * if the sink path is gone but a finished staging copy exists, rename
-    * it in. Safe to call any time; no-op when the sink is healthy.
+  /** Complete a compaction swap interrupted mid-window: if the sink path
+    * is gone but a finished staging copy exists, rename it in (and drop
+    * the moved-aside old copy); if the swap finished but the old copy's
+    * delete didn't, drop the leftover. Safe to call any time; no-op when
+    * the sink is healthy.
     */
   def healCompaction(spark: SparkSession, sinkPath: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(sinkPath)
     val staging = new org.apache.hadoop.fs.Path(sinkPath + ".compact-staging")
+    val old = new org.apache.hadoop.fs.Path(sinkPath + ".compact-old")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root) && fs.exists(staging)) fs.rename(staging, root)
-    else false
+    if (!fs.exists(root) && fs.exists(staging)) {
+      val healed = fs.rename(staging, root)
+      if (healed && fs.exists(old)) fs.delete(old, true)
+      healed
+    } else if (fs.exists(root) && fs.exists(old) && !fs.exists(staging)) {
+      fs.delete(old, true) // swap completed; only the cleanup was lost
+    } else false
   }
 
   /** One resumable pipeline increment: filter past the ledger watermark,

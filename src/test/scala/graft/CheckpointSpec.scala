@@ -101,15 +101,22 @@ class CheckpointSpec extends SparkSuite {
     Checkpoint.commitBatch(routed, sink, ledger, 1L)
     assert(spark.read.parquet(sink).count() == 3 * n)
 
-    // crash-window recovery: simulate a kill between remove and rename
-    // (sink gone, finished staging copy present) — the next compact run
-    // completes the swap before doing anything else
-    val fs = new org.apache.hadoop.fs.Path(sink)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.rename(new org.apache.hadoop.fs.Path(sink),
-      new org.apache.hadoop.fs.Path(sink + ".compact-staging"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink)))
+    // crash-window recovery: a kill inside the two-rename window leaves
+    // the sink path absent with the staging copy (and possibly the
+    // moved-aside old copy) on disk — heal completes the swap and drops
+    // the old copy
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(sink).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(p(sink), p(sink + ".compact-staging"))
+    fs.mkdirs(p(sink + ".compact-old")) // stand-in for the moved-aside copy
+    assert(!fs.exists(p(sink)))
     assert(Checkpoint.healCompaction(spark, sink))
+    assert(spark.read.parquet(sink).count() == 3 * n)
+    assert(!fs.exists(p(sink + ".compact-old")), "old copy not cleaned")
+    // swap completed but the old copy's delete was lost: heal drops it
+    fs.mkdirs(p(sink + ".compact-old"))
+    assert(Checkpoint.healCompaction(spark, sink))
+    assert(!fs.exists(p(sink + ".compact-old")))
     assert(spark.read.parquet(sink).count() == 3 * n)
     routed.unpersist()
   }
