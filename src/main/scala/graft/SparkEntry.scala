@@ -427,6 +427,12 @@ object SparkEntry {
     "m3_media_features" -> ((s, dir) =>
       operators.Multimodal.extractFeatures(s,
         operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
+    // frame sampling: every ceil(n/4)th frame of each video row — the
+    // explode fan-out a frame-level extractor consumes
+    "m4_frame_sample" -> ((s, dir) =>
+      operators.Multimodal.sampleFrames(
+        operators.Multimodal.decodeMeta(s,
+          operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF())),
   )
 
   /** DuckDB equivalents over the same parquet tables (events-derived
@@ -854,5 +860,13 @@ object SparkEntry {
         CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END
           AS INT) AS n_frames
       FROM documents""",
+    "m4_frame_sample" -> """
+      WITH v AS (
+        SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2)
+      SELECT doc_id, n_frames,
+        CAST(unnest(range(0, n_frames, greatest(n_frames // 4, 1))) AS INT)
+          AS frame_idx
+      FROM v""",
   )
 }
