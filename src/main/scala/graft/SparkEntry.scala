@@ -17,6 +17,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Transcripts.table(s, dir, name)
 
+  /** Monotonic suffix for q22's temp view (see the query's comment). */
+  private val q22ViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Parsed+filtered transcript turns — the pipeline front half. text is
     * dropped so query outputs keep the oracle-matched column set.
     */
@@ -282,11 +285,15 @@ object SparkEntry {
     // min(ts) into an aggregate + join (RewriteCorrelatedScalarSubquery);
     // min, not avg: double-avg accumulation order differs cross-engine
     "q22_correlated" -> ((s, dir) => {
-      t(s, dir, "events").createOrReplaceTempView("ev_q22")
-      s.sql("""
+      // unique view name per invocation: a fixed name mutates shared
+      // session state and collides if queries ever run concurrently in
+      // one session (r3 verdict nit)
+      val vn = s"ev_q22_${q22ViewSeq.incrementAndGet()}"
+      t(s, dir, "events").createOrReplaceTempView(vn)
+      s.sql(s"""
         SELECT e.user_id, count(*) AS n_later
-        FROM ev_q22 e
-        WHERE e.ts > (SELECT min(i.ts) FROM ev_q22 i
+        FROM $vn e
+        WHERE e.ts > (SELECT min(i.ts) FROM $vn i
                       WHERE i.user_id = e.user_id)
         GROUP BY e.user_id""")
     }),

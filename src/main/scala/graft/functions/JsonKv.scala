@@ -130,6 +130,11 @@ object TextJson {
     i = skipWs(b, i + 1, n)
     val keys = new java.util.ArrayList[AnyRef](8)
     val vals = new java.util.ArrayList[AnyRef](8)
+    // 64-bit bloom of key hashes: a clear bit proves the key is NEW, so
+    // the common no-duplicate case never pays the O(k) indexOf scan
+    // (which made wide-document parsing O(k²) per payload — r3 ADVICE);
+    // a set bit (real dup or hash collision) falls back to the exact scan
+    var keyBloom = 0L
     if (i < n && b(i) == '}') {
       if (skipWs(b, i + 1, n) != n) return null
       return mapOf(keys, vals)
@@ -149,7 +154,9 @@ object TextJson {
       // reference decodes into a Go map (encoding/json overwrites), and a
       // dup-keyed MapData would leak the key twice through map_keys into
       // rendered column lists
-      val dup = keys.indexOf(key)
+      val keyBit = 1L << (key.hashCode & 63)
+      val dup = if ((keyBloom & keyBit) == 0L) -1 else keys.indexOf(key)
+      keyBloom |= keyBit
       val tok = UTF8String.fromBytes(b, i, valEnd - i)
       if (dup >= 0) vals.set(dup, tok) else { keys.add(key); vals.add(tok) }
       i = skipWs(b, valEnd, n)

@@ -21,10 +21,36 @@ class MinKAggregator(k: Int)
 
   override def zero: Seq[Long] = Seq.empty
 
-  override def reduce(buf: Seq[Long], in: Long): Seq[Long] =
-    // fast path: a full buffer rejects anything ≥ its current max without
-    // re-sorting (the common case once the sketch saturates)
-    if (buf.length == k && in >= buf.last) buf else prune(buf :+ in)
+  /** Invariant: buf is sorted ascending and distinct (zero trivially;
+    * reduce inserts in place; merge re-prunes). So membership is a binary
+    * search and insertion is one positional patch — the r3 ADVICE fix:
+    * the old `prune(buf :+ in)` re-ran distinct+sort+take (several
+    * allocations) for EVERY accepted element and every duplicate of a
+    * value already held, allocation churn on a corpus-scale token stream.
+    */
+  override def reduce(buf: Seq[Long], in: Long): Seq[Long] = {
+    val n = buf.length
+    // saturated fast path: reject anything ≥ current max outright
+    if (n == k && in >= buf.last) buf
+    else {
+      // binary search for the insertion point in the sorted buffer
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < in) lo = mid + 1 else hi = mid
+      }
+      if (lo < n && buf(lo) == in) buf // duplicate: sketch slots are distinct
+      else {
+        val out = new Array[Long](math.min(n + 1, k))
+        var i = 0
+        while (i < lo) { out(i) = buf(i); i += 1 }
+        out(lo) = in
+        while (i < out.length - 1) { out(i + 1) = buf(i); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
+  }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = prune(a ++ b)
 

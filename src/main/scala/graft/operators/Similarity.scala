@@ -260,6 +260,17 @@ object Similarity {
       var cents: Array[Array[Long]] = q.filter(col("vec_id") < nCells)
         .orderBy(col("vec_id")).collect()
         .map(_.getAs[scala.collection.Seq[Long]]("qe").toArray)
+      // seeding takes the vectors with vec_id < nCells: a corpus with
+      // sparse/offset vec_ids can yield fewer (or zero) seeds, and an
+      // empty centroid array would surface later as an opaque executor
+      // NPE (array_min over an empty cellDists array is NULL). Fail the
+      // contract loudly here instead.
+      require(cents.nonEmpty,
+        s"kmeansCentroids: no seed vectors (need rows with vec_id < $nCells" +
+          " — corpus vec_ids must start at 0)")
+      if (cents.length < nCells)
+        System.err.println(s"[kmeansCentroids] WARN: only ${cents.length} of " +
+          s"$nCells seed vectors present (sparse vec_ids) — fewer cells")
       for (_ <- 0 until iters) {
         val sums = q.withColumn("cell",
             array_min(cellDists(cents)).getField("cell"))
@@ -374,7 +385,14 @@ object Similarity {
 
   private def recallVsBrute(emb: DataFrame, approx: DataFrame,
                             nQueries: Int, k: Int): DataFrame = {
-    val brute = knnBrute(emb, nQueries, k).select(col("qid"), col("nid"))
+    // ground truth via the heap-merge form (knnBruteAgg), NOT the window
+    // form: the recall harness would otherwise contain the exact
+    // full-scored-set row_number shuffle the serving tier bans — the one
+    // Window the r3 verdict found left on the e4/e5/e7 paths. The two
+    // forms are spec-asserted row-identical (SimilaritySpec), so the
+    // recall numbers are unchanged; ExplainAudit now extends the Window
+    // prohibition to the recall queries too.
+    val brute = knnBruteAgg(emb, nQueries, k).select(col("qid"), col("nid"))
     val a = approx.select(col("qid").as("q2"), col("nid").as("n2"))
     brute.join(a, col("qid") === col("q2") && col("nid") === col("n2"),
         "left")
