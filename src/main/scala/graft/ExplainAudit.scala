@@ -83,6 +83,15 @@ object ExplainAudit {
       Seq("ObjectHashAggregate", "partial_topkaggregator"),
       forbid = Seq("CartesianProduct", "Window"))
 
+    // recall harnesses: ground truth comes from knnBruteAgg, so the
+    // Window prohibition holds on the WHOLE e-tier — recall queries
+    // included (the r3 verdict's last Window on an ANN path)
+    Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall").foreach { q =>
+      audit(q, SparkEntry.queries(q)(spark, sfDir),
+        Seq("ObjectHashAggregate", "partial_topkaggregator"),
+        forbid = Seq("CartesianProduct", "Window"))
+    }
+
     // e1 brute top-k: heap-merge aggregation (TopKAggregator) — ≤k rows
     // per (query, partition) through the exchange (partial_topkaggregator
     // = the map-side half; a final-only aggregate would be exactly the
@@ -98,14 +107,26 @@ object ExplainAudit {
     audit("q20_asof", SparkEntry.queries("q20_asof_join")(spark, sfDir),
       Seq("Window"), forbid = Seq("CartesianProduct", "SortMergeJoin"))
 
-    // t11 end-to-end pipeline: gate's semi join broadcasts, the pack
-    // window partitions on (split|source, shard); the ladder's band/
-    // shingle joins are legitimate hash-shuffle joins — but NO stage may
-    // introduce a cartesian/nested-loop product
+    // t11 end-to-end pipeline: the pack window partitions on
+    // (split|source, shard); the ladder's band/shingle joins are
+    // legitimate hash-shuffle joins — but NO stage may introduce a
+    // cartesian/nested-loop product. The gate/redact/decon stages now
+    // sit ABOVE the eager stage-boundary checkpoints (each computed
+    // exactly once): the audited plan must read from the materialized
+    // boundary (ExistingRDD) and contain NO redaction expression —
+    // regexp_replace appearing here would mean the boundary failed and
+    // the redacted relation is recomputed per consumer again (t6's plan
+    // proves the marker fires when redaction IS in-plan).
     audit("t11_corpus_pipeline",
       SparkEntry.queries("t11_corpus_pipeline")(spark, sfDir),
-      Seq("BroadcastHashJoin", "Window"),
-      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      Seq("Window", "ExistingRDD"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "regexp_replace"))
+    val t6Plan = SparkEntry.queries("t6_redact")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    println(s"[audit] t6_redact marker-check ${
+      if (t6Plan.contains("regexp_replace")) "HAS" else "MISSING"} <regexp_replace>")
 
     // t7 source gate: the per-source rollup joins back as a BROADCAST
     // LEFT SEMI — the corpus side is never shuffled

@@ -391,7 +391,13 @@ object SparkEntry {
           concat(col("text"), lit(" contact doc"),
             col("doc_id").cast("string"),
             lit("@corp.example.com call +1 (555) 123-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))),
+        // stage-boundary materialization: the redacted and decontaminated
+        // relations are each consumed twice downstream — an eager local
+        // checkpoint computes each exactly once (2× on the composed
+        // pipeline at sf0.1; a cluster run would use a parquet/Iceberg
+        // boundary instead). Same rows, same hash — oracle unchanged.
+        materialize = _.localCheckpoint())),
     // corpus carries no PII: append a deterministic contact line per row
     // (mirrored in TextOracles.redactSql) so the redaction regexes are
     // exercised for real in both engines

@@ -104,28 +104,151 @@ object StreamDedup {
       }
   }
 
+  /** Shared candidate kernel: fold a sorted batch of arrivals into the
+    * bucket's representative set. Every arrival not already a
+    * representative pairs against ALL current representatives; while the
+    * set holds fewer than `maxReps`, the arrival then joins it. One
+    * representative (the r3 form) had a recall gap the spec itself
+    * exhibited: if the single representative is a false-positive bucket
+    * member (fails downstream exact-Jaccard verify), every true pair
+    * between LATER same-bucket arrivals is lost. A small representative
+    * set (default 3) emits those later-twin pairs too — at ≤ maxReps
+    * longs of state and ≤ maxReps pairs per arrival, still bounded — so
+    * one bad representative cannot orphan its bucket. (maxReps = 1
+    * reproduces the old keep-first-only behavior; the batch tier's
+    * all-pairs-per-bucket join remains the full-recall reference.)
+    */
+  private def foldArrivals(reps0: Seq[Long], ids: Array[Long], band: Int,
+                           maxReps: Int): (Seq[Long], List[CandPair]) = {
+    var reps = reps0
+    val out = List.newBuilder[CandPair]
+    ids.foreach { id =>
+      if (!reps.contains(id)) {
+        reps.foreach { r =>
+          out += CandPair(math.min(r, id), math.max(r, id), band)
+        }
+        if (reps.length < maxReps) reps = reps :+ id
+      }
+    }
+    (reps, out.result())
+  }
+
   /** Incremental candidate emission: per-(band, bucket) state keeps the
-    * FIRST document seen (the bucket representative — the keep-first
-    * policy of the batch dedup); every later arrival emits one candidate
-    * pair against it. Within a micro-batch arrivals are ordered by doc_id
-    * so the representative choice is deterministic under replay. State
-    * survives restarts via the checkpoint (StreamingSpec proves a
-    * post-restart twin still pairs against its pre-restart
-    * representative, with no re-emission of old pairs).
+    * first `maxReps` documents seen (the bucket representatives — see
+    * [[foldArrivals]]); every later arrival emits candidate pairs against
+    * them. Within a micro-batch arrivals are ordered by doc_id so the
+    * representative choice is deterministic under replay. State survives
+    * restarts via the checkpoint (StreamingSpec proves a post-restart
+    * twin still pairs against its pre-restart representatives, with no
+    * re-emission of old pairs).
+    *
+    * State here never expires (NoTimeout) — the batch-analog posture for
+    * bounded replays, RocksDB keeping the store off-heap. A TAILING
+    * deployment (unbounded stream) must bound the store in time: use
+    * [[candidatesEvicting]], which retires buckets the watermark has
+    * passed.
     */
   def candidates(spark: SparkSession, docs: DataFrame, k: Int = 32,
-                 bands: Int = 8): Dataset[CandPair] = {
+                 bands: Int = 8, maxReps: Int = 3): Dataset[CandPair] = {
     import spark.implicits._
     bandHits(spark, docs, k, bands)
       .groupByKey(h => (h.band, h.bucket))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (key: (Int, Long), hits: Iterator[BandHit], state: GroupState[Long]) =>
+        (key: (Int, Long), hits: Iterator[BandHit],
+         state: GroupState[Seq[Long]]) =>
           val ids = hits.map(_.doc_id).toArray.sorted.distinct
-          val rep = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(rep)
-          ids.iterator.filter(_ != rep).map(id =>
-            CandPair(math.min(rep, id), math.max(rep, id), key._1))
+          val (reps, pairs) =
+            foldArrivals(state.getOption.getOrElse(Seq.empty), ids,
+              key._1, maxReps)
+          state.update(reps)
+          pairs.iterator
+      }
+  }
+
+  /** [[BandHit]] carrying the document's event time, for the evicting
+    * form's watermark bookkeeping.
+    */
+  case class BandHitT(band: Int, bucket: Long, doc_id: Long,
+                      ts: java.sql.Timestamp)
+
+  /** The TAILING form of [[candidates]] — r3 verdict item 6: bucket state
+    * is retired once the EVENT-TIME watermark passes the bucket's last
+    * arrival by `horizonMs`, so the (band, bucket) store is bounded by
+    * the buckets touched within one horizon instead of growing with the
+    * whole history of the stream. Docs need a `ts` column; `delay` is the
+    * out-of-orderness tolerance passed to withWatermark.
+    *
+    * Semantics inside the horizon are identical to [[candidates]]
+    * (same kernel, same determinism); ACROSS an eviction the recall
+    * contract is explicitly horizon-bounded: a twin arriving after its
+    * bucket was retired re-opens the bucket as a fresh representative
+    * and pairs only with arrivals from then on — exactly the trade a
+    * production tailing dedup makes (near-dups separated by more than
+    * the horizon are handled by the periodic batch ladder, not the
+    * stream). StreamingSpec drives the watermark forward and asserts
+    * both the eviction and the intact within-horizon pairing.
+    */
+  def candidatesEvicting(spark: SparkSession, docs: DataFrame,
+                         horizonMs: Long, delay: String = "0 seconds",
+                         k: Int = 32, bands: Int = 8,
+                         maxReps: Int = 3): Dataset[CandPair] = {
+    import spark.implicits._
+    val r = k / bands
+    val hits = docs
+      .select(col("doc_id"), col("ts"),
+        graft.functions.shingles3(split(col("text"), " ")).as("shs"))
+      .as[(Long, java.sql.Timestamp, Seq[String])]
+      .flatMap { case (id, ts, shs) =>
+        if (shs.isEmpty) Iterator.empty
+        else {
+          val phs = shs.map(s =>
+            TextHashes.polyHash31(UTF8String.fromString(s)))
+          val mins = Array.tabulate(k) { i =>
+            var m = Long.MaxValue
+            phs.foreach { ph =>
+              val h = (ph * (2L * i + 1) + i.toLong * i + 1) % P31
+              if (h < m) m = h
+            }
+            m
+          }
+          (0 until bands).iterator.map { b =>
+            var acc = b.toLong
+            var j = 0
+            while (j < r) { acc = (acc * 1000003L + mins(b * r + j)) % P31; j += 1 }
+            BandHitT(b, acc, id, ts)
+          }
+        }
+      }
+    // watermark AFTER the typed flatMap: the event-time tag does not
+    // survive the object (de)serialization boundary, so tagging the input
+    // column fails the unsupported-operation check — tag the BandHitT
+    // dataset's own ts instead (same event times, same semantics)
+    hits.withWatermark("ts", delay)
+      .groupByKey(h => (h.band, h.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), batch: Iterator[BandHitT],
+         state: GroupState[Seq[Long]]) =>
+          if (batch.isEmpty) { // timeout fired: watermark passed the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val arr = batch.toArray
+            val ids = arr.map(_.doc_id).sorted.distinct
+            val (reps, pairs) =
+              foldArrivals(state.getOption.getOrElse(Seq.empty), ids,
+                key._1, maxReps)
+            state.update(reps)
+            // retire when the watermark passes last-arrival + horizon;
+            // the max() guard keeps the timestamp ahead of the current
+            // watermark even for a late straggler batch (setting a
+            // timeout at-or-before the watermark is an error)
+            val lastMs = arr.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs() + 1) + horizonMs)
+            pairs.iterator
+          }
       }
   }
 }

@@ -86,21 +86,65 @@ class StreamingSpec extends SparkSuite {
     assert(first.map(p => (p.doc1, p.doc2)).toSet == Set((1L, 2L)))
     assert(first.length == 8, "twin collides in all 8 bands")
     // tranche 2 after restart: doc 6 twins doc 1 again, doc 7 unrelated.
-    // The representative (doc 1) lives only in CHECKPOINTED state — the
-    // new query must pair 6 against it, and must NOT re-emit (1,2).
+    // The representatives (docs 1 AND 2 — doc 2 joined the set when it
+    // arrived) live only in CHECKPOINTED state — the new query must pair
+    // 6 against BOTH, and must NOT re-emit (1,2). (2,6) is exactly the
+    // pair the r3 single-representative form lost: had doc 1 been a
+    // false-positive bucket member, its verification failure would have
+    // orphaned the true 2~6 twin relation.
     Seq(doc(6, "a"), doc(7, "e")).toDF("doc_id", "text")
       .write.mode("append").parquet(in)
     run()
     val all = spark.read.parquet(out).as[StreamDedup.CandPair].collect()
-    assert(all.map(p => (p.doc1, p.doc2)).toSet == Set((1L, 2L), (1L, 6L)))
-    assert(all.length == 16, s"8 bands per twin, no re-emission: ${all.length}")
-    // cross-mode parity: the batch tier surfaces the same candidate set
+    assert(all.map(p => (p.doc1, p.doc2)).toSet ==
+      Set((1L, 2L), (1L, 6L), (2L, 6L)))
+    assert(all.length == 24, s"8 bands per twin pair, no re-emission: ${all.length}")
+    // cross-mode parity: the batch tier surfaces the SAME candidate set
+    // (multi-representative buckets closed the r3 (2,6) recall gap)
     val batchCand = graft.operators.TextOps.minhashCandidates(
       spark.read.parquet(in).withColumn("lang", lit("en"))
         .withColumn("source", lit("s")).withColumn("n_chars", length(col("text"))))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(batchCand == Set((1L, 2L), (1L, 6L), (2L, 6L)),
+    assert(batchCand == all.map(p => (p.doc1, p.doc2)).toSet,
       s"batch all-pairs form: $batchCand")
+  }
+
+  test("evicting near-dup candidates: watermark retires bucket state; within-horizon pairing intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def txt(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // horizon 10 min, no out-of-orderness allowance: the watermark is
+    // max-seen-event-time, so bucket state for a doc at minute m retires
+    // once an arrival is seen past m + 10.
+    val q = StreamDedup.candidatesEvicting(spark,
+        ms.toDF().toDF("doc_id", "ts", "text"), horizonMs = 10 * 60000L)
+      .toDF().writeStream.format("memory").queryName("evict")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 at t=0 (rep); unrelated doc 9 far in the future
+      // drives the watermark past 0+10min so doc 1's buckets retire
+      ms.addData((1L, ts(0), txt("a")))
+      q.processAllAvailable()
+      ms.addData((9L, ts(60), txt("z")))
+      q.processAllAvailable() // wm -> 60min; timeout fires for doc-1 buckets
+      ms.addData((9L, ts(61), txt("z"))) // extra batch: timeouts process
+      q.processAllAvailable()
+      // batch 2: doc 2 twins doc 1 AFTER eviction — no (1,2) pair may
+      // appear (the bucket re-opens with 2 as a fresh representative);
+      // doc 3 twins doc 2 within the horizon — (2,3) must appear.
+      ms.addData((2L, ts(62), txt("a")))
+      q.processAllAvailable()
+      ms.addData((3L, ts(63), txt("a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.sql("SELECT doc1, doc2 FROM evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)),
+      s"evicted rep must not pair, within-horizon twin must: $pairs")
   }
 
   test("streaming decontamination: stateless verdicts match the batch op row-for-row") {

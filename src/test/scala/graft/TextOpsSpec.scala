@@ -208,6 +208,33 @@ class TextOpsSpec extends SparkSuite {
     assert(out.collect().forall(_.getAs[Int]("n_tokens") == 60))
   }
 
+  test("corpusPipeline: stage-boundary materialization is row-identical and cuts the plan at the boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val rows =
+      (1L to 10L).map(i => (i, (1 to 60).map(j => s"t${i}w$j").mkString(" "),
+        "en", "src|0", 300L)) ++
+      Seq((11L, (1 to 60).map(j => s"t1w$j").mkString(" "), "en", "src|0", 300L)) ++
+      (20L to 23L).map(i => (i, "tiny", "en", "src_bad", 4L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plain = TextOps.corpusPipeline(d, mixPct = lit(100))
+    val mat = TextOps.corpusPipeline(d, mixPct = lit(100),
+      materialize = _.localCheckpoint())
+    // identical rows — the hook only changes where the plan is cut
+    assert(mat.collect().toSet == plain.collect().toSet)
+    // the materialized plan reads from the boundary (ExistingRDD) and
+    // contains NO redaction expression: the redacted relation was
+    // computed exactly once (eagerly, at the boundary), not once per
+    // downstream consumer. The identity plan DOES carry the redaction
+    // markers — proving the marker is meaningful.
+    val fmt = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt(mat).contains("ExistingRDD"))
+    assert(!fmt(mat).contains("regexp_replace"))
+    assert(fmt(plain).contains("regexp_replace"))
+  }
+
   test("sourceFilter drops ALL docs of a failing source, keeps ALL of a passing one") {
     import spark.implicits._
     // srcGood avg 400 chars; srcBad avg 100 — one long doc can't save it
