@@ -78,6 +78,23 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** (total, steal) jiffies from /proc/stat's aggregate cpu line — the
+    * co-tenant probe the r3 verdict asked for: the shared box showed a
+    * 20% round-over-round headline swing on byte-identical code, and
+    * without a contention reading alongside each run such a swing is not
+    * attributable at a glance. On bare metal steal stays 0 and the
+    * loadavg reading (below) carries the co-tenancy signal instead.
+    */
+  def procCpu(): (Double, Double) = {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+    (f.sum, if (f.length > 7) f(7) else 0.0)
+  }
+
+  def loadAvg1(): Double =
+    scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+      .split("\\s+")(0).toDouble
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -95,8 +112,23 @@ object Bench {
     val turnsPath = s"target/bench_turns_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
     val nTurns = materializeTurns(spark, sfDir, mult, turnsPath, cpus.toInt * 4)
     headline(spark, turnsPath) // warmup (codegen + footer + page cache)
-    // best-of-3: the box is shared, single measurements swing up to 7x
-    val tHead = (1 to 3).map(_ => timeIt(headline(spark, turnsPath))._2).min
+    // 5 reps with ALL readings reported (r3 verdict item 5): the shared
+    // box swings single measurements up to 7×, so the JSON carries the
+    // full sample (min = the committed best-of methodology, median +
+    // spread = the noise estimate) plus a co-tenancy probe (CPU steal %
+    // over the measurement window, 1-min loadavg before/after) so any
+    // round-over-round swing is attributable from the artifact alone.
+    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "5").toInt
+    val loadStart = loadAvg1()
+    val (cpu0, steal0) = procCpu()
+    val reps = (1 to headlineReps)
+      .map(_ => timeIt(headline(spark, turnsPath))._2).sorted
+    val (cpu1, steal1) = procCpu()
+    val loadEnd = loadAvg1()
+    val stealPct =
+      if (cpu1 > cpu0) 100.0 * (steal1 - steal0) / (cpu1 - cpu0) else 0.0
+    val tHead = reps.min
+    val tMedian = reps(reps.length / 2)
     val throughput = nTurns / tHead
 
     // ---- per-query timings; failures are REPORTED, never swallowed as a
@@ -115,8 +147,9 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = tHead + results.map(_._2).sum
+    val repsJson = reps.map(r => f"$r%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"parse_route_aggregate_throughput","value":$throughput,"unit":"turns_per_sec","headline_turns":$nTurns,"headline_sec":$tHead,"total_sec":$total,"queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus}""")
+      f"""{"metric":"parse_route_aggregate_throughput","value":$throughput,"unit":"turns_per_sec","headline_turns":$nTurns,"headline_sec":$tHead,"headline_median_sec":$tMedian%.3f,"headline_reps":$repsJson,"headline_spread":${reps.max / reps.min}%.2f,"steal_pct":$stealPct%.2f,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"total_sec":$total,"queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

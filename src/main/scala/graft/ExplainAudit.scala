@@ -180,6 +180,16 @@ object ExplainAudit {
       Seq("partial_min"),
       forbid = Seq("Window", "CartesianProduct"))
 
+    // d11 transitive dup clusters: the iterative hash-to-min loop runs at
+    // construction (each round checkpointed so lineage/plans stay flat);
+    // the audited final plan is docs ⋈ converged-labels reading from the
+    // checkpoint boundary — no product join anywhere, and no Window (the
+    // per-component work is min-aggregates, never a rank)
+    audit("d11_dup_clusters",
+      SparkEntry.queries("d11_dup_clusters")(spark, sfDir),
+      Seq("ExistingRDD"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+
     // d9 KMV sketch: the typed MinK aggregator must run partial+final —
     // `partial_minkaggregator` is the map-side half; without it a
     // final-only ObjectHashAggregate would shuffle the full token-hash

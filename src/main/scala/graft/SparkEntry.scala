@@ -297,6 +297,23 @@ object SparkEntry {
                       WHERE i.user_id = e.user_id)
         GROUP BY e.user_id""")
     }),
+    // explicit GROUPING SETS beyond rollup/cube (q8/q14), with grouping()
+    // flags so a NULL group key and a subtotal row stay distinguishable
+    // cross-engine; one shuffle, Expand feeds the same two-phase hash agg
+    "q23_grouping_sets" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 7).as("bucket"),
+          col("value"))
+      ev.groupingSets(
+          Seq(Seq(col("event_type"), col("bucket")),
+            Seq(col("event_type")), Seq.empty),
+          col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          grouping(col("event_type")).cast("int").as("g_et"),
+          grouping(col("bucket")).cast("int").as("g_b"))
+    }),
     // unpivot (melt) — the q17 matrix back to long form; the oracle is
     // the direct GROUP BY, so pivot→unpivot round-trips exactly (the
     // n > 0 filter drops the fill-zeros pivot fabricated)
@@ -323,6 +340,11 @@ object SparkEntry {
       operators.Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"))),
     "d7_neardup_ladder" -> ((s, dir) =>
       operators.TextOps.nearDupLadder(t(s, dir, "documents"))),
+    // transitive dup clusters: iterative hash-to-min connected components
+    // over the ladder's verified pairs — DuckDB checks the fixpoint with
+    // an independent recursive-CTE transitive closure
+    "d11_dup_clusters" -> ((s, dir) =>
+      operators.TextOps.dupClusters(t(s, dir, "documents"))),
     "d5_fingerprint" -> ((s, dir) =>
       // the cross-engine fingerprint tier (poly_hash31 / simhash_poly);
       // rolling_hash + simhash64 stay as the 61/64-bit production exprs
@@ -735,6 +757,13 @@ object SparkEntry {
       WHERE e.ts > (SELECT min(i.ts) FROM events i
                     WHERE i.user_id = e.user_id)
       GROUP BY e.user_id""",
+    "q23_grouping_sets" -> """
+      SELECT event_type, bucket, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(grouping(event_type) AS INT) AS g_et,
+        CAST(grouping(bucket) AS INT) AS g_b
+      FROM (SELECT event_type, user_id % 7 AS bucket, value FROM events) ev
+      GROUP BY GROUPING SETS ((event_type, bucket), (event_type), ())""",
     "q18_percentile" -> """
       SELECT event_type,
         quantile_disc(value, 0.5) AS p50_approx,
@@ -759,6 +788,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
+    "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     "e2_knn_lsh" -> SimOracles.knnLshSql(),
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),

@@ -97,6 +97,42 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** d11: transitive duplicate clusters — the ladder's verified pairs
+    * (same CTE chain as [[nearDupLadderSql]]) closed transitively by a
+    * RECURSIVE CTE; cluster_id = min doc_id reachable, singletons label
+    * themselves. The independent-algorithm check on the Spark side's
+    * iterative hash-to-min propagation: DuckDB materializes the full
+    * reachability set, Spark converges labels — identical fixpoint.
+    */
+  def dupClustersSql(k: Int = 32, bands: Int = 8,
+                     minBandHits: Int = 2): String =
+    s"""WITH RECURSIVE ${shingleCtes()} ${minhashCtes(k, bands)},
+cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc1, doc2, count(*) AS inter
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = doc1
+  JOIN sh s2 ON s2.doc_id = doc2 AND s2.shingle = s1.shingle
+  GROUP BY doc1, doc2),
+verified AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM verified
+  UNION
+  SELECT doc2 AS src, doc1 AS dst FROM verified),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+labels AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id"""
+
   /** The 62-bit SimHash fingerprint of `documents.text` (token-level
     * PolyHash31 + affine-image bit votes) — mirror of SimHashPoly.
     */

@@ -177,7 +177,21 @@ object TextOps {
     // keeps recall for jaccard ≥ 0.7 (expected hits 8·s⁴ ≈ 1.9–8) while
     // cutting candidates ~50×.
     val cand = minhashCandidatesVoted(docs, k, bands, minBandHits)
+    // restrict the shingle relation to docs that appear in some candidate
+    // pair BEFORE any verify join: without this, the (shingle, doc2)
+    // equi-join sort-merge-sorts the ENTIRE corpus shingle relation —
+    // measured as the whole ladder's cost cliff at 2.56M docs (143M
+    // string rows sorted+spilled twice, 22 s → 116 s for 4× the corpus).
+    // The semi join is ids-only (candidate doc set ≪ corpus in a gated
+    // corpus; AQE broadcasts it when small), so the corpus's shingles
+    // pass ONE cheap membership filter and the exact tier's joins touch
+    // candidate docs only — the cost the ladder's linearity claim is
+    // actually making. n_sh sizes come from the same restricted relation
+    // (only candidate docs' sizes are ever read by the output).
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id"))).distinct()
     val sh = shingleRows(docs).drop("lang", "lb")
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // join shingles to candidate pairs only — the exact compare never goes
     // quadratic in the corpus, only in the (tiny) candidate set
@@ -195,6 +209,83 @@ object TextOps {
         .withColumnRenamed("n_sh", "n2"), "doc2")
       .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
       .select(col("doc1"), col("doc2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** Transitive duplicate CLUSTERS over the ladder's verified pairs —
+    * connected components by iterative hash-to-min label propagation
+    * (Rastogi et al. 2013's Hash-to-Min shape on DataFrames). Pairwise
+    * dedup ([[dropNearDups]]) keeps the smaller of each PAIR, but a
+    * near-dup RELATION is transitive in practice (A~B, B~C with A,C just
+    * under the threshold): cluster-level policies (keep one doc per
+    * cluster, count cluster mass per source) need the component, not the
+    * edge list. Output: (doc_id, cluster_id) for EVERY doc, cluster_id =
+    * min doc_id reachable through verified pairs (singletons label
+    * themselves) — a deterministic canonical labeling, hash-checked
+    * against a DuckDB recursive-CTE transitive closure.
+    *
+    * Scale shape: edges (two directed copies of the sparse verified pair
+    * set) are localCheckpointed ONCE and reused every iteration; each
+    * iteration is one edges⋈labels hash join + a min-aggregate (map-side
+    * partial min absorbs high-degree hubs — boilerplate twins collapse
+    * in the combiner, no single-reducer star) + a least() join-back, with
+    * the result checkpointed so the plan does NOT grow with iterations
+    * (the classic iterative-lineage blow-up). Iterations = component
+    * diameter — tiny for dup clusters (twins of twins); the `maxIters`
+    * guard raises loudly on adversarial chain components, where the
+    * star-contraction variant (alternating large-star/small-star, same
+    * join shape, O(log n) rounds) is the documented fallback. The corpus
+    * itself never enters the loop: docs join the converged labels once,
+    * at the end, via a left join (null ⇒ singleton).
+    */
+  def dupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                  minBandHits: Int = 2, maxIters: Int = 25): DataFrame = {
+    val pairs = nearDupLadder(docs, k, bands, minBandHits)
+      .select(col("doc1"), col("doc2"))
+    val labels = connectedComponents(pairs, maxIters)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Min-label connected components over an undirected (doc1, doc2) edge
+    * list — the iterative core of [[dupClusters]], exposed for direct use
+    * on any pair relation (the embedding ladder's pairs, simhash pairs).
+    * Returns (id, lbl) for every endpoint; nodes absent from the edge
+    * list are the caller's to label (dupClusters left-joins them to
+    * themselves). See [[dupClusters]] for the per-iteration scale shape.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p2 = pairs.toDF("doc1", "doc2")
+    val edges = p2
+      .union(p2.select(col("doc2"), col("doc1")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = labels.isEmpty // no edges at all ⇒ nothing to iterate
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.select(col("id"), col("lbl").as("old_lbl"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old_lbl"), coalesce(col("nbr_lbl"), col("old_lbl")))
+            .as("lbl"),
+          col("old_lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl") =!= col("old_lbl")).isEmpty
+      labels = next.select(col("id"), col("lbl"))
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents: not converged after $maxIters rounds — " +
+        "component diameter exceeds the bound; use star-contraction for " +
+        "chain-shaped graphs")
+    labels
   }
 
   /** Near-dup DEDUP over the ladder's verified pairs: the larger member
@@ -818,14 +909,25 @@ object TextOps {
       .otherwise(raise_error(concat(lit("segmentDedup pack overflow: "),
         coalesce(col("doc_id").cast("string"), lit("NULL")), lit("/"),
         col("seg_idx").cast("string"))))
-    // ids-only from here: text is gone before the first exchange
+    // ids-only from here: text is gone before the first exchange. The
+    // segment key is sha2 UNHEXED to 32 raw bytes — same collision-free
+    // identity, half the exchange bytes of the 64-char hex form.
     val segIds = in.select(col("doc_id"),
         posexplode(segArr).as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"), sha2(col("seg"), 256).as("sh"))
+      .select(col("doc_id"), col("seg_idx"),
+        unhex(sha2(col("seg"), 256)).as("sh"))
       .withColumn("p", packed)
+    // keep-first NEEDS NO JOIN-BACK: the packed long IS the winning
+    // (doc_id, seg_idx) — decode it straight out of the min aggregate.
+    // (The r3 form joined segIds back to the winners on the 64-char hash
+    // key: a second full shuffle+sort of every segment row, measured as
+    // the job's dominant cost at 2.56M docs. One groupBy(sh) exchange is
+    // now the only place segment rows cross the wire.)
     val firsts = segIds.groupBy(col("sh")).agg(min(col("p")).as("mp"))
-    val keptIdx = segIds.join(firsts, Seq("sh"))
-      .filter(col("p") === col("mp"))
+    val keptIdx = firsts
+      .select(shiftright(col("mp"), PackBits).as("doc_id"),
+        col("mp").bitwiseAND(lit((1L << PackBits) - 1)).cast("int")
+          .as("seg_idx"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("seg_idx"))).as("kept"))
     in.select(col("doc_id"), t.as("toks"), nSeg.as("n"))

@@ -208,6 +208,41 @@ class TextOpsSpec extends SparkSuite {
     assert(out.collect().forall(_.getAs[Int]("n_tokens") == 60))
   }
 
+  test("connectedComponents: chains close transitively, components stay separate, iteration guard fires") {
+    import spark.implicits._
+    // chain 1-2-3-4 (needs 3 propagation rounds), triangle 10-11-12,
+    // detached pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc1", "doc2")
+    val got = TextOps.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a 12-node chain needs ~11 min-propagation rounds: a tiny bound must
+    // raise the convergence contract error, never return partial labels
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("doc1", "doc2")
+    assertThrows[IllegalArgumentException] {
+      TextOps.connectedComponents(chain, maxIters = 2).collect()
+    }
+  }
+
+  test("dupClusters: ladder twins share the min-doc_id cluster, everything else is a singleton") {
+    import spark.implicits._
+    // docs 1..10 distinct; 11 and 12 exact copies of doc 1 — the ladder
+    // emits (1,11), (1,12), (11,12) and the component collapses to 1
+    val rows =
+      (1L to 10L).map(i => (i, (1 to 60).map(j => s"t${i}w$j").mkString(" "),
+        "en", "src0", 300L)) ++
+      Seq(11L, 12L).map(i => (i, (1 to 60).map(j => s"t1w$j").mkString(" "),
+        "en", "src0", 300L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.dupClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (1L to 10L).map(i => i -> i).toMap + (11L -> 1L) + (12L -> 1L)
+    assert(got == want)
+  }
+
   test("corpusPipeline: stage-boundary materialization is row-identical and cuts the plan at the boundary") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
