@@ -190,6 +190,15 @@ object ExplainAudit {
       Seq("ExistingRDD"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
 
+    // t16 BM25: the token explode prunes to query terms in-scan (literal
+    // in-filter), tf/df aggregate two-phase, the |terms|-row df table
+    // joins back broadcast, and top-k is TakeOrderedAndProject — a
+    // GlobalLimit would mean a full global sort of every scored doc
+    audit("t16_bm25",
+      SparkEntry.queries("t16_bm25")(spark, sfDir),
+      Seq("TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "GlobalLimit"))
+
     // d9 KMV sketch: the typed MinK aggregator must run partial+final —
     // `partial_minkaggregator` is the map-side half; without it a
     // final-only ObjectHashAggregate would shuffle the full token-hash

@@ -20,6 +20,9 @@ object SparkEntry {
   /** Monotonic suffix for q22's temp view (see the query's comment). */
   private val q22ViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** t16's fixed probe query — terms of varying corpus frequency. */
+  private val Bm25Terms = Seq("vector", "hash", "spark", "dup")
+
   /** Parsed+filtered transcript turns — the pipeline front half. text is
     * dropped so query outputs keep the oracle-matched column set.
     */
@@ -314,6 +317,23 @@ object SparkEntry {
           grouping(col("event_type")).cast("int").as("g_et"),
           grouping(col("bucket")).cast("int").as("g_b"))
     }),
+    // RANGE-frame analytic window: per-user sliding 1-hour event-time sum
+    // — the value-based frame (vs q6's row-based rank). The frame key is
+    // epoch MICROseconds, so the boundary is exact at the data's full
+    // timestamp precision and matches DuckDB's INTERVAL arithmetic
+    // digit-for-digit (an epoch-seconds cast would truncate sub-second
+    // timestamps into the wrong frame); RANGE includes ts-ties in both
+    // engines, so the running sum is deterministic under tie reordering.
+    "q24_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("hour_sum"),
+        count(lit(1)).over(w).cast("long").as("hour_n"))
+    }),
     // unpivot (melt) — the q17 matrix back to long form; the oracle is
     // the direct GROUP BY, so pivot→unpivot round-trips exactly (the
     // n > 0 filter drops the fill-zeros pivot fabricated)
@@ -345,6 +365,10 @@ object SparkEntry {
     // an independent recursive-CTE transitive closure
     "d11_dup_clusters" -> ((s, dir) =>
       operators.TextOps.dupClusters(t(s, dir, "documents"))),
+    // integer-exact BM25 top-k keyword retrieval (fixed query, the
+    // curation-stack search primitive); TakeOrderedAndProject top-k
+    "t16_bm25" -> ((s, dir) =>
+      operators.TextOps.bm25TopK(t(s, dir, "documents"), Bm25Terms)),
     "d5_fingerprint" -> ((s, dir) =>
       // the cross-engine fingerprint tier (poly_hash31 / simhash_poly);
       // rolling_hash + simhash64 stay as the 61/64-bit production exprs
@@ -757,6 +781,13 @@ object SparkEntry {
       WHERE e.ts > (SELECT min(i.ts) FROM events i
                     WHERE i.user_id = e.user_id)
       GROUP BY e.user_id""",
+    "q24_range_frame" -> """
+      SELECT event_id, user_id,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+        CAST(count(*) OVER w AS BIGINT) AS hour_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
     "q23_grouping_sets" -> """
       SELECT event_type, bucket, count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -789,6 +820,7 @@ object SparkEntry {
     "d5_fingerprint" -> TextOracles.fingerprintSql,
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
+    "t16_bm25" -> TextOracles.bm25Sql(Bm25Terms),
     "e2_knn_lsh" -> SimOracles.knnLshSql(),
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),

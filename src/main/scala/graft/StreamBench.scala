@@ -201,18 +201,33 @@ object StreamBench {
       finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     // stateless decontamination over the same docs (no provider needed)
     val rDecon = runTextDecon(spark, sfDir, docsPath, perTrigger)
+    // the TAILING form: same banded kernel with event-time eviction
+    // (bucket state retired once the watermark passes last-arrival +
+    // horizon). Event time is synthesized deterministically from doc_id
+    // (1 doc/sec), horizon 1h — so eviction genuinely fires across the
+    // stream and the measured path includes timeout processing.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    val rTextEvict =
+      try runStream(spark, docsPath, docSchema, "textdedupevict", perTrigger)(
+        df => graft.streaming.StreamDedup.candidatesEvicting(spark,
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_seconds(
+              org.apache.spark.sql.functions.col("doc_id"))),
+          horizonMs = 3600L * 1000L).toDF())
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     for ((tag, r) <- Seq("route" -> rRoute, "dedup_hdfs" -> rDedupHdfs,
         "dedup_rocksdb" -> rDedupRocks, "window" -> rWindow))
       require(r.rowsIn == nTurns,
         s"$tag read ${r.rowsIn} of $nTurns rows — stale checkpoint or lost input")
-    for ((tag, r) <- Seq("text_dedup" -> rText, "text_decon" -> rDecon))
+    for ((tag, r) <- Seq("text_dedup" -> rText, "text_decon" -> rDecon,
+        "text_dedup_evict" -> rTextEvict))
       require(r.rowsIn == nDocs,
         s"$tag read ${r.rowsIn} of $nDocs docs — stale checkpoint or lost input")
 
     val thr = nTurns / rRoute.sec
     println(
-      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec},"text_dedup_sec":${rText.sec},"text_decon_sec":${rDecon.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"text_dedup":{"docs":$nDocs,"docs_per_sec":${nDocs / rText.sec}},"text_decon":{"docs":$nDocs,"docs_per_sec":${nDocs / rDecon.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
+      s"""{"metric":"streaming_route_throughput","value":$thr,"unit":"turns_per_sec","turns":$nTurns,"micro_batches":${rRoute.batches},"streams":{"route_sec":${rRoute.sec},"dedup_hdfs_sec":${rDedupHdfs.sec},"dedup_rocksdb_sec":${rDedupRocks.sec},"window_agg_sec":${rWindow.sec},"text_dedup_sec":${rText.sec},"text_decon_sec":${rDecon.sec},"text_dedup_evict_sec":${rTextEvict.sec}},"dedup_throughput":{"hdfs":${nTurns / rDedupHdfs.sec},"rocksdb":${nTurns / rDedupRocks.sec}},"text_dedup":{"docs":$nDocs,"docs_per_sec":${nDocs / rText.sec}},"text_decon":{"docs":$nDocs,"docs_per_sec":${nDocs / rDecon.sec}},"text_dedup_evict":{"docs":$nDocs,"docs_per_sec":${nDocs / rTextEvict.sec}},"state_keys":$nTurns,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

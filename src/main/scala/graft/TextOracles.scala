@@ -97,6 +97,43 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** t16: integer-exact BM25 top-k — mirror of TextOps.bm25TopK (same
+    * rational parameters k1 = 6/5, b = 3/4, same scaled integer kernel,
+    * same t14-style log₂ idf quantization; `//` mirrors Spark's `div`).
+    * The corpus scalars (N, Σdl) are subqueries where the Spark side
+    * collects them once at build — same values, same arithmetic.
+    */
+  def bm25Sql(queryTerms: Seq[String], k: Int = 10): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dls AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot
+  FROM documents),
+qt AS (SELECT unnest($termList) AS tok),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks JOIN qt USING (tok) GROUP BY doc_id, tok),
+dfs AS (
+  SELECT tok,
+    CAST(length(bin((((SELECT n FROM stats) - count(*)) * 1024)
+      // (count(*) + 1) + 1)) AS BIGINT) AS idfq
+  FROM tf GROUP BY tok),
+a AS (SELECT tot // n AS a1 FROM stats)
+SELECT tf.doc_id,
+  CAST(sum((idfq * (44 * a1 * tf) * 1000)
+    // (20 * a1 * tf + 6 * a1 + 18 * dl)) AS BIGINT) AS score_x1000,
+  count(*) AS n_terms
+FROM tf JOIN dfs USING (tok) JOIN dls USING (doc_id) CROSS JOIN a
+GROUP BY tf.doc_id
+ORDER BY score_x1000 DESC, doc_id
+LIMIT $k"""
+  }
+
   /** d11: transitive duplicate clusters — the ladder's verified pairs
     * (same CTE chain as [[nearDupLadderSql]]) closed transitively by a
     * RECURSIVE CTE; cluster_id = min doc_id reachable, singletons label

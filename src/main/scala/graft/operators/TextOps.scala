@@ -978,4 +978,57 @@ object TextOps {
         col("logprob_sum"),
         expr("(100 * logprob_sum) div n_tok").as("score_x100"))
   }
+
+  // ------------------------------------------------------- BM25 retrieval
+
+  /** Integer-exact BM25 top-k keyword retrieval over the corpus — the
+    * search/mining primitive of a curation stack (find the training docs
+    * that answer a probe query, mine near-matches of an eval prompt).
+    * Fixed parameters k1 = 6/5 and b = 3/4 (the literature's defaults to
+    * within a hair) are chosen as exact rationals so the whole score is
+    * pure int64 arithmetic (`div` here, `//` in the DuckDB oracle):
+    * with A = avgdl = Σdl div N and the per-(doc, term) tf,
+    *   num  = 44·A·tf                 ( = tf·(k1+1) scaled by 20A )
+    *   den  = 20·A·tf + 6·A + 18·dl   ( = tf + k1·(1−b+b·dl/A), same scale )
+    *   idfq = ⌊log₂((N−df)·1024 div (df+1) + 1)⌋ + 1   (length(bin(x)) —
+    *          the t14 integer-log quantization, monotone in true idf)
+    *   score_term = (idfq · num · 1000) div den
+    * Overflow bound: dl, tf ≤ 2²⁰ and A ≤ 2²⁰ keep idfq·num·1000 under
+    * 2.8e18 < 2⁶³. Per-term saturation is the true k1+1 = 2.2 ceiling.
+    *
+    * Scale shape: the query-term list is a LITERAL in-filter, so the
+    * corpus's token explode prunes to query terms immediately (a
+    * 10-term query keeps ~10 rows per matching doc); tf is one two-phase
+    * hash aggregate on (doc, term); df aggregates the tiny tf relation;
+    * the df table (|terms| rows) broadcasts back; doc scores partial-agg
+    * per doc; top-k is TakeOrderedAndProject — never a global sort. The
+    * two corpus-level scalars (N, Σdl) are one count/sum action at build
+    * (the e6 centroid-collect shape); the oracle computes the same
+    * scalars as subqueries.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+               k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens)).as("tot")).collect()(0)
+    val n = stats.getLong(0)
+    val tot = stats.getLong(1)
+    require(n > 0, "bm25TopK: empty corpus")
+    val a1 = tot / n
+    val dl = docs.select(col("doc_id"), size(tokens).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("idfq",
+        length(bin(expr(s"(($n - df) * 1024) div (df + 1) + 1"))).cast("long"))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("s", expr(
+        s"(idfq * (44 * $a1 * tf) * 1000) div (20 * $a1 * tf + 6 * $a1 + 18 * dl)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score_x1000"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -516,4 +516,28 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(rows.toSeq == Seq(Some(11L), None, None))
   }
+
+  test("bm25TopK: exact integer kernel on a hand-computed corpus; tf saturation and idf ordering") {
+    // n=4 docs, tot=16 tokens, avgdl a1=4. Query {cat, fish}:
+    //   df(cat)=df(fish)=2 -> idfq = len(bin((2*1024) div 3 + 1))
+    //                              = len(bin(683)) = 10
+    //   doc1 (cat:1, fish:1): per-term (10*176*1000) div 176 = 10000
+    //   doc2 (cat:4):         (10*704*1000) div 416 = 16923 (saturating:
+    //                         4x the tf is ~1.7x, not 4x, the score)
+    //   doc3 (fish:2):        (10*352*1000) div 256 = 13750
+    val d = docs(
+      1L -> "cat dog fish bird",
+      2L -> "cat cat cat cat",
+      3L -> "dog dog fish fish",
+      4L -> "xx yy zz ww")
+    val res = TextOps.bm25TopK(d, Seq("cat", "fish"), k = 3)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 20000L, 2L), (2L, 16923L, 1L), (3L, 13750L, 1L)))
+    // scale shape: top-k is per-partition heaps (TakeOrderedAndProject),
+    // never a global Sort->Limit or a rank window
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"),
+      plan)
+  }
 }
