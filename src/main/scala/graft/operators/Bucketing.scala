@@ -10,12 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   def saveBucketed(df: DataFrame, tableName: String, buckets: Int = 8,
-                   byCol: String = "conv_id"): Unit =
+                   byCol: String = "conv_id",
+                   sortCols: Seq[String] = Nil): Unit = {
+    val sort = if (sortCols.nonEmpty) sortCols else Seq(byCol)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, byCol)
-      .sortBy(byCol)
+      .sortBy(sort.head, sort.tail: _*)
       .saveAsTable(tableName)
+  }
 
   /** Join two same-bucketed tables on the bucket column. With matching
     * bucket counts the planner proves co-partitioning and emits NO

@@ -41,4 +41,31 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("sessionize over a bucketed+sorted transcripts table plans ZERO shuffles") {
+    // SCALE.md's ordering-tier claim: with the 10^12-turn table laid out
+    // bucket(conv_id), the per-conversation window (ClusteredDistribution
+    // on conv_id) AND the downstream groupBy(conv_id, session_id) (conv_id
+    // is a subset of the grouping keys) are both satisfied by the scan's
+    // HashPartitioning — storage-partitioned execution moves NOTHING for
+    // the whole sessionize job, vs one full exchange of every turn on a
+    // plain table.
+    val turns = Transcripts.transcripts(spark, "/root/testdata/sf0.001")
+      .select("conv_id", "turn_idx", "role", "ts")
+    Bucketing.saveBucketed(turns, "bkt_turns", buckets = 8,
+      sortCols = Seq("conv_id", "turn_idx"))
+    try {
+      val bucketed = graft.operators.Pipeline.sessionize(spark.table("bkt_turns"))
+      val got = bucketed.collect()
+      assert(Bucketing.shuffleCount(bucketed) == 0,
+        bucketed.queryExecution.executedPlan.toString)
+
+      // control + correctness: the plain path shuffles, and both paths
+      // agree row-for-row
+      val plain = graft.operators.Pipeline.sessionize(turns)
+      val want = plain.collect()
+      assert(Bucketing.shuffleCount(plain) > 0)
+      assert(got.map(_.toSeq).toSet == want.map(_.toSeq).toSet && got.length == want.length)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_turns")
+  }
 }
