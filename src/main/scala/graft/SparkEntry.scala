@@ -369,6 +369,15 @@ object SparkEntry {
     // curation-stack search primitive); TakeOrderedAndProject top-k
     "t16_bm25" -> ((s, dir) =>
       operators.TextOps.bm25TopK(t(s, dir, "documents"), Bm25Terms)),
+    // incremental (crawl-cadence) dedup: the doc_id%5==0 slice is the
+    // "new batch", the rest the existing corpus whose banded index it is
+    // verdicted against — per-batch cost O(batch + candidates), corpus
+    // never re-paired with itself
+    "d12_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.TextOps.incrementalDedup(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
     "d5_fingerprint" -> ((s, dir) =>
       // the cross-engine fingerprint tier (poly_hash31 / simhash_poly);
       // rolling_hash + simhash64 stay as the 61/64-bit production exprs
@@ -821,6 +830,7 @@ object SparkEntry {
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     "t16_bm25" -> TextOracles.bm25Sql(Bm25Terms),
+    "d12_incremental_dedup" -> TextOracles.incrementalDedupSql(),
     "e2_knn_lsh" -> SimOracles.knnLshSql(),
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),

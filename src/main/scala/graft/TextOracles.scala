@@ -97,6 +97,43 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** d12: incremental dedup — mirror of TextOps.incrementalDedup over a
+    * deterministic doc_id-modulus corpus/batch split: batch docs pair
+    * with ANY colliding corpus doc (no id order) and with LOWER-id batch
+    * docs, ≥`minBandHits` band votes, exact-Jaccard verified, dup_of =
+    * min verified partner. Reuses the shared shingle/minhash CTEs (the
+    * `voted` CTE they define goes unused here — DuckDB only evaluates
+    * referenced CTEs).
+    */
+  def incrementalDedupSql(k: Int = 32, bands: Int = 8,
+                          minBandHits: Int = 2, batchMod: Int = 5): String =
+    s"""WITH ${shingleCtes()} ${minhashCtes(k, bands)},
+ivote AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS other_id, count(*) AS band_hits
+  FROM banded n JOIN banded o
+    ON n.band = o.band AND n.bucket = o.bucket
+   AND n.doc_id % $batchMod = 0
+   AND (o.doc_id % $batchMod <> 0 OR o.doc_id < n.doc_id)
+  GROUP BY n.doc_id, o.doc_id),
+icand AS (SELECT new_id, other_id FROM ivote WHERE band_hits >= $minBandHits),
+isizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+iinter AS (
+  SELECT new_id, other_id, count(*) AS inter
+  FROM icand
+  JOIN sh s1 ON s1.doc_id = new_id
+  JOIN sh s2 ON s2.doc_id = other_id AND s2.shingle = s1.shingle
+  GROUP BY new_id, other_id),
+idups AS (
+  SELECT i.new_id, min(i.other_id) AS dup_of
+  FROM iinter i
+  JOIN isizes s1 ON s1.doc_id = i.new_id
+  JOIN isizes s2 ON s2.doc_id = i.other_id
+  WHERE i.inter * 10 >= (s1.n_sh + s2.n_sh - i.inter) * 7
+  GROUP BY i.new_id)
+SELECT d.doc_id, dup_of IS NOT NULL AS is_dup, dup_of
+FROM documents d LEFT JOIN idups ON idups.new_id = d.doc_id
+WHERE d.doc_id % $batchMod = 0"""
+
   /** t16: integer-exact BM25 top-k — mirror of TextOps.bm25TopK (same
     * rational parameters k1 = 6/5, b = 3/4, same scaled integer kernel,
     * same t14-style log₂ idf quantization; `//` mirrors Spark's `div`).

@@ -302,6 +302,79 @@ object TextOps {
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental near-dup dedup — the "crawl N+1 against crawl N" job, the
+    * cadence corpus dedup actually runs at: a NEW batch is verdicted
+    * against the EXISTING corpus (and against its own lower-id members)
+    * without ever re-pairing the corpus with itself. Same banded-MinHash →
+    * exact-Jaccard ladder rule as [[nearDupLadder]]; doc_ids must be
+    * disjoint across the two relations. Output: one row per batch doc —
+    * (doc_id, is_dup, dup_of) with dup_of = the minimum verified partner
+    * (corpus or earlier-in-batch), NULL for survivors. Deterministic, so
+    * the DuckDB oracle chain (TextOracles.incrementalDedupSql) is
+    * hash-exact.
+    *
+    * Scale shape: the corpus side contributes ONLY its banded bucket rows
+    * (bands × one long per doc — in production a materialized index table
+    * written once per crawl and reused every batch; here computed inline
+    * from the same signature kernel) plus, at verify time, the shingles of
+    * the few corpus docs that actually collide (ids-only semi join, the
+    * d7 candidate-scoping rule). Everything else — shingling, signatures,
+    * candidate joins, verify — is linear in the BATCH, so per-batch cost
+    * is O(batch + candidates) regardless of corpus size. Keep-first
+    * across batches is structural: earlier crawls are never revisited,
+    * their members always win.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, k: Int = 32,
+                       bands: Int = 8, minBandHits: Int = 2): DataFrame = {
+    val r = k / bands
+    def banded(d: DataFrame): DataFrame =
+      minhashSignatures(d, k).select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => bandBucket(b, r)): _*))
+          .as(Seq("band", "bucket")))
+    val corpusIdx = banded(corpus) // the per-crawl index, built once
+    val batchBands = banded(batch)
+    // batch vs corpus: no id-order constraint (old ids can be larger);
+    // batch vs batch: strictly lower-id partners (keep-first in-batch)
+    val candOld = batchBands.as("n").join(corpusIdx.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .groupBy(col("n.doc_id").as("new_id"), col("o.doc_id").as("other_id"))
+      .agg(count(lit(1)).as("band_hits"))
+    val candNew = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("y.doc_id") < col("x.doc_id"))
+      .groupBy(col("x.doc_id").as("new_id"), col("y.doc_id").as("other_id"))
+      .agg(count(lit(1)).as("band_hits"))
+    val cand = candOld.unionByName(candNew)
+      .filter(col("band_hits") >= minBandHits)
+      .select(col("new_id"), col("other_id"))
+    // exact verify restricted to candidate docs only (see nearDupLadder:
+    // without the semi join the corpus shingle relation would be the
+    // join's sorted side — the measured 2.56M-doc cliff)
+    val candDocs = cand.select(col("new_id").as("doc_id"))
+      .union(cand.select(col("other_id").as("doc_id"))).distinct()
+    val sh = shingleRows(corpus.unionByName(batch)).drop("lang", "lb")
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("shingle", "s1"), "new_id")
+      .join(sh.withColumnRenamed("doc_id", "other_id")
+        .withColumnRenamed("shingle", "s2"), "other_id")
+      .filter(col("s1") === col("s2"))
+      .groupBy(col("new_id"), col("other_id")).agg(count(lit(1)).as("inter"))
+    val dups = inter
+      .join(sizes.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("n_sh", "n1"), "new_id")
+      .join(sizes.withColumnRenamed("doc_id", "other_id")
+        .withColumnRenamed("n_sh", "n2"), "other_id")
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 7)
+      .groupBy(col("new_id")).agg(min(col("other_id")).as("dup_of"))
+    batch.select(col("doc_id"))
+      .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+  }
+
   /** t11 — the reference's defining trait re-expressed over the corpus:
     * ONE linear dataflow end-to-end (/root/reference/main.go:84-107 runs
     * scan→filter→route→transform→sink as a single pass), here the

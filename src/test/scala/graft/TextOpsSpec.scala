@@ -517,6 +517,22 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.toSeq == Seq(Some(11L), None, None))
   }
 
+  test("incrementalDedup: batch verdicts against corpus index + earlier batch members; keep-first across crawls") {
+    // corpus (crawl N): doc 1 = base, doc 2 = unrelated.
+    // batch (crawl N+1): 10 = exact copy of 1, 15 = near-dup of 1/10,
+    //                    20 = fresh content.
+    // Expected: 10 dup_of 1 (corpus wins over any batch partner),
+    // 15 dup_of 1 (min of verified partners {1, 10}), 20 survives.
+    // Corpus-internal pair (1 vs 2: none anyway) is NEVER re-examined.
+    val corpus = docs(1L -> base, 2L -> unrelated)
+    val batch = docs(10L -> base, 15L -> nearDup, 20L -> (1 to 60).map(i => s"q$i").mkString(" "))
+    val got = TextOps.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got == Map(10L -> ((true, 1L)), 15L -> ((true, 1L)),
+      20L -> ((false, -1L))))
+  }
+
   test("bm25TopK: exact integer kernel on a hand-computed corpus; tf saturation and idf ordering") {
     // n=4 docs, tot=16 tokens, avgdl a1=4. Query {cat, fish}:
     //   df(cat)=df(fish)=2 -> idfq = len(bin((2*1024) div 3 + 1))
