@@ -190,6 +190,14 @@ object ExplainAudit {
       Seq("ExistingRDD"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
 
+    // d12 incremental dedup: banded index joins + candidate-scoped verify
+    // — all legitimate hash exchanges; no rank window anywhere (dup_of is
+    // a min aggregate) and no product join (the band joins are equi)
+    audit("d12_incremental_dedup",
+      SparkEntry.queries("d12_incremental_dedup")(spark, sfDir),
+      Seq("partial_min"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
     // t16 BM25: the token explode prunes to query terms in-scan (literal
     // in-filter), tf/df aggregate two-phase, the |terms|-row df table
     // joins back broadcast, and top-k is TakeOrderedAndProject — a

@@ -403,11 +403,25 @@ object TextOps {
     * random collisions don't. Shingle-less docs survive. Left-semi
     * against the verdicts, so surviving rows keep every upstream column.
     */
-  def dropContaminated(d: DataFrame): DataFrame =
-    d.join(decontaminate(d)
-        .filter(col("n_hits") * 2 < col("n_sh") || col("n_sh") === 0)
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+  def dropContaminated(d: DataFrame,
+                       evalDocs: Option[DataFrame] = None): DataFrame = {
+    // Join AGAINST THE VICTIMS, not the survivors: contaminated docs
+    // (plus carve-out members under the default) are SPARSE in a real
+    // corpus, so the anti join's right side is a small id set AQE
+    // resolves to a broadcast — where the former left-semi against the
+    // survivor verdicts shuffled the FULL-TEXT corpus on doc_id against
+    // a relation of nearly equal cardinality (measured as the dominant
+    // decon cost at the 5.12M-doc bench point). Same survivor set
+    // row-for-row on non-null doc_ids (the table's doc_id is non-null
+    // by construction).
+    val victims = decontaminate(d, evalDocs = evalDocs)
+      .filter(col("n_hits") * 2 >= col("n_sh") && col("n_sh") =!= 0)
+      .select(col("doc_id"))
+    val carveOut = if (evalDocs.isDefined) None
+      else Some(d.filter(isEvalCarveOut).select(col("doc_id")))
+    val dropIds = carveOut.fold(victims)(victims.union)
+    d.join(dropIds, Seq("doc_id"), "left_anti")
+  }
 
   /** `materialize` is the STAGE-BOUNDARY hook (r3 verdict item 3): the
     * composed dataflow consumes the redacted relation twice (decon
@@ -429,11 +443,19 @@ object TextOps {
                      augment: DataFrame => DataFrame = identity,
                      minAvgChars: Long = 300L,
                      budget: Int = 512, nShards: Int = 4,
+                     evalDocs: Option[DataFrame] = None,
                      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val red = materialize(redactDocs(augment(gateDocs(docs, minAvgChars))))
     // decontaminate BEFORE dedup: eval leakage must go regardless of
-    // which twin the ladder would have kept
-    val decon = materialize(dropContaminated(red))
+    // which twin the ladder would have kept. `evalDocs` is the
+    // production form (an explicit benchmark-sized eval table → forced
+    // broadcast, the corpus is never shuffled for decon); the None
+    // default carves eval out of the corpus so the sf0.01 driver oracle
+    // stays self-contained — but that carve-out GROWS with the corpus
+    // (1/29 of it), which at bench scale pushes the eval set past any
+    // broadcast threshold and shuffles the corpus's entire shingle
+    // relation: a regime real benchmark decontamination is never in.
+    val decon = materialize(dropContaminated(red, evalDocs))
     val sp = splitDocs(mixDocs(dropNearDups(decon), mixPct))
     // pack WITHIN (split, source) — sequences must never cross a split
     // boundary; both are real window-key columns (no delimiter folding)
@@ -730,9 +752,15 @@ object TextOps {
     * with its shingle count, overlap count, and the verdict — docs too
     * short to shingle report (0, 0, clean) instead of vanishing.
     */
+  /** Default eval carve-out rule — shared by [[decontaminate]] (which
+    * excludes these docs from `train`) and [[dropContaminated]] (which
+    * must also DROP them, since they carry no verdict row).
+    */
+  private def isEvalCarveOut: Column = col("doc_id") % 29 === 3
+
   def decontaminate(docs: DataFrame, minHits: Int = 3,
                     evalDocs: Option[DataFrame] = None): DataFrame = {
-    val isEval = col("doc_id") % 29 === 3
+    val isEval = isEvalCarveOut
     val train = evalDocs.map(_ => docs).getOrElse(docs.filter(!isEval))
     def shOf(d: DataFrame) = d
       .select(col("doc_id"), explode(shingles3(tokens)).as("shingle"))

@@ -29,6 +29,38 @@ object DocsProbe {
       println(f"[probe] $name%-28s $s%8.2f s")
     }
 
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("t11")) {
+      // t11 stage decomposition: time each boundary-to-boundary leg the
+      // composed pipeline runs, at this parallelism level
+      import graft.operators.TextOps
+      // same fixed-size eval as the bench's t11 job (production regime)
+      val eval = Some(docs.filter(col("doc_id") % mult === 0 &&
+        (col("doc_id") / mult) % 29 === 3))
+      var red: org.apache.spark.sql.DataFrame = null
+      var decon: org.apache.spark.sql.DataFrame = null
+      var sp: org.apache.spark.sql.DataFrame = null
+      t("gate_redact_ckpt") {
+        red = TextOps.redactDocs(TextOps.gateDocs(docs)).localCheckpoint()
+      }
+      t("decontaminate_ckpt") {
+        decon = TextOps.dropContaminated(red, eval).localCheckpoint()
+      }
+      t("ladder_dedup") {
+        sp = TextOps.splitDocs(TextOps.mixDocs(TextOps.dropNearDups(decon),
+          lit(100))).localCheckpoint()
+      }
+      t("pack") {
+        TextOps.packSequences(sp, 512, 4, Seq("split", "source"))
+          .agg(sum(col("n_tokens")), sum(col("bin")), count(lit(1))).collect()
+      }
+      t("t11_whole") {
+        TextOps.corpusPipeline(docs, evalDocs = eval,
+            materialize = _.localCheckpoint())
+          .agg(sum(col("n_tokens")), sum(col("bin")), count(lit(1))).collect()
+      }
+      spark.stop(); return
+    }
+
     t("scan_count")(docs.count())
     t("signatures")(graft.operators.TextOps.minhashSignatures(docs)
       .agg(sum(element_at(col("sig"), 1))).collect())
