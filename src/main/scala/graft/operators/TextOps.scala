@@ -403,25 +403,34 @@ object TextOps {
     * random collisions don't. Shingle-less docs survive. Left-semi
     * against the verdicts, so surviving rows keep every upstream column.
     */
-  def dropContaminated(d: DataFrame,
-                       evalDocs: Option[DataFrame] = None): DataFrame = {
-    // Join AGAINST THE VICTIMS, not the survivors: contaminated docs
-    // (plus carve-out members under the default) are SPARSE in a real
-    // corpus, so the anti join's right side is a small id set AQE
-    // resolves to a broadcast — where the former left-semi against the
-    // survivor verdicts shuffled the FULL-TEXT corpus on doc_id against
-    // a relation of nearly equal cardinality (measured as the dominant
-    // decon cost at the 5.12M-doc bench point). Same survivor set
-    // row-for-row on non-null doc_ids (the table's doc_id is non-null
-    // by construction).
+  /** The id set [[dropContaminated]] removes: fraction-rule contaminated
+    * docs plus (under the carve-out default) the eval members themselves.
+    * SPARSE in a real corpus — KBs of ids, broadcastable, and cheap to
+    * materialize at a stage boundary (vs checkpointing the full-text
+    * decontaminated relation, a second corpus-sized block-manager copy
+    * that is pure memory-bandwidth cost and scales with data, not cores).
+    */
+  def contaminatedIds(d: DataFrame,
+                      evalDocs: Option[DataFrame] = None): DataFrame = {
     val victims = decontaminate(d, evalDocs = evalDocs)
       .filter(col("n_hits") * 2 >= col("n_sh") && col("n_sh") =!= 0)
       .select(col("doc_id"))
     val carveOut = if (evalDocs.isDefined) None
       else Some(d.filter(isEvalCarveOut).select(col("doc_id")))
-    val dropIds = carveOut.fold(victims)(victims.union)
-    d.join(dropIds, Seq("doc_id"), "left_anti")
+    carveOut.fold(victims)(victims.union)
   }
+
+  def dropContaminated(d: DataFrame,
+                       evalDocs: Option[DataFrame] = None): DataFrame =
+    // Join AGAINST THE VICTIMS, not the survivors: the anti join's right
+    // side is the small [[contaminatedIds]] set AQE resolves to a
+    // broadcast — where the former left-semi against the survivor
+    // verdicts shuffled the FULL-TEXT corpus on doc_id against a
+    // relation of nearly equal cardinality (measured as the dominant
+    // decon cost at the 5.12M-doc bench point). Same survivor set
+    // row-for-row on non-null doc_ids (the table's doc_id is non-null
+    // by construction).
+    d.join(contaminatedIds(d, evalDocs), Seq("doc_id"), "left_anti")
 
   /** `materialize` is the STAGE-BOUNDARY hook (r3 verdict item 3): the
     * composed dataflow consumes the redacted relation twice (decon
@@ -455,7 +464,15 @@ object TextOps {
     // (1/29 of it), which at bench scale pushes the eval set past any
     // broadcast threshold and shuffles the corpus's entire shingle
     // relation: a regime real benchmark decontamination is never in.
-    val decon = materialize(dropContaminated(red, evalDocs))
+    // The second stage boundary materializes only the VICTIM ID SET
+    // (KBs): the decontaminated relation itself stays a lazy broadcast
+    // anti join over the checkpointed `red`, so its downstream consumers
+    // (ladder candidates, ladder verify, the dedup anti-back) each pay
+    // one cached-red scan instead of the pipeline paying a second
+    // corpus-sized block-manager copy — memory-bandwidth cost that
+    // scales with data, not cores (measured on DocsScalingBench).
+    val decon = red.join(materialize(contaminatedIds(red, evalDocs)),
+      Seq("doc_id"), "left_anti")
     val sp = splitDocs(mixDocs(dropNearDups(decon), mixPct))
     // pack WITHIN (split, source) — sequences must never cross a split
     // boundary; both are real window-key columns (no delimiter folding)

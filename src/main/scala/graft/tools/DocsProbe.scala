@@ -43,7 +43,8 @@ object DocsProbe {
         red = TextOps.redactDocs(TextOps.gateDocs(docs)).localCheckpoint()
       }
       t("decontaminate_ckpt") {
-        decon = TextOps.dropContaminated(red, eval).localCheckpoint()
+        decon = red.join(TextOps.contaminatedIds(red, eval).localCheckpoint(),
+          Seq("doc_id"), "left_anti")
       }
       t("ladder_dedup") {
         sp = TextOps.splitDocs(TextOps.mixDocs(TextOps.dropNearDups(decon),
