@@ -62,7 +62,16 @@ object DocsScalingBench {
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // over-partition and let AQE coalesce by DATA size: at exactly one
+      // task-wave per stage (partitions == cpus) any straggler stalls
+      // every core at the stage barrier — the text tier's skewed task
+      // sizes (band buckets, doc lengths) made that the dominant
+      // serial component at 4N. With headroom, AQE picks the reducer
+      // count from bytes (~64MB targets), identical at N and 4N, and
+      // stragglers overlap with remaining waves — the same reason real
+      // clusters run 2-4x partitions per core.
+      .config("spark.sql.shuffle.partitions",
+        (cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "4").toInt).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
