@@ -190,6 +190,15 @@ object ExplainAudit {
       Seq("ExistingRDD"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
 
+    // d13 star-contraction clustering: the alternating large/small-star
+    // rounds run at construction (checkpoint-per-round, like d11); the
+    // audited final plan joins docs against the converged star-forest
+    // labels off the checkpoint boundary — same prohibitions as d11
+    audit("d13_dup_clusters_star",
+      SparkEntry.queries("d13_dup_clusters_star")(spark, sfDir),
+      Seq("ExistingRDD"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+
     // d12 incremental dedup: banded index joins + candidate-scoped verify
     // — all legitimate hash exchanges; no rank window anywhere (dup_of is
     // a min aggregate) and no product join (the band joins are equi)
@@ -206,6 +215,15 @@ object ExplainAudit {
       SparkEntry.queries("t16_bm25")(spark, sfDir),
       Seq("TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"),
       forbid = Seq("Window", "CartesianProduct", "GlobalLimit"))
+
+    // t17 DSIR weights: the buckets-row weight table must come back as a
+    // broadcast onto the bigram explode, and both the bucket counts and
+    // the per-doc sums must aggregate two-phase — a Window or product
+    // join would mean the corpus got shuffled for a KB-sized model
+    audit("t17_dsir_weights",
+      SparkEntry.queries("t17_dsir_weights")(spark, sfDir),
+      Seq("BroadcastHashJoin", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
 
     // d9 KMV sketch: the typed MinK aggregator must run partial+final —
     // `partial_minkaggregator` is the map-side half; without it a

@@ -365,6 +365,14 @@ object SparkEntry {
     // an independent recursive-CTE transitive closure
     "d11_dup_clusters" -> ((s, dir) =>
       operators.TextOps.dupClusters(t(s, dir, "documents"))),
+    // same clustering through the O(log n)-round star-contraction engine
+    // (diameter-proof: a chain-shaped dup graph converges where min-label
+    // propagation would hit its iteration guard); label contract is
+    // identical — component minimum — so the same recursive-CTE oracle
+    // checks both engines
+    "d13_dup_clusters_star" -> ((s, dir) =>
+      operators.TextOps.dupClusters(t(s, dir, "documents"),
+        components = operators.TextOps.starContractComponents(_, _))),
     // integer-exact BM25 top-k keyword retrieval (fixed query, the
     // curation-stack search primitive); TakeOrderedAndProject top-k
     "t16_bm25" -> ((s, dir) =>
@@ -426,6 +434,12 @@ object SparkEntry {
     // integer-quantized logprob — even the score is hash-checked
     "t14_unigram_quality" -> ((s, dir) =>
       operators.TextOps.unigramQuality(t(s, dir, "documents"))),
+    // DSIR importance weights: hashed-bigram target-vs-raw likelihood
+    // ratio, integer-quantized (t14's length(bin(·)) log₂) so the
+    // per-doc weight sum is hash-exact cross-engine; target slice =
+    // source 'src0' standing in for the high-quality reference corpus
+    "t17_dsir_weights" -> ((s, dir) =>
+      operators.TextOps.dsirWeights(t(s, dir, "documents"))),
     // C4-style segment-level dedup: corpus-wide keep-first on 10-token
     // segments (min-struct aggregate, no window), docs reassembled
     "t15_segment_dedup" -> ((s, dir) =>
@@ -820,6 +834,7 @@ object SparkEntry {
     "d9_kmv_distinct" -> TextOracles.kmvSql(),
     "t13_sample_source" -> TextOracles.samplePerSourceSql(k = 10),
     "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
+    "t17_dsir_weights" -> TextOracles.dsirWeightsSql(),
     "t15_segment_dedup" -> TextOracles.segmentDedupSql(),
     "d10_source_overlap" -> TextOracles.sourceOverlapSql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),
@@ -829,6 +844,10 @@ object SparkEntry {
     "d5_fingerprint" -> TextOracles.fingerprintSql,
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
+    // identical label contract (cluster_id = component min over the same
+    // verified pairs), so the same independent transitive-closure oracle
+    // cross-checks the star-contraction engine
+    "d13_dup_clusters_star" -> TextOracles.dupClustersSql(),
     "t16_bm25" -> TextOracles.bm25Sql(Bm25Terms),
     "d12_incremental_dedup" -> TextOracles.incrementalDedupSql(),
     "e2_knn_lsh" -> SimOracles.knnLshSql(),

@@ -610,6 +610,36 @@ SELECT doc_id, n_tok, n_invocab, logprob_sum,
   (100 * logprob_sum) // n_tok AS score_x100
 FROM scored"""
 
+  /** t17: DSIR importance weights — hashed-bigram features with
+    * multiplicity (NO distinct, unlike the shingle CTEs), raw vs
+    * target-slice bucket counts, per-occurrence weight
+    * length(bin(tc+1)) − length(bin(rc+1)) summed per doc. DuckDB's
+    * sum(BIGINT) widens to HUGEINT, so the sum is CAST back (the t14
+    * discipline); subtraction order and +1 smoothing mirror
+    * TextOps.dsirWeights digit-for-digit.
+    */
+  def dsirWeightsSql(targetSource: String = "src0",
+                     buckets: Int = 256): String =
+    s"""WITH big AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+    i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+feat AS (SELECT doc_id, ${ph("bg")} % $buckets AS f FROM big),
+raw AS (SELECT f, count(*) AS rc FROM feat GROUP BY f),
+tgt AS (
+  SELECT feat.f, count(*) AS tc FROM feat
+  JOIN documents d USING (doc_id)
+  WHERE d.source = '$targetSource' GROUP BY feat.f),
+wt AS (
+  SELECT r.f,
+    length(bin(COALESCE(t.tc, 0) + 1)) - length(bin(r.rc + 1)) AS w
+  FROM raw r LEFT JOIN tgt t ON t.f = r.f),
+scored AS (
+  SELECT doc_id, count(*) AS n_big, CAST(sum(w) AS BIGINT) AS logw
+  FROM feat JOIN wt USING (f) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_big, 0) AS n_big, COALESCE(s.logw, 0) AS logw
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

@@ -238,10 +238,12 @@ object TextOps {
     * at the end, via a left join (null ⇒ singleton).
     */
   def dupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
-                  minBandHits: Int = 2, maxIters: Int = 25): DataFrame = {
+                  minBandHits: Int = 2, maxIters: Int = 25,
+                  components: (DataFrame, Int) => DataFrame =
+                    connectedComponents): DataFrame = {
     val pairs = nearDupLadder(docs, k, bands, minBandHits)
       .select(col("doc1"), col("doc2"))
-    val labels = connectedComponents(pairs, maxIters)
+    val labels = components(pairs, maxIters)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -286,6 +288,73 @@ object TextOps {
         "component diameter exceeds the bound; use star-contraction for " +
         "chain-shaped graphs")
     labels
+  }
+
+  /** Star-contraction connected components — the O(log n)-round
+    * alternative that [[connectedComponents]]'s convergence guard points
+    * at: min-label propagation needs diameter-many rounds, so a
+    * chain-shaped dup graph (pathological but real — A≈B≈C≈… drift under
+    * a loose threshold) blows past any fixed iteration bound, while
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) converges
+    * in O(log n) rounds regardless of diameter. Same (id, lbl) output
+    * contract as [[connectedComponents]]: lbl = component minimum, nodes
+    * absent from the edge list are the caller's to self-label.
+    *
+    * Scale shape per round — two aggregate+join passes over the CURRENT
+    * edge set (ids only, and it only shrinks toward the star forest):
+    * large-star re-attaches every node's strictly-larger neighbors to
+    * min(Γ(x) ∪ {x}) (map-side-combining min per node + one hash join
+    * back — high-degree hubs collapse in the combiner, no single-reducer
+    * star), then small-star, on the (u > v)-oriented result, attaches
+    * every smaller neighbor and u itself to u's minimum neighbor (same
+    * shape). localCheckpoint per round keeps lineage flat (the
+    * [[connectedComponents]] discipline). Fixpoint = edge set unchanged
+    * (two ids-only exceptAll probes); at fixpoint the graph IS the star
+    * forest, so labels read directly off the edges — non-roots point at
+    * their component min, roots self-label.
+    */
+  def starContractComponents(pairs: DataFrame,
+                             maxIters: Int = 64): DataFrame = {
+    val p2 = pairs.toDF("a", "b")
+    var edges = p2.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIters) {
+      // large-star over the bidirected neighborhood; n > x ≥ m ⇒ the
+      // emitted (n, m) pair is already (larger, smaller)-oriented
+      val bi = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      val mins = bi.groupBy(col("x")).agg(min(col("n")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = bi.join(mins, "x").filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the oriented result: every smaller neighbor of u
+      // (and u itself) attaches to u's minimum neighbor
+      val sm = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(sm, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(sm.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      edges = next
+      it += 1
+    }
+    require(converged,
+      s"starContractComponents: not converged after $maxIters rounds")
+    val nonRoots = edges.select(col("u").as("id"), col("v").as("lbl"))
+    edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+      .join(nonRoots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   /** Near-dup DEDUP over the ladder's verified pairs: the larger member
@@ -1095,6 +1164,100 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("n_invocab"),
         col("logprob_sum"),
         expr("(100 * logprob_sum) div n_tok").as("score_x100"))
+  }
+
+  // ----------------------------------------------- DSIR importance weights
+
+  /** DSIR-style importance weights for target-matched data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS'23): score every corpus document by how much
+    * its hashed-bigram feature distribution looks like a TARGET slice
+    * (here a source label — in production the high-quality reference
+    * corpus) relative to the RAW corpus. Per-occurrence weight is
+    * q(T_f + 1) − q(R_f + 1) with q = length(bin(·)) — the t14
+    * integer-log₂ quantization, so logw is a pure-integer sum and the
+    * cross-engine oracle is hash-exact where float log-likelihood ratios
+    * would drift at the ulp. Docs with fewer than two tokens score
+    * (0, 0). Selection = rank by logw desc (more-target-like is less
+    * negative); emitting the weights keeps the operator composable with
+    * [[sampleBySource]]-style threshold selection.
+    *
+    * Scale shape: one linear bigram explode; the raw and target feature
+    * tables are `buckets`-row two-phase hash aggregates (map-side
+    * partials absorb the heavy buckets); the weight table is KBs and
+    * broadcasts back onto the explode, and the per-doc sum is another
+    * two-phase aggregate — the corpus is never shuffled, exactly the t14
+    * vocabulary shape.
+    */
+  /** Word bigrams of `text` WITH multiplicity (the DSIR feature unit —
+    * unlike the distinct shingle tiers, repetition counts).
+    */
+  private def dsirBigrams: Column =
+    when(size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1),
+        i => concat_ws(" ", element_at(tokens, i),
+          element_at(tokens, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  private def dsirFeats(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"), explode(dsirBigrams).as("bg"))
+      .select(col("doc_id"), col("source"),
+        (graft.functions.poly_hash31(col("bg")) % buckets).as("f"))
+
+  /** The (feature, weight) model relation — ≤ `buckets` rows. */
+  private def dsirWt(feats: DataFrame, targetSource: String): DataFrame = {
+    val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("rc"))
+    val tgt = feats.filter(col("source") === targetSource)
+      .groupBy(col("f")).agg(count(lit(1)).as("tc"))
+    raw.join(tgt, Seq("f"), "left")
+      .select(col("f"),
+        (length(bin(coalesce(col("tc"), lit(0L)) + 1)) -
+          length(bin(col("rc") + 1))).cast("long").as("w"))
+  }
+
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0",
+                  buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val feats = dsirFeats(docs, buckets)
+    // every observed feature has a raw count, so the weight join is total
+    val perDoc = feats.join(broadcast(dsirWt(feats, targetSource)), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"), sum(col("w")).as("logw"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("logw"), lit(0L)).as("logw"))
+  }
+
+  /** The collected (f → w) model — KBs at any corpus size (≤ `buckets`
+    * entries): the artifact a production selection job materializes once
+    * from a reference pass and reuses per shard or per stream batch.
+    */
+  def dsirWeightTable(docs: DataFrame, targetSource: String = "src0",
+                      buckets: Int = 256): Map[Int, Long] =
+    dsirWt(dsirFeats(docs, buckets), targetSource).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+
+  /** Stateless in-row DSIR scorer against a FIXED weight table — the
+    * streaming sibling of [[dsirWeights]] (the decontamination pattern:
+    * model broadcast as a literal, verdicts per row, no state operators,
+    * append-mode safe). Batch-parity with [[dsirWeights]] is exact when
+    * the table was built over the same corpus (spec-asserted): every
+    * observed feature is in the table, so the coalesce(0) miss arm never
+    * fires there; on a tailing stream it scores unseen features 0, the
+    * standard out-of-model convention.
+    */
+  def dsirScoreInRow(docs: DataFrame, wt: Map[Int, Long],
+                     buckets: Int = 256): DataFrame = {
+    val wmap = typedLit(wt)
+    val bg = dsirBigrams
+    docs.select(col("doc_id"),
+      size(bg).cast("long").as("n_big"),
+      aggregate(bg, lit(0L), (acc, s) =>
+        acc + coalesce(element_at(wmap,
+          (graft.functions.poly_hash31(s) % buckets).cast("int")), lit(0L)))
+        .as("logw"))
   }
 
   // ------------------------------------------------------- BM25 retrieval

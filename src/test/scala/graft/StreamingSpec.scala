@@ -232,6 +232,10 @@ class StreamingSpec extends SparkSuite {
     check("split", TextOps.deterministicSplit)
     check("mix", TextOps.weightedSample(_,
       when(col("source") === "src0", lit(100)).otherwise(lit(50))))
+    // DSIR scoring against a fixed weight table is stateless per-row —
+    // the model is a literal map, so the stream scores exactly like the
+    // batch pass (the decontamination pattern)
+    check("dsir", TextOps.dsirScoreInRow(_, TextOps.dsirWeightTable(batch)))
   }
 
   test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {

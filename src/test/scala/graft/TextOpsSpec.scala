@@ -227,6 +227,53 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("starContractComponents: diameter-proof — a 200-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // min-label propagation needs ~199 rounds here; star contraction
+    // must close the whole chain onto node 0 within its default bound
+    val chain = (0L until 200L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("doc1", "doc2")
+    val got = TextOps.starContractComponents(chain, maxIters = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 200L).map(_ -> 0L).toMap)
+  }
+
+  test("starContractComponents: differential vs driver-side union-find on a random graph; empty edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference labels: textbook union-find with path compression,
+    // re-rooted to the component minimum
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val minOf = (0 until n).groupBy(find).map { case (r, m) => r -> m.min }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val want = touched.map(id => id -> minOf(find(id.toInt)).toLong).toMap
+    val got = TextOps.starContractComponents(edges.toDF("doc1", "doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(TextOps.starContractComponents(
+      Seq.empty[(Long, Long)].toDF("doc1", "doc2")).collect().isEmpty)
+  }
+
+  test("dupClusters via starContractComponents matches the min-label engine") {
+    import spark.implicits._
+    val rows =
+      (1L to 10L).map(i => (i, (1 to 60).map(j => s"t${i}w$j").mkString(" "),
+        "en", "src0", 300L)) ++
+      Seq(11L, 12L).map(i => (i, (1 to 60).map(j => s"t1w$j").mkString(" "),
+        "en", "src0", 300L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.dupClusters(d,
+        components = TextOps.starContractComponents(_, _)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (1L to 10L).map(i => i -> i).toMap + (11L -> 1L) + (12L -> 1L)
+    assert(got == want)
+  }
+
   test("dupClusters: ladder twins share the min-doc_id cluster, everything else is a singleton") {
     import spark.implicits._
     // docs 1..10 distinct; 11 and 12 exact copies of doc 1 — the ladder
@@ -241,6 +288,33 @@ class TextOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val want = (1L to 10L).map(i => i -> i).toMap + (11L -> 1L) + (12L -> 1L)
     assert(got == want)
+  }
+
+  test("dsirWeights: target-like docs outscore unrelated ones; short docs score (0,0); n_big = tokens-1") {
+    import spark.implicits._
+    val tgtText = (1 to 40).map(i => s"tw${i % 6}").mkString(" ")
+    val offText = (1 to 40).map(i => s"zz${i % 6}").mkString(" ")
+    val rows = Seq(
+      (1L, tgtText, "en", "src0", 200L),   // the target slice
+      (2L, tgtText, "en", "src0", 200L),
+      (3L, tgtText, "en", "srcX", 200L),   // target-like, outside slice
+      (4L, offText, "en", "srcX", 200L),   // unrelated vocabulary
+      (5L, "solo", "en", "srcX", 4L))      // one token: no bigrams
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.dsirWeights(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(5L) == (0L, 0L))
+    assert(got(1L)._1 == 39L && got(3L)._1 == 39L && got(4L)._1 == 39L)
+    // doc 3 shares every bigram with the target slice; doc 4 shares none —
+    // the importance weight must rank 3 strictly above 4
+    assert(got(3L)._2 > got(4L)._2,
+      s"target-like ${got(3L)._2} should outrank unrelated ${got(4L)._2}")
+    // the in-row scorer against the collected model reproduces the
+    // distributed form exactly (every observed feature is in the table)
+    val inRow = TextOps.dsirScoreInRow(d, TextOps.dsirWeightTable(d))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inRow == got)
   }
 
   test("corpusPipeline: stage-boundary materialization is row-identical and cuts the plan at the boundary") {
