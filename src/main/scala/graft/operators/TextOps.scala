@@ -230,17 +230,18 @@ object TextOps {
     * in the combiner, no single-reducer star) + a least() join-back, with
     * the result checkpointed so the plan does NOT grow with iterations
     * (the classic iterative-lineage blow-up). Iterations = component
-    * diameter — tiny for dup clusters (twins of twins); the `maxIters`
-    * guard raises loudly on adversarial chain components, where the
-    * star-contraction variant (alternating large-star/small-star, same
-    * join shape, O(log n) rounds) is the documented fallback. The corpus
-    * itself never enters the loop: docs join the converged labels once,
-    * at the end, via a left join (null ⇒ singleton).
+    * diameter — tiny for dup clusters (twins of twins); on adversarial
+    * chain components the `maxIters` guard trips and [[componentsAuto]]
+    * (the default `components`) re-routes through
+    * [[starContractComponents]] (same label contract, O(log n) rounds on
+    * any diameter). The corpus itself never enters the loop: docs join
+    * the converged labels once, at the end, via a left join
+    * (null ⇒ singleton).
     */
   def dupClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
                   minBandHits: Int = 2, maxIters: Int = 25,
                   components: (DataFrame, Int) => DataFrame =
-                    connectedComponents): DataFrame = {
+                    componentsAuto): DataFrame = {
     val pairs = nearDupLadder(docs, k, bands, minBandHits)
       .select(col("doc1"), col("doc2"))
     val labels = components(pairs, maxIters)
@@ -356,6 +357,26 @@ object TextOps {
       .join(nonRoots, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
+
+  /** [[connectedComponents]] with automatic routing to
+    * [[starContractComponents]] when the diameter guard trips — the
+    * [[dupClusters]] default. Dup graphs are near-star-shaped (twins of
+    * twins), so min-label propagation converges in a handful of rounds
+    * and is the cheap common path; a component whose diameter exceeds
+    * `maxIters` (chained drift A≈B≈C≈… under a loose threshold) re-runs
+    * through the O(log n)-round star-contraction engine instead of
+    * failing the job. Both engines share the component-min label
+    * contract, so the routed result is identical wherever both converge
+    * (spec-asserted).
+    */
+  def componentsAuto(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    try connectedComponents(pairs, maxIters)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("connectedComponents: not converged") =>
+        starContractComponents(pairs)
+    }
 
   /** Near-dup DEDUP over the ladder's verified pairs: the larger member
     * of every qualifying pair is dropped, the smaller kept — the standard

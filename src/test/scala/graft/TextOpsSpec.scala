@@ -259,6 +259,28 @@ class TextOpsSpec extends SparkSuite {
       Seq.empty[(Long, Long)].toDF("doc1", "doc2")).collect().isEmpty)
   }
 
+  test("componentsAuto: routes a chain past the min-label diameter guard to star contraction") {
+    import spark.implicits._
+    val chain = (0L until 60L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("doc1", "doc2")
+    // the plain engine must refuse (diameter 59 > maxIters 10)…
+    val raised = intercept[IllegalArgumentException] {
+      TextOps.connectedComponents(chain, maxIters = 10).collect()
+    }
+    assert(raised.getMessage.contains("not converged"))
+    // …and the auto router must land the identical component-min labels
+    val got = TextOps.componentsAuto(chain, maxIters = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 60L).map(_ -> 0L).toMap)
+    // on an easy graph both engines agree and the router takes the cheap path
+    val easy = Seq((5L, 9L), (9L, 7L), (1L, 2L)).toDF("doc1", "doc2")
+    val viaAuto = TextOps.componentsAuto(easy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPlain = TextOps.connectedComponents(easy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAuto == viaPlain)
+  }
+
   test("dupClusters via starContractComponents matches the min-label engine") {
     import spark.implicits._
     val rows =
