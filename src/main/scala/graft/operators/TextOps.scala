@@ -284,10 +284,11 @@ object TextOps {
       labels = next.select(col("id"), col("lbl"))
       it += 1
     }
-    require(converged,
-      s"connectedComponents: not converged after $maxIters rounds — " +
-        "component diameter exceeds the bound; use star-contraction for " +
-        "chain-shaped graphs")
+    if (!converged)
+      throw new ComponentsNotConverged(
+        s"connectedComponents: not converged after $maxIters rounds — " +
+          "component diameter exceeds the bound; use star-contraction " +
+          "for chain-shaped graphs")
     labels
   }
 
@@ -311,19 +312,28 @@ object TextOps {
     * every smaller neighbor and u itself to u's minimum neighbor (same
     * shape). localCheckpoint per round keeps lineage flat (the
     * [[connectedComponents]] discipline). Fixpoint = edge set unchanged
-    * (two ids-only exceptAll probes); at fixpoint the graph IS the star
-    * forest, so labels read directly off the edges — non-roots point at
-    * their component min, roots self-label.
+    * (equal counts + one ids-only exceptAll probe — both sides are
+    * distinct, so one inclusion at equal cardinality is equality); at
+    * fixpoint the graph IS the star forest, so labels read directly off
+    * the edges — non-roots point at their component min, roots
+    * self-label. Readout runs over every endpoint of the ORIGINAL pair
+    * list (ids-only, checkpointed once), so nodes whose only edges are
+    * self-loops label themselves exactly as [[connectedComponents]]
+    * labels them — the two engines return the same row set, not just
+    * the same labels.
     */
   def starContractComponents(pairs: DataFrame,
                              maxIters: Int = 64): DataFrame = {
     val p2 = pairs.toDF("a", "b")
+    val nodes = p2.select(col("a").as("id"))
+      .union(p2.select(col("b").as("id"))).distinct().localCheckpoint()
     var edges = p2.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
+    var edgeCount = edges.count()
     var it = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (!converged && it < maxIters) {
       // large-star over the bidirected neighborhood; n > x ≥ m ⇒ the
       // emitted (n, m) pair is already (larger, smaller)-oriented
@@ -344,19 +354,27 @@ object TextOps {
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct().localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       it += 1
     }
     require(converged,
       s"starContractComponents: not converged after $maxIters rounds")
     val nonRoots = edges.select(col("u").as("id"), col("v").as("lbl"))
-    edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id"))).distinct()
+    nodes
       .join(nonRoots, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
+
+  /** Typed non-convergence signal from [[connectedComponents]] — the
+    * compiler-checked contract [[componentsAuto]] routes on (extends
+    * IllegalArgumentException so callers treating it as a plain
+    * contract error keep working).
+    */
+  final class ComponentsNotConverged(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** [[connectedComponents]] with automatic routing to
     * [[starContractComponents]] when the diameter guard trips — the
@@ -367,16 +385,16 @@ object TextOps {
     * through the O(log n)-round star-contraction engine instead of
     * failing the job. Both engines share the component-min label
     * contract, so the routed result is identical wherever both converge
-    * (spec-asserted).
+    * (spec-asserted). The pair list is materialized ONCE up front
+    * (ids-only localCheckpoint): whatever produced it — at corpus scale
+    * the full LSH ladder — must not re-execute when the fallback path
+    * re-reads it.
     */
-  def componentsAuto(pairs: DataFrame, maxIters: Int = 25): DataFrame =
-    try connectedComponents(pairs, maxIters)
-    catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null &&
-            e.getMessage.contains("connectedComponents: not converged") =>
-        starContractComponents(pairs)
-    }
+  def componentsAuto(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p = pairs.localCheckpoint()
+    try connectedComponents(p, maxIters)
+    catch { case _: ComponentsNotConverged => starContractComponents(p) }
+  }
 
   /** Near-dup DEDUP over the ladder's verified pairs: the larger member
     * of every qualifying pair is dropped, the smaller kept — the standard
@@ -1225,16 +1243,19 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         (graft.functions.poly_hash31(col("bg")) % buckets).as("f"))
 
-  /** The (feature, weight) model relation — ≤ `buckets` rows. */
-  private def dsirWt(feats: DataFrame, targetSource: String): DataFrame = {
-    val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("rc"))
-    val tgt = feats.filter(col("source") === targetSource)
-      .groupBy(col("f")).agg(count(lit(1)).as("tc"))
-    raw.join(tgt, Seq("f"), "left")
+  /** The (feature, weight) model relation — ≤ `buckets` rows. Raw and
+    * target counts come out of ONE conditional aggregation over the
+    * bigram explode (count(when(target))), not two separate passes — a
+    * filter on the target slice would defeat exchange reuse and scan
+    * the corpus-wide explode twice for the same hash-exact result.
+    */
+  private def dsirWt(feats: DataFrame, targetSource: String): DataFrame =
+    feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("rc"),
+        count(when(col("source") === targetSource, lit(1))).as("tc"))
       .select(col("f"),
-        (length(bin(coalesce(col("tc"), lit(0L)) + 1)) -
+        (length(bin(col("tc") + 1)) -
           length(bin(col("rc") + 1))).cast("long").as("w"))
-  }
 
   def dsirWeights(docs: DataFrame, targetSource: String = "src0",
                   buckets: Int = 256): DataFrame = {

@@ -259,6 +259,21 @@ class TextOpsSpec extends SparkSuite {
       Seq.empty[(Long, Long)].toDF("doc1", "doc2")).collect().isEmpty)
   }
 
+  test("starContractComponents keeps self-loop-only nodes — both engines return the same row SET") {
+    import spark.implicits._
+    // node 5's only edge is the self-loop: min-label keeps it (bidirected
+    // edges include (5,5)), so star contraction must too — a caller
+    // inner-joining on the labels must not see a different row set
+    // depending on which engine componentsAuto routed through
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("doc1", "doc2")
+    val star = TextOps.starContractComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = TextOps.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    assert(star == plain)
+  }
+
   test("componentsAuto: routes a chain past the min-label diameter guard to star contraction") {
     import spark.implicits._
     val chain = (0L until 60L).sliding(2).map(s => (s.head, s(1))).toSeq
