@@ -216,6 +216,19 @@ object ExplainAudit {
       Seq("TakeOrderedAndProject", "BroadcastHashJoin", "partial_count"),
       forbid = Seq("Window", "CartesianProduct", "GlobalLimit"))
 
+    // t18 token-budget sample: both verdict tables (fully-kept buckets,
+    // boundary bucket + base) must come back as BROADCAST joins onto the
+    // per-row projection (the histogram aggregate ran two-phase at
+    // construction, like the d11/e6 training collects); a SortMergeJoin
+    // or product join would mean the corpus shuffled for a KB-sized
+    // verdict, and the only Window allowed is the one over the boundary
+    // bucket's rows (post-broadcast-filter)
+    audit("t18_token_budget",
+      SparkEntry.queries("t18_token_budget")(spark, sfDir),
+      Seq("BroadcastHashJoin"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"))
+
     // t17 DSIR weights: the buckets-row weight table must come back as a
     // broadcast onto the bigram explode, and both the bucket counts and
     // the per-doc sums must aggregate two-phase — a Window or product

@@ -430,6 +430,13 @@ object SparkEntry {
     // actually downselects at every driver scale
     "t13_sample_source" -> ((s, dir) =>
       operators.TextOps.samplePerSource(t(s, dir, "documents"), k = 10)),
+    // per-source TOKEN-budget sample (mixture weights in tokens, not
+    // docs): bucketed hash histogram + driver cumsum classifies buckets,
+    // only the ONE boundary bucket per source enters the exact window —
+    // budget 600 ≈ half a source's token mass at sf0.01, so both the
+    // fully-kept and the boundary path carry rows at driver scale
+    "t18_token_budget" -> ((s, dir) =>
+      operators.TextOps.tokenBudgetSample(t(s, dir, "documents"))),
     // unigram LM quality: top-V vocab (TakeOrdered) broadcast, per-doc
     // integer-quantized logprob — even the score is hash-checked
     "t14_unigram_quality" -> ((s, dir) =>
@@ -833,6 +840,9 @@ object SparkEntry {
     "t12_decontaminate" -> TextOracles.decontaminateSql(),
     "d9_kmv_distinct" -> TextOracles.kmvSql(),
     "t13_sample_source" -> TextOracles.samplePerSourceSql(k = 10),
+    // the oracle states the per-source cumulative-window semantics
+    // directly; the operator reaches the same row set bucket-wise
+    "t18_token_budget" -> TextOracles.tokenBudgetSql(),
     "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
     "t17_dsir_weights" -> TextOracles.dsirWeightsSql(),
     "t15_segment_dedup" -> TextOracles.segmentDedupSql(),

@@ -559,6 +559,28 @@ FROM h JOIN th USING (source)
 WHERE h.h <= th.th"""
   }
 
+  /** t18: per-source token-budget sample — mirror of
+    * TextOps.tokenBudgetSample. The oracle states the SEMANTICS directly
+    * (one cumulative window per source over (hash, doc_id) order, admit
+    * while the strictly-preceding token total is under budget); the
+    * Spark operator reaches the identical row set through the bucketed
+    * histogram + boundary-bucket-only window.
+    */
+  def tokenBudgetSql(budget: Long = 600L): String = {
+    val mul = graft.functions.VectorOps.HashMul
+    s"""WITH h AS (
+  SELECT doc_id, source,
+    (${ph("'tbs|' || CAST(doc_id AS VARCHAR)")} * $mul) % $P31 AS h,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+s AS (
+  SELECT doc_id, source, n_tok,
+    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM h)
+SELECT doc_id, source, n_tok FROM s WHERE cb < $budget"""
+  }
+
   /** t15: segment-level dedup — mirror of TextOps.segmentDedup. The
     * oracle uses the row_number window (the oracle tier); the Spark
     * operator's min-struct aggregate is keep-first-identical. string_agg

@@ -1084,6 +1084,75 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("h"))
   }
 
+  // ------------------------------------------- token-budget per-source sample
+
+  /** Deterministic per-source TOKEN-budget sampling — the mixture
+    * primitive when allocations are token counts, not document counts
+    * (compute-optimal mixing hands each source a token budget;
+    * [[samplePerSource]]'s k-docs form cannot express it): for each
+    * source, documents are admitted in ascending (hash, doc_id) order
+    * while the running token total of the docs BEFORE them is under
+    * `budget` — the doc that crosses the budget line is the source's
+    * last. Same hash-order determinism guarantees as t13: reproducible
+    * across runs, engines and partitionings; a doc's membership moves
+    * only if the token mass hashed before it moves.
+    *
+    * Scale shape — the corpus is never globally sorted: doc hashes bin
+    * into `buckets` contiguous hash ranges, ONE two-phase hash aggregate
+    * builds the (source, bucket) token histogram (≤ |sources|·buckets
+    * rows — KBs — collected once, the d11/e6 training-collect shape),
+    * the driver cumsums each source's histogram to classify buckets as
+    * fully-kept (their whole mass still under budget), dead (budget
+    * already spent before them) or THE boundary bucket (provably at most
+    * one per source), and both verdict tables broadcast back as per-row
+    * filters. Only boundary-bucket rows (~1/buckets of the corpus) enter
+    * the exact cumulative window — the bounded-window discipline of
+    * [[packSequences]], never a per-source sort of the full corpus.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = 600L,
+                        buckets: Int = 1024): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bw = (P31 + buckets - 1) / buckets
+    val hashed = docs.select(col("doc_id"), col("source"),
+      finalizedHash("tbs|", col("doc_id").cast("string")).as("h"),
+      size(tokens).cast("long").as("n_tok"))
+      .withColumn("b", expr(s"CAST(h DIV $bw AS INT)"))
+    val hist = hashed.groupBy(col("source"), col("b"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val full = Seq.newBuilder[(String, Int)]
+    val bnd = Seq.newBuilder[(String, Int, Long)]
+    hist.groupBy(_._1).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, b, btok) =>
+        // full ⇒ even a trailing zero-token doc sits under budget; the
+        // cum<budget≤cum+btok bucket resolves exactly below; after it
+        // cum ≥ budget and everything later is dead
+        if (cum + btok < budget) full += ((src, b))
+        else if (cum < budget) bnd += ((src, b, cum))
+        cum += btok
+      }
+    }
+    val keptFull = hashed.join(
+      broadcast(full.result().toDF("source", "b")),
+      Seq("source", "b"), "left_semi")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptBnd = hashed.join(
+      broadcast(bnd.result().toDF("source", "b", "cbase")),
+      Seq("source", "b"))
+      .withColumn("cum_before",
+        col("cbase") + coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+    keptFull.select(col("doc_id"), col("source"), col("n_tok"))
+      .unionByName(
+        keptBnd.select(col("doc_id"), col("source"), col("n_tok")))
+  }
+
   // ------------------------------------------------------ segment-level dedup
 
   /** C4/Llama-style sub-document dedup: the corpus is cut into

@@ -505,6 +505,50 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("Window"), plan)
   }
 
+  test("tokenBudgetSample: hash-order admission to the token budget; bucketing-invariant; scale-shaped plan") {
+    import org.apache.spark.sql.functions.{col, concat, lit, size, split, when}
+    import graft.functions.TextHashes.P31
+    // varied per-doc token counts (1..7) across two sources
+    val d = docs((1L to 60L).map(i =>
+        i -> (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")): _*)
+      .withColumn("source",
+        when(col("doc_id") <= 40L, "srcA").otherwise("srcB"))
+    val budget = 30L
+    // first-principles brute force: same salt/finalizer, full sort by
+    // (h, doc_id) per source, admit while the PRECEDING total < budget
+    val rows = d.select(col("doc_id"), col("source"),
+        (graft.functions.poly_hash31(
+          concat(lit("tbs|"), col("doc_id").cast("string")))
+          * graft.functions.VectorOps.HashMul % P31).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy(_._2).values.flatMap { rs =>
+      var cum = 0L
+      rs.sortBy(r => (r._3, r._1)).flatMap { r =>
+        val keep = cum < budget; cum += r._4
+        if (keep) Some((r._1, r._2, r._4)) else None
+      }
+    }.toSet
+    val got = TextOps.tokenBudgetSample(d, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty && got.size < 60) // budget genuinely bites
+    // bucketing-invariant: one bucket (pure boundary-window path) and
+    // per-doc buckets (pure histogram classification) agree exactly
+    assert(TextOps.tokenBudgetSample(d, budget, buckets = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == want)
+    assert(TextOps.tokenBudgetSample(d, budget, buckets = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == want)
+    // a budget above every source's mass keeps everything
+    assert(TextOps.tokenBudgetSample(d, 10000L).count() == 60L)
+    // verdict tables broadcast back; the corpus is never sort-merge-joined
+    val plan = TextOps.tokenBudgetSample(d, budget)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("segmentDedup: corpus-wide keep-first on segments, docs reassembled in order") {
     // w=10: doc 1 has segments A(t1..t10) B(t11..t20); doc 2 = B then C —
     // its copy of B must vanish, C survives; doc 3 is an exact copy of
