@@ -92,6 +92,15 @@ object ExplainAudit {
         forbid = Seq("CartesianProduct", "Window"))
     }
 
+    // e8 SemDeDup: cell assignment is in-row against literal centroids
+    // (no centroid join), the within-cell pair join is an equi-join on
+    // cell (every collision IS a candidate — no cross join), dup verdicts
+    // reduce through a map-side partial_min before the exchange, and the
+    // verdict join-back must not be a Window-ranked anything
+    audit("e8_semdedup", SparkEntry.queries("e8_semdedup")(spark, sfDir),
+      Seq("partial_min"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+
     // e1 brute top-k: heap-merge aggregation (TopKAggregator) — ≤k rows
     // per (query, partition) through the exchange (partial_topkaggregator
     // = the map-side half; a final-only aggregate would be exactly the

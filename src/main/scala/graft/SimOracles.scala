@@ -230,6 +230,30 @@ ivfk AS (SELECT qid, nid FROM ivftop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN ivfk l ON b.qid = l.qid AND b.nid = l.nid"""
 
+  /** e8: SemDeDup semantic dedup — the unrolled k-means chain assigns
+    * every vector a cell, within-cell pairs above the quantized-dot
+    * threshold mark the larger id a dup of the smallest qualifying
+    * smaller id (mirrors Similarity.semanticDedup digit-for-digit).
+    */
+  def semanticDedupSql(nCells: Int = 16, iters: Int = 4, dim: Int = 64,
+                       threshold: Long = 40000000L): String =
+    s"""WITH $eqCte ${kmeansCtes(nCells, iters, dim)},
+sdassigned AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT e.vec_id, e.q, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$iters c)
+  WHERE rn = 1),
+sddup AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of
+  FROM sdassigned a JOIN sdassigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ${dotSql("a.q", "b.q")} >= $threshold
+  GROUP BY b.vec_id)
+SELECT s.vec_id, s.cell, d.dup_of, d.dup_of IS NULL AS keep
+FROM sdassigned s LEFT JOIN sddup d ON s.vec_id = d.vec_id"""
+
   /** d8: embedding near-dup ladder — banded-LSH candidates, exact
     * quantized-dot verify (mirrors Similarity.embeddingNearDupLadder).
     */

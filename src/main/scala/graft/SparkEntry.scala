@@ -504,6 +504,10 @@ object SparkEntry {
       operators.Similarity.knnIvfKmeans(t(s, dir, "embeddings"))),
     "e7_ivfk_recall" -> ((s, dir) =>
       operators.Similarity.ivfKmeansRecall(t(s, dir, "embeddings"))),
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the pair space,
+    // within-cell quantized-cosine prune, keep-min-id verdicts
+    "e8_semdedup" -> ((s, dir) =>
+      operators.Similarity.semanticDedup(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -866,6 +870,7 @@ object SparkEntry {
     "e5_ivf_recall" -> SimOracles.ivfRecallSql(),
     "e6_knn_ivfk" -> SimOracles.knnIvfKmeansSql(),
     "e7_ivfk_recall" -> SimOracles.ivfKmeansRecallSql(),
+    "e8_semdedup" -> SimOracles.semanticDedupSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

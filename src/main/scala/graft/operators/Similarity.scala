@@ -321,6 +321,52 @@ object Similarity {
     recallVsBrute(emb, knnIvfKmeans(emb, nQueries, k, nCells, nProbe, iters),
       nQueries, k)
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the learned k-means coarse
+    * quantizer ([[kmeansCentroids]]), then prune within-cluster semantic
+    * duplicates — pairs whose quantized cosine ≥ `threshold` — keeping the
+    * smallest vec_id of each duplicate pair. Per paper and per this tier's
+    * keep-first convention (d1/d7/t15), a vector is a DUP if ANY
+    * smaller-id vector in its cell clears the threshold, whether or not
+    * that vector is itself a dup — one aggregate, no iterative chasing;
+    * transitive chains collapse toward the smallest id of each clique.
+    *
+    * Output: one verdict row per vector — (vec_id, cell, dup_of, keep)
+    * where dup_of = min qualifying smaller id (NULL for survivors).
+    *
+    * Scale shape (the SemDeDup design point): clustering bounds the pair
+    * space to Σ|cell|² instead of n² — nCells grows with the corpus so
+    * |cell| stays bounded (the paper runs ~11k clusters on LAION; train
+    * centroids on a hash subsample at 100 TB, as [[kmeansCentroids]]
+    * documents). Cell assignment is IN-ROW against literal centroids (no
+    * centroid join, no assignment window); the within-cell pair join is a
+    * plain equi-join on cell whose every collision IS a scored candidate
+    * (unlike the band joins there is no dedupe-ids-first win — candidate
+    * volume equals collision volume, so vectors ride the one join
+    * directly); dup verdicts reduce through a map-side partial min and
+    * join back to the KB-sized verdict relation via AQE broadcast.
+    */
+  def semanticDedup(emb: DataFrame, nCells: Int = 16, iters: Int = 4,
+                    threshold: Long = 40000000L): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters)
+    val assigned = emb
+      .select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("cell", array_min(cellDists(cents)).getField("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("qe").as("q1"))
+    val b = assigned.select(col("cell").as("cell2"), col("vec_id").as("id2"),
+      col("qe").as("q2"))
+    val dupOf = a.join(b,
+        col("cell") === col("cell2") && col("id1") < col("id2"))
+      .filter(dotCols(col("q1"), col("q2")) >= threshold)
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min(col("id1")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** LSH-bucketed ANN — the scale path: banded random-hyperplane LSH
     * (bands independent hash tables of rowsPerBand sign bits each; a
     * candidate shares ANY band bucket with the query), then exact

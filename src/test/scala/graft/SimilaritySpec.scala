@@ -103,6 +103,52 @@ class SimilaritySpec extends SparkSuite {
       s"kmeans $kh should beat anchors ${anchors.getLong(0)}")
   }
 
+  test("semanticDedup matches an independent brute-force SemDeDup (and keeps cluster minima)") {
+    val nCells = 4; val iters = 2; val tau = 40000000L
+    val res = Similarity.semanticDedup(emb, nCells, iters, tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+      .sortBy(_._1)
+
+    // independent Scala reimplementation: quantize → seeded Lloyd's with
+    // truncating integer division → within-cell pairs → keep-min-id
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000)).toArray))
+      .sortBy(_._1)
+    var cents = rows.filter(_._1 < nCells).map(_._2.map(identity))
+    def cellOf(q: Array[Long], cs: Array[Array[Long]]): Int =
+      cs.zipWithIndex.map { case (c, i) =>
+        (c.map(x => x * x).sum - 2L * c.zip(q).map { case (a, b) => a * b }.sum, i)
+      }.min._2
+    for (_ <- 0 until iters) {
+      val byCell = rows.groupBy { case (_, q) => cellOf(q, cents) }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        byCell.get(i).map { members =>
+          c.indices.map(d =>
+            members.map(_._2(d)).sum / members.length.toLong).toArray
+        }.getOrElse(c)
+      }
+    }
+    val assigned = rows.map { case (id, q) => (id, q, cellOf(q, cents)) }
+    val expected = assigned.map { case (id, q, cell) =>
+      val dups = assigned.filter { case (id2, q2, cell2) =>
+        cell2 == cell && id2 < id &&
+          q.zip(q2).map { case (a, b) => a * b }.sum >= tau
+      }.map(_._1)
+      (id, cell, dups.sorted.headOption, dups.isEmpty)
+    }.sortBy(_._1)
+    assert(res.toSeq == expected.toSeq)
+
+    // semantics: clusters A/B are near-orthogonal, so no cross-label dup
+    // edges; every dup_of points within the vec's own cluster and the
+    // smallest id of each (cell, label) group survives
+    res.foreach { case (id, _, dupOf, keep) =>
+      dupOf.foreach(d => assert(d % 2 == id % 2, s"$id dup_of cross-label $d"))
+      assert(keep == dupOf.isEmpty)
+    }
+    assert(res.count(!_._4) > 0, "corpus has within-cluster dups by construction")
+  }
+
   test("IVF assignment is in-row (no corpus x centroid join/window in the plan)") {
     val plan = Similarity.knnIvf(emb, nQueries = 2, k = 3, nCells = 8,
       nProbe = 2).queryExecution.optimizedPlan.toString
