@@ -81,7 +81,8 @@ object DocsScalingBench {
   }
 
   val jobOrder: Seq[String] =
-    Seq("d7_ladder", "t15_segment_dedup", "t11_corpus_pipeline")
+    Seq("d7_ladder", "t15_segment_dedup", "t11_corpus_pipeline",
+      "t20_global_shuffle")
 
   /** The measured text-tier jobs — the same operator entry points the
     * oracle-checked driver queries call. Each job's action is an
@@ -119,7 +120,13 @@ object DocsScalingBench {
         evalDocs = Some(docs.filter(col("doc_id") % mult === 0 &&
           (col("doc_id") / mult) % 29 === 3)),
         materialize = _.localCheckpoint())
-      .agg(sum(col("n_tokens")), sum(col("bin")), count(lit(1))).collect())
+      .agg(sum(col("n_tokens")), sum(col("bin")), count(lit(1))).collect()),
+    // the global-rank op — the classic one-reducer trap, run in its
+    // histogram+bounded-window form; summing pos pins the rank window
+    // and the offset join into the executed plan (Σpos = n(n-1)/2 is
+    // also a free correctness check of permutation-ness at bench scale)
+    "t20_global_shuffle" -> (() => operators.TextOps.globalShuffle(docs)
+      .agg(sum(col("pos")), max(col("shuffle_key"))).collect())
   )
 
   private def measure(cpus: Int, path: String, reps: Int, mult: Int,

@@ -238,6 +238,36 @@ object ExplainAudit {
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"))
 
+    // t20 global shuffle: the KB-sized offset table comes back as a
+    // BROADCAST join and the only Window partitions by range-bucket
+    // (bounded ~n/buckets rows per partition) — a SortMergeJoin or an
+    // unpartitioned global-rank window would shuffle/sort the whole
+    // corpus through one reducer
+    audit("t20_global_shuffle",
+      SparkEntry.queries("t20_global_shuffle")(spark, sfDir),
+      Seq("BroadcastHashJoin", "Window"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"))
+
+    // t21 quality buckets: the t14 vocab discipline (TakeOrdered vocab
+    // broadcast onto the token explode, two-phase per-doc aggregate)
+    // plus the |langs|-row tercile-threshold broadcast — an ntile/rank
+    // Window or a GlobalLimit would mean a per-language global sort of
+    // the corpus
+    audit("t21_quality_buckets",
+      SparkEntry.queries("t21_quality_buckets")(spark, sfDir),
+      Seq("BroadcastHashJoin", "TakeOrderedAndProject", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "GlobalLimit"))
+
+    // t22 mixture resampling: the |sources|-row weight table broadcasts
+    // onto a pure per-row projection + explode — the corpus must never
+    // shuffle (no hash-partition exchange at all)
+    audit("t22_upsample",
+      SparkEntry.queries("t22_upsample")(spark, sfDir),
+      Seq("BroadcastHashJoin"),
+      forbid = Seq("Window", "CartesianProduct", "SortMergeJoin",
+        "Exchange hashpartitioning"))
+
     // t17 DSIR weights: the buckets-row weight table must come back as a
     // broadcast onto the bigram explode, and both the bucket counts and
     // the per-doc sums must aggregate two-phase — a Window or product

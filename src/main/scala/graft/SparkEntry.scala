@@ -437,6 +437,36 @@ object SparkEntry {
     // fully-kept and the boundary path carry rows at driver scale
     "t18_token_budget" -> ((s, dir) =>
       operators.TextOps.tokenBudgetSample(t(s, dir, "documents"))),
+    // Gopher rule filter over a synthetically-structured corpus (t6
+    // pattern): deterministic bullet/ellipsis/symbol augmentations keyed
+    // on doc_id make every rule non-vacuous (the %97 docs are bullet-
+    // heavy enough to FAIL r_bullet)
+    "t19_gopher_rules" -> ((s, dir) =>
+      operators.TextOps.gopherRules(t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- bullet item\n- second bullet")).otherwise(lit("")),
+          when(col("doc_id") % 97 === 0,
+            lit("\n- filler bullet" * 9)).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nto be continued...")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" ## 123 456 789 #")).otherwise(lit("")))))),
+    // deterministic global training-order shuffle: global rank with no
+    // global sort (range-bucket histogram + driver cumsum offsets +
+    // bounded per-bucket windows)
+    "t20_global_shuffle" -> ((s, dir) =>
+      operators.TextOps.globalShuffle(t(s, dir, "documents"))),
+    // CCNet head/middle/tail terciles of the t14 quality score, per
+    // language — histogram-derived discrete thresholds, no ntile window
+    "t21_quality_buckets" -> ((s, dir) =>
+      operators.TextOps.qualityBuckets(t(s, dir, "documents"))),
+    // mixture resampling at explicit epoch weights: src0 2.5 epochs,
+    // src1 1.7, src2 0.5 (downsample), src3 excluded, others 1.0
+    "t22_upsample" -> ((s, dir) =>
+      operators.TextOps.upsample(t(s, dir, "documents"),
+        Map("src0" -> 2500L, "src1" -> 1700L, "src2" -> 500L,
+          "src3" -> 0L))),
     // unigram LM quality: top-V vocab (TakeOrdered) broadcast, per-doc
     // integer-quantized logprob — even the score is hash-checked
     "t14_unigram_quality" -> ((s, dir) =>
@@ -847,6 +877,11 @@ object SparkEntry {
     // the oracle states the per-source cumulative-window semantics
     // directly; the operator reaches the same row set bucket-wise
     "t18_token_budget" -> TextOracles.tokenBudgetSql(),
+    "t19_gopher_rules" -> TextOracles.gopherRulesSql,
+    "t20_global_shuffle" -> TextOracles.globalShuffleSql,
+    "t21_quality_buckets" -> TextOracles.qualityBucketsSql(),
+    "t22_upsample" -> TextOracles.upsampleSql(Seq("src0" -> 2500L,
+      "src1" -> 1700L, "src2" -> 500L, "src3" -> 0L)),
     "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
     "t17_dsir_weights" -> TextOracles.dsirWeightsSql(),
     "t15_segment_dedup" -> TextOracles.segmentDedupSql(),

@@ -581,6 +581,74 @@ s AS (
 SELECT doc_id, source, n_tok FROM s WHERE cb < $budget"""
   }
 
+  /** t19: Gopher-style rule filter — mirror of TextOps.gopherRules over
+    * the driver query's synthetically-structured corpus (bullet /
+    * ellipsis / symbol augmentations keyed on doc_id so every rule is
+    * non-vacuous; the %97 docs are bullet-HEAVY to fail r_bullet). All
+    * ratio rules cross-multiplied to integers.
+    */
+  def gopherRulesSql: String =
+    s"""WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet item' || chr(10) || '- second bullet' ELSE '' END ||
+    CASE WHEN doc_id % 97 = 0 THEN repeat(chr(10) || '- filler bullet', 9) ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' ## 123 456 789 #' ELSE '' END AS text
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    string_split(text, ' ') AS w,
+    string_split(text, chr(10)) AS l,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS n_dots
+  FROM aug),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(l) AS BIGINT) AS n_lines,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS t_wlen,
+    CAST(n_hash + n_dots AS BIGINT) AS n_sym,
+    CAST(len(list_filter(l, x -> regexp_matches(x, '^- '))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(l, x -> regexp_matches(x, '\\.\\.\\.$$'))) AS BIGINT) AS n_ell,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      s -> list_contains(w, s))) AS BIGINT) AS n_stop_kinds
+  FROM f)
+SELECT doc_id, n_words, n_lines,
+  (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+  (3 * n_words <= t_wlen AND t_wlen <= 10 * n_words) AS r_meanlen,
+  (10 * n_sym < n_words) AS r_symbol,
+  (10 * n_bullet < 9 * n_lines) AS r_bullet,
+  (10 * n_ell < 3 * n_lines) AS r_ellipsis,
+  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+  (n_stop_kinds >= 2) AS r_stop,
+  ((n_words BETWEEN 50 AND 100000)
+    AND (3 * n_words <= t_wlen AND t_wlen <= 10 * n_words)
+    AND (10 * n_sym < n_words)
+    AND (10 * n_bullet < 9 * n_lines)
+    AND (10 * n_ell < 3 * n_lines)
+    AND (5 * n_alpha >= 4 * n_words)
+    AND (n_stop_kinds >= 2)) AS pass
+FROM m"""
+
+  /** t20: deterministic global training-order shuffle — the oracle
+    * states the semantics directly (row_number over the global
+    * (hash, doc_id) order); the Spark operator reaches the identical
+    * permutation through range-bucketed offsets + bounded per-bucket
+    * windows (no global sort).
+    */
+  def globalShuffleSql: String = {
+    val mul = graft.functions.VectorOps.HashMul
+    s"""WITH h AS (
+  SELECT doc_id,
+    (${ph("'gs|' || CAST(doc_id AS VARCHAR)")} * $mul) % $P31 AS h
+  FROM documents)
+SELECT doc_id, h AS shuffle_key,
+  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h"""
+  }
+
   /** t15: segment-level dedup — mirror of TextOps.segmentDedup. The
     * oracle uses the row_number window (the oracle tier); the Spark
     * operator's min-struct aggregate is keep-first-identical. string_agg
@@ -631,6 +699,62 @@ scored AS (
 SELECT doc_id, n_tok, n_invocab, logprob_sum,
   (100 * logprob_sum) // n_tok AS score_x100
 FROM scored"""
+
+  /** t21: CCNet head/middle/tail quality buckets — the t14 chain with
+    * lang carried through, then DISCRETE per-language tercile thresholds
+    * (score of the ⌈n/3⌉-th / ⌈2n/3⌉-th doc in DESC score order; the
+    * oracle states them with a rank window, the Spark operator derives
+    * the same values from a score histogram + driver cumsum).
+    */
+  def qualityBucketsSql(vocabSize: Int = 256): String =
+    s"""WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, cnt FROM freq
+  ORDER BY cnt DESC, ${ph("tok")} ASC, tok ASC LIMIT $vocabSize),
+scored AS (
+  SELECT t.doc_id, t.lang,
+    (100 * CAST(COALESCE(sum(length(bin(v.cnt))), 0) AS BIGINT))
+      // count(*) AS score_x100
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id, t.lang),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY score_x100 DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM scored),
+th AS (
+  SELECT lang,
+    max(CASE WHEN rn = (n + 2) // 3 THEN score_x100 END) AS t_head,
+    max(CASE WHEN rn = (2 * n + 2) // 3 THEN score_x100 END) AS t_mid
+  FROM ranked GROUP BY lang)
+SELECT doc_id, s.lang, score_x100,
+  CASE WHEN score_x100 >= t_head THEN 'head'
+       WHEN score_x100 >= t_mid THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored s JOIN th ON s.lang = th.lang"""
+
+  /** t22: deterministic mixture resampling — mirror of TextOps.upsample
+    * (⌊w⌋ copies + one hash-gated fractional copy; w = 0 drops the
+    * source, unlisted sources take the default weight).
+    */
+  def upsampleSql(weightsX1000: Seq[(String, Long)],
+                  defaultX1000: Long = 1000L): String = {
+    val mul = graft.functions.VectorOps.HashMul
+    val vals = weightsX1000
+      .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH w(source, wx) AS (VALUES $vals),
+c AS (
+  SELECT doc_id, d.source,
+    COALESCE(w.wx, $defaultX1000) // 1000 +
+    CASE WHEN (${ph("'up|' || CAST(doc_id AS VARCHAR)")} * $mul) % $P31
+          % 1000 < COALESCE(w.wx, $defaultX1000) % 1000
+         THEN 1 ELSE 0 END AS copies
+  FROM documents d LEFT JOIN w ON d.source = w.source)
+SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+FROM c"""
+  }
 
   /** t17: DSIR importance weights — hashed-bigram features with
     * multiplicity (NO distinct, unlike the shingle CTEs), raw vs

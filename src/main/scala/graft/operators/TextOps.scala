@@ -785,6 +785,60 @@ object TextOps {
       length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, appendix A1.1 — the
+    * composite heuristic gate MassiveText/Gopher, and after it RefinedWeb
+    * and Dolma, apply before any model-based scoring): one verdict row
+    * per document with each rule as its own boolean plus the conjunction.
+    * Rules, with every ratio comparison CROSS-MULTIPLIED so the whole
+    * table is integer/boolean arithmetic (bit-identical cross-engine —
+    * no float ratios):
+    *
+    *   r_wordcount  50 ≤ |words| ≤ 100,000
+    *   r_meanlen    mean word length in [3, 10] chars (3·wc ≤ Σlen ≤ 10·wc)
+    *   r_symbol     symbol-to-word ratio < 0.1 ('#' and '...' occurrences)
+    *   r_bullet     < 90% of lines start with a bullet ("- ")
+    *   r_ellipsis   < 30% of lines end with "..."
+    *   r_alpha      ≥ 80% of words contain an alphabetic character
+    *   r_stop       ≥ 2 distinct Gopher stopwords present
+    *
+    * Words are the corpus's space-split convention (t2/t3); lines split
+    * on '\n'. Pure per-row projection — no shuffle, stream-transparent
+    * like the rest of the per-row text tier.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = tokens
+    val lines = split(col("text"), "\n")
+    val gopherStops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    // '...' count: char-delta is a multiple of 3 (< 2^52), so the double
+    // division is exact before the cast back to long
+    val nDots = floor((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("long") / 3)
+    val m = docs.select(col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      size(lines).cast("long").as("n_lines"),
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("t_wlen"),
+      (nHash + nDots).as("n_sym"),
+      size(filter(lines, x => x.rlike("^- "))).cast("long").as("n_bullet"),
+      size(filter(lines, x => x.rlike("\\.\\.\\.$"))).cast("long").as("n_ell"),
+      size(filter(w, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+      size(filter(gopherStops, s => array_contains(w, s))).cast("long")
+        .as("n_stop_kinds"))
+    val rules = Seq(
+      col("n_words").between(50L, 100000L).as("r_wordcount"),
+      (lit(3L) * col("n_words") <= col("t_wlen") &&
+        col("t_wlen") <= lit(10L) * col("n_words")).as("r_meanlen"),
+      (lit(10L) * col("n_sym") < col("n_words")).as("r_symbol"),
+      (lit(10L) * col("n_bullet") < lit(9L) * col("n_lines")).as("r_bullet"),
+      (lit(10L) * col("n_ell") < lit(3L) * col("n_lines")).as("r_ellipsis"),
+      (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+      (col("n_stop_kinds") >= 2L).as("r_stop"))
+    m.select(col("doc_id") +: col("n_words") +: col("n_lines") +: rules :+
+      rules.map(r => r: Column).reduce(_ && _).as("pass"): _*)
+  }
+
   /** Deterministic train/val/test corpus split: bucket =
     * polyhash31("split|" + doc_id) mod 10 → 8/1/1. Hash-based (not random)
     * so the split is REPRODUCIBLE across runs, engines and shards — a
@@ -1151,6 +1205,142 @@ object TextOps {
     keptFull.select(col("doc_id"), col("source"), col("n_tok"))
       .unionByName(
         keptBnd.select(col("doc_id"), col("source"), col("n_tok")))
+  }
+
+  /** Deterministic GLOBAL training-order shuffle: every document gets a
+    * position `pos` ∈ [0, n) in the total order (shuffle_key, doc_id),
+    * shuffle_key = finalized hash of the doc id — the reproducible corpus
+    * permutation a training run consumes (fixed-seed shuffling is what
+    * makes a run replayable and an ablation comparable; hash-derived
+    * order is the engine-independent version: any run, any engine, any
+    * partitioning of the same corpus yields the same permutation, and a
+    * grown corpus leaves existing relative order intact).
+    *
+    * Scale shape — a global rank with NO global sort: the naive form is
+    * row_number() over a one-partition unbounded window (every row
+    * through one reducer — the exact cliff the t-tier bans). Instead the
+    * t18 histogram trick in a new role: hash RANGE-buckets partition the
+    * keyspace in order, so (1) one KB-sized bucket histogram collects to
+    * the driver, (2) a driver cumsum turns it into per-bucket global
+    * offsets broadcast back, (3) row_number runs per-BUCKET (bounded
+    * ~n/buckets rows per window partition) and adds the offset. One
+    * corpus pass + one bounded-window pass; bucketing-invariant by
+    * construction (spec-proved 1 vs 1024 buckets).
+    */
+  def globalShuffle(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bw = (P31 + buckets - 1) / buckets
+    val hashed = docs.select(col("doc_id"),
+      finalizedHash("gs|", col("doc_id").cast("string")).as("h"))
+      .withColumn("b", expr(s"CAST(h DIV $bw AS INT)"))
+    // h < P31 and h DIV bw is monotone in h: bucket ranges tile the
+    // keyspace IN ORDER, so per-bucket offsets compose a total order
+    val hist = hashed.groupBy(col("b")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    var cum = 0L
+    val offs = hist.sortBy(_._1).map { case (b, n) =>
+      val o = (b, cum); cum += n; o
+    }
+    val w = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+    hashed.join(broadcast(offs.toSeq.toDF("b", "off")), Seq("b"))
+      .withColumn("pos", col("off") + row_number().over(w) - 1)
+      .select(col("doc_id"), col("h").as("shuffle_key"), col("pos"))
+  }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): every document
+    * lands in the head / middle / tail TERCILE of its language's quality
+    * distribution — the partition CCNet publishes and downstream recipes
+    * (Llama's CCNet reproduction, RedPajama-CC) consume, usually keeping
+    * head+middle. The score is the t14 integer-quantized unigram-LM
+    * logprob (cross-engine exact where perplexity floats would drift);
+    * thresholds are DISCRETE percentiles — t_head is the score of the
+    * ⌈n/3⌉-th document in descending score order, t_mid of the
+    * ⌈2n/3⌉-th — so assignment depends only on a doc's score value and
+    * ties land in the same bucket in both engines.
+    *
+    * Scale shape: the t14 vocabulary chain unchanged (TakeOrdered vocab,
+    * broadcast, two-phase per-doc aggregate — lang rides the doc_id
+    * grouping key, no join-back to the corpus); then a (lang × distinct
+    * scores) histogram — KB-sized because quantized scores live in a
+    * BOUNDED integer range independent of corpus size — collects to the
+    * driver, the exact tercile thresholds fall out of a cumsum, and the
+    * |langs|-row threshold table broadcasts back. No per-language global
+    * sort, no ntile window over the corpus.
+    */
+  def qualityBuckets(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = freq
+      .orderBy(col("cnt").desc, poly_hash31(col("tok")).asc, col("tok").asc)
+      .limit(vocabSize)
+    val scored = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("lp"))
+      .select(col("doc_id"), col("lang"),
+        expr("(100 * lp) div n_tok").as("score_x100"))
+    val hist = scored.groupBy(col("lang"), col("score_x100"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val th = hist.groupBy(_._1).map { case (lang, rows) =>
+      val desc = rows.sortBy(-_._2)
+      val n = desc.map(_._3).sum
+      val (rHead, rMid) = ((n + 2) / 3, (2 * n + 2) / 3)
+      var cum = 0L
+      var tHead = Long.MinValue; var tMid = Long.MinValue
+      desc.foreach { case (_, s, c) =>
+        val lo = cum; cum += c
+        if (lo < rHead && rHead <= cum) tHead = s
+        if (lo < rMid && rMid <= cum) tMid = s
+      }
+      (lang, tHead, tMid)
+    }.toSeq
+    scored.join(broadcast(th.toDF("lang", "t_head", "t_mid")), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("score_x100"),
+        when(col("score_x100") >= col("t_head"), "head")
+          .when(col("score_x100") >= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Deterministic mixture RESAMPLING — the recipe step that turns
+    * per-source epoch weights into an actual training corpus (Gopher /
+    * Llama data cards list sources at 0.5–3.4 epochs): each document of
+    * a source with weight w (fixed-point x1000) appears ⌊w⌋ times, plus
+    * one more copy iff its consistent hash lands under frac(w) — so a
+    * source at 2.5 epochs gets every doc twice and a reproducible,
+    * engine-independent half of its docs a third time. w < 1 is the
+    * same rule run as DOWNSAMPLING (w = 0 excludes the source); the
+    * hash, not an RNG, makes the expansion replayable and stable under
+    * corpus growth, like t13/t18.
+    *
+    * Output one row per COPY: (doc_id, source, copy ∈ [0, copies)).
+    * Scale shape: the weights relation (|sources| rows) broadcasts onto
+    * a pure per-row projection; the explode fans out by the mean epoch
+    * factor (the output corpus size — unavoidable and intended). No
+    * shuffle anywhere.
+    */
+  def upsample(docs: DataFrame, weightsX1000: Map[String, Long],
+               defaultX1000: Long = 1000L): DataFrame = {
+    require(weightsX1000.values.forall(_ >= 0L) && defaultX1000 >= 0L,
+      "upsample weights must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsX1000.toSeq.toDF("source", "wx")
+    val copies = expr("wx div 1000") +
+      when(finalizedHash("up|", col("doc_id").cast("string")) % 1000L
+        < col("wx") % 1000L, 1L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(w), Seq("source"), "left")
+      .withColumn("wx", coalesce(col("wx"), lit(defaultX1000)))
+      .withColumn("copies", copies)
+      .select(col("doc_id"), col("source"),
+        explode(when(col("copies") > 0,
+          sequence(lit(0L), col("copies") - 1))
+          .otherwise(array().cast("array<long>"))).as("copy"))
   }
 
   // ------------------------------------------------------ segment-level dedup

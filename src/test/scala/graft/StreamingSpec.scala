@@ -236,6 +236,13 @@ class StreamingSpec extends SparkSuite {
     // the model is a literal map, so the stream scores exactly like the
     // batch pass (the decontamination pattern)
     check("dsir", TextOps.dsirScoreInRow(_, TextOps.dsirWeightTable(batch)))
+    // the Gopher rule gate is a pure projection — a tailing ingest can
+    // apply the same admission rules the batch tier does
+    check("gopher", TextOps.gopherRules)
+    // mixture resampling broadcasts a literal weight table; per-row
+    // explode is stateless, so stream copies == batch copies
+    check("upsample", TextOps.upsample(_, Map("src0" -> 2500L,
+      "src1" -> 500L, "src2" -> 0L)))
   }
 
   test("kill-resume: shutdown-hook drain stops queries; restart loses nothing, dupes nothing (K4)") {

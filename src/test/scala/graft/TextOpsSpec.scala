@@ -711,4 +711,154 @@ class TextOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"),
       plan)
   }
+
+  test("gopherRules: every rule flips at its documented boundary") {
+    def rules(text: String): Map[String, Boolean] = {
+      val r = TextOps.gopherRules(docs(1L -> text)).collect()(0)
+      val names = Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "pass")
+      names.map(n => n -> r.getBoolean(r.fieldIndex(n))).toMap
+    }
+    // a clean passing doc: 50 words of 3-10 chars incl. two stopwords
+    val goodWords = Seq("the", "and") ++ (3 to 50).map(i => s"word$i")
+    val good = goodWords.mkString(" ")
+    assert(rules(good).forall(_._2 == true))
+    // word count: 49 words fails, 50 passes
+    assert(!rules(goodWords.drop(1).mkString(" "))("r_wordcount"))
+    // mean word length: fifty 2-char words -> mean 2 < 3 fails r_meanlen
+    val short = (1 to 50).map(_ => "ab").mkString(" ")
+    assert(!rules(short)("r_meanlen") && rules(short)("r_wordcount"))
+    // symbol ratio: k '#' words over 50+k words — 10k >= 50+k at k=6
+    // (ratio 6/56 > 0.1 fails); k=5 is 5/55 < 0.1 and passes
+    assert(!rules(good + " # # # # # #")("r_symbol"))
+    assert(rules(good + " # # # # #")("r_symbol"))
+    // bullets: 9 of 10 lines bulleted = 90% -> fail; 8 of 10 passes
+    val bullets9 = (good +: (1 to 9).map(i => s"- b$i")).mkString("\n")
+    assert(!rules(bullets9)("r_bullet"))
+    val bullets8 = (good +: "tail line" +: (1 to 8).map(i => s"- b$i"))
+      .mkString("\n")
+    assert(rules(bullets8)("r_bullet"))
+    // ellipsis: 3 of 10 lines = 30% -> fail; 2 of 10 passes
+    val ell3 = (good +: (1 to 6).map(i => s"line $i") ++:
+      (1 to 3).map(i => s"trailing $i...")).mkString("\n")
+    assert(!rules(ell3)("r_ellipsis"))
+    // alpha: 10 numeric of 50 = exactly 80% alpha -> pass (>=); 11 fails
+    val alpha40 = ((1 to 40).map(i => s"word$i") ++
+      (1 to 10).map(_ => "12345")).mkString(" ")
+    assert(rules(alpha40)("r_alpha"))
+    val alpha39 = ((1 to 39).map(i => s"word$i") ++
+      (1 to 11).map(_ => "12345")).mkString(" ")
+    assert(!rules(alpha39)("r_alpha"))
+    // stopwords: one distinct kind (even repeated) fails, two pass
+    val oneStop = ("the" +: "the" +: (3 to 50).map(i => s"word$i")).mkString(" ")
+    assert(!rules(oneStop)("r_stop"))
+  }
+
+  test("globalShuffle: exact hash-order permutation, bucketing-invariant, no global one-partition sort") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.functions.TextHashes.P31
+    val d = docs((1L to 60L).map(i => i -> s"doc $i text"): _*)
+    // first-principles brute force: full driver-side sort by (h, doc_id)
+    val want = d.select(col("doc_id"),
+        (graft.functions.poly_hash31(
+          concat(lit("gs|"), col("doc_id").cast("string")))
+          * graft.functions.VectorOps.HashMul % P31).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, h), i) => (id, h, i.toLong) }.toSet
+    val got = TextOps.globalShuffle(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // pos is a permutation of 0..n-1
+    assert(got.map(_._3) == (0L until 60L).toSet)
+    // bucketing-invariant: 1 bucket (single global window) and huge
+    // bucket counts (pure offset arithmetic) agree exactly
+    assert(TextOps.globalShuffle(d, buckets = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    assert(TextOps.globalShuffle(d, buckets = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    // scale shape: the window partitions by bucket (bounded), offsets
+    // come back as a broadcast join — never a sort-merge join, and at
+    // buckets>1 never a single-partition global window
+    val plan = TextOps.globalShuffle(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("qualityBuckets: differential vs a driver-side tercile model; terciles populated per lang") {
+    import org.apache.spark.sql.functions.{col, when}
+    // two languages; per-doc token mixes of a very common token vs
+    // per-doc unique tokens spread the quality scores
+    val d = docs((1L to 18L).map { i =>
+        val common = (1L to i % 9 + 1).map(_ => "common").mkString(" ")
+        val rare = (1 to 4).map(j => s"rare${i}x$j").mkString(" ")
+        i -> s"$common $rare"
+      }: _*)
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "aa").otherwise("bb"))
+    val got = TextOps.qualityBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // independent model: corpus token counts (all tokens fit vocab 256),
+    // score = (100 * sum(len(bin(cnt)))) / n_tok, terciles by the
+    // ceil(n/3) / ceil(2n/3) DESC-rank score values
+    val raw = d.select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val cnt = raw.flatMap(_._3).groupBy(identity).map { case (t, o) =>
+      t -> o.length.toLong }
+    val scored = raw.map { case (id, lang, toks) =>
+      val lp = toks.map(t => cnt(t).toBinaryString.length.toLong).sum
+      (id, lang, 100L * lp / toks.length)
+    }
+    val want = scored.groupBy(_._2).flatMap { case (lang, rs) =>
+      val desc = rs.map(_._3).sorted.reverse
+      val n = desc.length
+      val (tHead, tMid) = (desc((n + 2) / 3 - 1), desc((2 * n + 2) / 3 - 1))
+      rs.toSeq.map { case (id, _, s) =>
+        val b = if (s >= tHead) "head" else if (s >= tMid) "middle" else "tail"
+        (id, lang, s, b)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // with 9 docs per lang and distinct scores, every tercile is populated
+    Seq("aa", "bb").foreach { lang =>
+      val bs = got.filter(_._2 == lang).map(_._4)
+      assert(Set("head", "middle", "tail").subsetOf(bs.toSet), bs.toSeq)
+    }
+  }
+
+  test("upsample: floor copies + hash-gated fractional copy; w=0 excludes; default applies; no corpus shuffle") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import graft.functions.TextHashes.P31
+    val d = docs((1L to 40L).map(i => i -> s"doc $i"): _*)
+      .withColumn("source", when(col("doc_id") <= 10L, "sA")
+        .when(col("doc_id") <= 20L, "sB")
+        .when(col("doc_id") <= 30L, "sC").otherwise("sD"))
+    val weights = Map("sA" -> 2500L, "sB" -> 500L, "sC" -> 0L)
+    val res = TextOps.upsample(d, weights, defaultX1000 = 1000L)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // brute force from first principles (same salt/finalizer)
+    val h = d.select(col("doc_id"),
+        (graft.functions.poly_hash31(
+          concat(lit("up|"), col("doc_id").cast("string")))
+          * graft.functions.VectorOps.HashMul % P31).as("h"),
+        col("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = h.flatMap { case (id, hv, src) =>
+      val wx = weights.getOrElse(src, 1000L)
+      val copies = wx / 1000 + (if (hv % 1000 < wx % 1000) 1 else 0)
+      (0L until copies).map(c => (id, src, c))
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // semantics: sC gone entirely, sD exactly once each, sA 2-3 copies
+    assert(!got.exists(_._2 == "sC"))
+    assert(got.count(_._2 == "sD") == 10)
+    val perA = got.filter(_._2 == "sA").groupBy(_._1).map(_._2.length).toSet
+    assert(perA.subsetOf(Set(2, 3)) && perA.contains(3))
+    // weights broadcast onto a per-row projection — no corpus shuffle
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+      plan)
+  }
 }
