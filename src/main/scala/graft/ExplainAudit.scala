@@ -86,7 +86,11 @@ object ExplainAudit {
     // recall harnesses: ground truth comes from knnBruteAgg, so the
     // Window prohibition holds on the WHOLE e-tier — recall queries
     // included (the r3 verdict's last Window on an ANN path)
-    Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall").foreach { q =>
+    // e9 PQ-ADC serves top-k through the same heap-merge reducer (code
+    // assignment and ADC tables are in-row vs literal codebooks — no
+    // codebook join); e10 composes it with the knnBruteAgg ground truth
+    Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
+      "e10_pq_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

@@ -127,29 +127,33 @@ ivftop AS (
   // `dim` must match the corpus's embedding width (the Spark side is
   // dim-agnostic via posexplode; the SQL mirror needs it explicitly —
   // testdata embeddings are 64-wide). Exposed through the e6/e7 builders.
-  private def kmeansCtes(nCells: Int, iters: Int, dim: Int): String = {
+  // `src`/`pfx` let the SAME unrolled-Lloyd's generator serve the full-
+  // vector quantizer (e6/e7/e8: src=eq, pfx=k → kc0/ka1/…, unchanged)
+  // and the per-block PQ codebooks (e9/e10: src=eqb$b, pfx=pq$b).
+  private def kmeansCtes(nCells: Int, iters: Int, dim: Int,
+                         src: String = "eq", pfx: String = "k"): String = {
     val sb = new StringBuilder
     sb.append(s""",
-kc0 AS (
-  SELECT CAST(vec_id AS INT) AS cell, q AS cv FROM eq WHERE vec_id < $nCells)""")
+${pfx}c0 AS (
+  SELECT CAST(vec_id AS INT) AS cell, q AS cv FROM $src WHERE vec_id < $nCells)""")
     for (t <- 1 to iters) {
-      val prev = s"kc${t - 1}"
+      val prev = s"${pfx}c${t - 1}"
       sb.append(s""",
-ka$t AS (
+${pfx}a$t AS (
   SELECT vec_id, q, cell FROM (
     SELECT e.vec_id, e.q, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
-    FROM eq e CROSS JOIN $prev c)
+    FROM $src e CROSS JOIN $prev c)
   WHERE rn = 1),
-ks$t AS (
+${pfx}s$t AS (
   SELECT cell, i, CAST(sum(q[i + 1]) AS BIGINT) AS s, count(*) AS n
-  FROM ka$t CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) d
+  FROM ${pfx}a$t CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) d
   GROUP BY cell, i),
-kc$t AS (
+${pfx}c$t AS (
   SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
   FROM $prev p LEFT JOIN (
-    SELECT cell, list(s // n ORDER BY i) AS cv FROM ks$t GROUP BY cell) u
+    SELECT cell, list(s // n ORDER BY i) AS cv FROM ${pfx}s$t GROUP BY cell) u
   ON u.cell = p.cell)""")
     }
     sb.toString
@@ -229,6 +233,66 @@ FROM brute b LEFT JOIN lshk l ON b.qid = l.qid AND b.nid = l.nid"""
 ivfk AS (SELECT qid, nid FROM ivftop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN ivfk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** e9/e10: PQ chain — per block b: the quantized-slice relation
+    * eqb$b, its unrolled per-block Lloyd's (pq${b}c0…), the in-row
+    * argmin code assignment, and the per-block ADC contribution
+    * dot(query-slice, centroid-of-candidate's-code); pqscored sums the
+    * m contributions (mirrors Similarity.knnPq digit-for-digit).
+    */
+  private def pqChain(nQueries: Int, m: Int, kCb: Int, iters: Int,
+                      dim: Int): String = {
+    val bd = dim / m
+    val sb = new StringBuilder
+    for (b <- 0 until m) {
+      val lo = b * bd + 1; val hi = (b + 1) * bd
+      sb.append(s""",
+eqb$b AS (SELECT vec_id, q[$lo:$hi] AS q FROM eq)""")
+      sb.append(kmeansCtes(kCb, iters, bd, s"eqb$b", s"pq$b"))
+      sb.append(s""",
+pqcode$b AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eqb$b e CROSS JOIN pq${b}c$iters c)
+  WHERE rn = 1),
+adc$b AS (
+  SELECT p.vec_id AS qid, n.vec_id AS nid, ${dotSql("p.q", "cb.cv")} AS dot
+  FROM eqb$b p
+  CROSS JOIN pqcode$b n
+  JOIN pq${b}c$iters cb ON cb.cell = n.cell
+  WHERE p.vec_id < $nQueries)""")
+    }
+    val sum = (0 until m).map(b => s"a$b.dot").mkString(" + ")
+    val joins = (1 until m)
+      .map(b => s"JOIN adc$b a$b USING (qid, nid)").mkString("\n  ")
+    sb.append(s""",
+pqscored AS (
+  SELECT qid, nid, $sum AS dot
+  FROM adc0 a0
+  $joins
+  WHERE qid != nid),
+pqtop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM pqscored)""")
+    sb.toString
+  }
+
+  /** e9: PQ-ADC ANN top-k. */
+  def knnPqSql(nQueries: Int = 10, k: Int = 5, m: Int = 8, kCb: Int = 16,
+               iters: Int = 2, dim: Int = 64): String =
+    s"WITH $eqCte ${pqChain(nQueries, m, kCb, iters, dim)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM pqtop WHERE rnk <= $k"
+
+  /** e10: recall@k of PQ-ADC vs exact brute force. */
+  def pqRecallSql(nQueries: Int = 10, k: Int = 5, m: Int = 8, kCb: Int = 16,
+                  iters: Int = 2, dim: Int = 64): String =
+    s"""WITH $eqCte ${pqChain(nQueries, m, kCb, iters, dim)}${bruteCte(nQueries, k)},
+pqk AS (SELECT qid, nid FROM pqtop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN pqk l ON b.qid = l.qid AND b.nid = l.nid"""
 
   /** e8: SemDeDup semantic dedup — the unrolled k-means chain assigns
     * every vector a cell, within-cell pairs above the quantized-dot

@@ -538,6 +538,12 @@ object SparkEntry {
     // within-cell quantized-cosine prune, keep-min-id verdicts
     "e8_semdedup" -> ((s, dir) =>
       operators.Similarity.semanticDedup(t(s, dir, "embeddings"))),
+    // PQ-ADC (Jégou et al. 2011): 4×3-bit codes, per-query lookup
+    // tables, heap-merge top-k; e10 measures the compression/recall dial
+    "e9_knn_pq" -> ((s, dir) =>
+      operators.Similarity.knnPq(t(s, dir, "embeddings"))),
+    "e10_pq_recall" -> ((s, dir) =>
+      operators.Similarity.pqRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -906,6 +912,8 @@ object SparkEntry {
     "e6_knn_ivfk" -> SimOracles.knnIvfKmeansSql(),
     "e7_ivfk_recall" -> SimOracles.ivfKmeansRecallSql(),
     "e8_semdedup" -> SimOracles.semanticDedupSql(),
+    "e9_knn_pq" -> SimOracles.knnPqSql(),
+    "e10_pq_recall" -> SimOracles.pqRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

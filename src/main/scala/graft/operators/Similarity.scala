@@ -226,10 +226,11 @@ object Similarity {
     * min/sort lexicographic ⇒ deterministic cell tie-break, mirrored by
     * the oracle's ORDER BY dist, cell.
     */
-  private def cellDists(cents: Array[Array[Long]]): Column =
+  private def cellDists(cents: Array[Array[Long]],
+                        q: Column = col("qe")): Column =
     array(cents.zipWithIndex.map { case (cv, ci) =>
       val c2 = cv.map(x => x * x).sum
-      struct((lit(c2) - lit(2L) * dotCols(typedLit(cv.toSeq), col("qe")))
+      struct((lit(c2) - lit(2L) * dotCols(typedLit(cv.toSeq), q))
         .as("dist"), lit(ci).as("cell"))
     }: _*)
 
@@ -319,6 +320,77 @@ object Similarity {
                       nCells: Int = 16, nProbe: Int = 3,
                       iters: Int = 4): DataFrame =
     recallVsBrute(emb, knnIvfKmeans(emb, nQueries, k, nCells, nProbe, iters),
+      nQueries, k)
+
+  // ------------------------------------------------ product quantization
+
+  /** Per-block PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the vector splits into `m`
+    * contiguous blocks of dim/m components and each block gets its own
+    * Lloyd's codebook of `kCb` centroids — [[kmeansCentroids]] run on the
+    * sliced corpus, so training inherits its exact-int64 determinism and
+    * its subsample-at-100TB note.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, kCb: Int = 16, iters: Int = 2,
+                  dim: Int = 64): Array[Array[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m equal blocks")
+    val bd = dim / m
+    (0 until m).map { b =>
+      kmeansCentroids(emb.select(col("vec_id"),
+        slice(col("embedding"), b * bd + 1, bd).as("embedding")), kCb, iters)
+    }.toArray
+  }
+
+  /** PQ ANN with asymmetric-distance (ADC) scoring: every corpus vector
+    * compresses to `m` codes of log₂(kCb) bits (here 8×4 bits — a 128×
+    * reduction from the 64×int64 quantized form), assigned IN-ROW
+    * against the literal codebooks exactly like [[knnIvfKmeans]]'s cells
+    * (no codebook join, no assignment window). Each query precomputes
+    * its m×kCb table of block-dots ONCE (broadcast with the probe row);
+    * scoring a candidate is m table lookups, not a dim-length dot —
+    * dot(q,x) ≈ Σ_b table_b[code_b], the ADC estimator. All arithmetic
+    * is exact int64, so the approximation itself is deterministic and
+    * fully DuckDB-oracled (the oracle unrolls every per-block Lloyd's).
+    *
+    * Scale shape: this is the PQ-SCAN regime — every query still visits
+    * every code row (as FAISS's IndexPQ does); what scales is the
+    * memory/bandwidth footprint (codes are bytes, the raw vectors never
+    * leave the scan) and the per-candidate cost (lookups). For
+    * sublinear candidate visits compose with the IVF tier (e3/e6 probe
+    * filter, then ADC inside probed cells) — IVF-PQ. Top-k closes
+    * through the heap-merge aggregator like every e-tier path.
+    */
+  def knnPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5, m: Int = 8,
+            kCb: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val bd = dim / m
+    val books = pqCodebooks(emb, m, kCb, iters, dim)
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+    def blockOf(b: Int) = slice(col("qe"), b * bd + 1, bd)
+    val codes = array((0 until m).map { b =>
+      array_min(cellDists(books(b), blockOf(b))).getField("cell")
+    }: _*)
+    val encoded = q.select(col("vec_id").as("nid"), codes.as("codes"))
+    val tabs = array((0 until m).map { b =>
+      array(books(b).map(cv =>
+        dotCols(typedLit(cv.toSeq), blockOf(b))): _*)
+    }: _*)
+    val probes = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), tabs.as("tabs"))
+    val adc = (0 until m).map { b =>
+      element_at(element_at(col("tabs"), b + 1),
+        element_at(col("codes"), b + 1) + 1)
+    }.reduce(_ + _)
+    topKByDot(encoded.crossJoin(broadcast(probes))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adc.as("dot")), k)
+  }
+
+  /** Recall@k of PQ-ADC vs exact brute force (e10) — the compression/
+    * recall dial: more blocks or bigger codebooks sharpen the estimator.
+    */
+  def pqRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5, m: Int = 8,
+               kCb: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame =
+    recallVsBrute(emb, knnPq(emb, nQueries, k, m, kCb, iters, dim),
       nQueries, k)
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
