@@ -82,7 +82,7 @@ object DocsScalingBench {
 
   val jobOrder: Seq[String] =
     Seq("d7_ladder", "t15_segment_dedup", "t11_corpus_pipeline",
-      "t20_global_shuffle")
+      "t20_global_shuffle", "t23_ngram_coverage")
 
   /** The measured text-tier jobs — the same operator entry points the
     * oracle-checked driver queries call. Each job's action is an
@@ -126,7 +126,13 @@ object DocsScalingBench {
     // and the offset join into the executed plan (Σpos = n(n-1)/2 is
     // also a free correctness check of permutation-ness at bench scale)
     "t20_global_shuffle" -> (() => operators.TextOps.globalShuffle(docs)
-      .agg(sum(col("pos")), max(col("shuffle_key"))).collect())
+      .agg(sum(col("pos")), max(col("shuffle_key"))).collect()),
+    // repeated-n-gram coverage — the heaviest pure-shuffle op of the
+    // text tier (full shingle volume through two hash aggregates and a
+    // long-keyed join); replica token-suffixing preserves within-replica
+    // duplication exactly, so dup_sh volume scales linearly with mult
+    "t23_ngram_coverage" -> (() => operators.TextOps.ngramCoverage(docs)
+      .agg(sum(col("n_sh")), sum(col("dup_sh")), count(lit(1))).collect())
   )
 
   private def measure(cpus: Int, path: String, reps: Int, mult: Int,

@@ -158,6 +158,25 @@ object ExplainAudit {
       Seq("BroadcastHashJoin", "partial_count"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // d14 fuzzy decon: banded train-vs-eval index join + candidate-scoped
+    // exact verify — the d12 shape cross-relation; dup verdicts are min
+    // aggregates (partial_min two-phase), never a rank window, and every
+    // band/shingle join is equi (no product join)
+    audit("d14_fuzzy_decon",
+      SparkEntry.queries("d14_fuzzy_decon")(spark, sfDir),
+      Seq("partial_min"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // t23 repeated-n-gram coverage: shingles cross exchanges as longs
+    // only; the shingle-df count and the per-doc coverage agg both
+    // combine map-side (partial_count) — a boilerplate shingle in
+    // millions of docs is absorbed before its exchange; no window, no
+    // product join
+    audit("t23_ngram_coverage",
+      SparkEntry.queries("t23_ngram_coverage")(spark, sfDir),
+      Seq("partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
     // t13 per-source sample: MinK thresholds (partial+final) broadcast
     // back as a per-row filter — never a per-source ORDER BY/window
     audit("t13_sample_source",

@@ -334,6 +334,23 @@ object SparkEntry {
           .as("hour_sum"),
         count(lit(1)).over(w).cast("long").as("hour_n"))
     }),
+    // forward-fill gap-fill: synthetic sensor dropout nulls every 7th
+    // reading, then last-non-null carries forward per user in
+    // (ts, event_id) order — the IGNORE NULLS analytic over a bounded
+    // per-user frame (per-key streams, no global sort; q24's decimal
+    // cast keeps the carried value cross-engine exact)
+    "q25_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value").cast("decimal(18,2)")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          last(col("v"), ignoreNulls = true).over(w).cast("double")
+            .as("filled"))
+    }),
     // unpivot (melt) — the q17 matrix back to long form; the oracle is
     // the direct GROUP BY, so pivot→unpivot round-trips exactly (the
     // n > 0 filter drops the fill-zeros pivot fabricated)
@@ -420,6 +437,17 @@ object SparkEntry {
     // the shuffled side
     "t12_decontaminate" -> ((s, dir) =>
       operators.TextOps.decontaminate(t(s, dir, "documents"))),
+    // FUZZY decontamination: MinHash-banded train-vs-eval collisions,
+    // exact-Jaccard ≥ 1/2 verified on candidates only — length-robust
+    // (fraction verdict, not t12's absolute hit count) and attributing
+    // (contaminated_by names the leaking eval doc)
+    "d14_fuzzy_decon" -> ((s, dir) =>
+      operators.TextOps.fuzzyDecon(t(s, dir, "documents"))),
+    // repeated-n-gram coverage (Lee et al. exact-substring dedup at the
+    // n-gram granularity): per-doc share of corpus-duplicated shingles;
+    // shingles cross exchanges as longs, one df count + one per-doc agg
+    "t23_ngram_coverage" -> ((s, dir) =>
+      operators.TextOps.ngramCoverage(t(s, dir, "documents"))),
     // KMV distinct-count sketch: the ESTIMATE is integer-exact
     // cross-engine, so even the approximation is hash-checked
     "d9_kmv_distinct" -> ((s, dir) =>
@@ -878,6 +906,18 @@ object SparkEntry {
     "t9_data_mix" -> TextOracles.mixSql,
     "t10_seq_pack" -> TextOracles.seqPackSql(),
     "t12_decontaminate" -> TextOracles.decontaminateSql(),
+    "d14_fuzzy_decon" -> TextOracles.fuzzyDeconSql(),
+    "t23_ngram_coverage" -> TextOracles.ngramCoverageSql(),
+    "q25_gap_fill" -> """
+      SELECT event_id, user_id, ts,
+        CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS filled
+      FROM (SELECT event_id, user_id, ts,
+              CASE WHEN event_id % 7 = 0 THEN NULL
+                   ELSE CAST(value AS DECIMAL(18,2)) END AS v
+            FROM events) e""",
     "d9_kmv_distinct" -> TextOracles.kmvSql(),
     "t13_sample_source" -> TextOracles.samplePerSourceSql(k = 10),
     // the oracle states the per-source cumulative-window semantics

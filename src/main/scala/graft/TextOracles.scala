@@ -463,6 +463,61 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN st USING (doc_id)
 WHERE d.doc_id % 29 <> 3"""
 
+  /** t23: repeated-n-gram coverage — mirror of TextOps.ngramCoverage:
+    * distinct 3-gram shingles hashed to longs, shingle document
+    * frequency, per-doc duplicated share, integer-crossed flag. CASTs
+    * keep DuckDB's HUGEINT sums at BIGINT so the schema hash-matches.
+    */
+  def ngramCoverageSql(minDf: Int = 2, dropPct: Int = 50): String =
+    s"""WITH ${shingleCtes()},
+phs AS (SELECT doc_id, ${ph("shingle")} AS ph FROM sh),
+dfreq AS (SELECT ph, count(*) AS ndocs FROM phs GROUP BY ph),
+per AS (
+  SELECT p.doc_id, count(*) AS n_sh,
+    CAST(sum(CASE WHEN d.ndocs >= $minDf THEN 1 ELSE 0 END) AS BIGINT)
+      AS dup_sh
+  FROM phs p JOIN dfreq d USING (ph)
+  GROUP BY p.doc_id)
+SELECT doc_id, n_sh, dup_sh,
+  dup_sh * 100 >= n_sh * $dropPct AS flagged
+FROM per"""
+
+  /** d14: fuzzy decontamination — mirror of TextOps.fuzzyDecon: banded
+    * MinHash collisions between train (doc_id % 29 <> 3) and the eval
+    * carve-out, ≥`minBandHits` band votes, exact-Jaccard ≥ 1/2 verify on
+    * candidates only, contaminated_by = min verified eval partner.
+    * Reuses the shared shingle/minhash CTEs (their `voted` CTE goes
+    * unused — DuckDB only evaluates referenced CTEs).
+    */
+  def fuzzyDeconSql(k: Int = 32, bands: Int = 8,
+                    minBandHits: Int = 2): String =
+    s"""WITH ${shingleCtes()} ${minhashCtes(k, bands)},
+fvote AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS band_hits
+  FROM banded t JOIN banded e
+    ON t.band = e.band AND t.bucket = e.bucket
+   AND t.doc_id % 29 <> 3 AND e.doc_id % 29 = 3
+  GROUP BY t.doc_id, e.doc_id),
+fcand AS (SELECT train_id, eval_id FROM fvote WHERE band_hits >= $minBandHits),
+fsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+finter AS (
+  SELECT train_id, eval_id, count(*) AS inter
+  FROM fcand
+  JOIN sh s1 ON s1.doc_id = train_id
+  JOIN sh s2 ON s2.doc_id = eval_id AND s2.shingle = s1.shingle
+  GROUP BY train_id, eval_id),
+fdup AS (
+  SELECT f.train_id, min(f.eval_id) AS contaminated_by
+  FROM finter f
+  JOIN fsizes s1 ON s1.doc_id = f.train_id
+  JOIN fsizes s2 ON s2.doc_id = f.eval_id
+  WHERE f.inter * 10 >= (s1.n_sh + s2.n_sh - f.inter) * 5
+  GROUP BY f.train_id)
+SELECT d.doc_id, contaminated_by IS NOT NULL AS is_contaminated,
+  contaminated_by
+FROM documents d LEFT JOIN fdup ON fdup.train_id = d.doc_id
+WHERE d.doc_id % 29 <> 3"""
+
   /** d9: per-source KMV distinct-token sketch — mirror of
     * TextOps.kmvDistinct (including the Knuth multiplicative finalizer
     * that de-clusters polynomial hashes of similar tokens). The k

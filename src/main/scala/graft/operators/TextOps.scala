@@ -965,6 +965,103 @@ object TextOps {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** t23 — repeated-n-gram coverage (the n-gram-granularity form of
+    * exact-substring dedup, Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better"): for each doc, the fraction of its
+    * distinct 3-gram shingles that occur in at least `minDf` docs
+    * corpus-wide. Docs whose duplicated-shingle share reaches `dropPct`%
+    * are flagged — they are mostly boilerplate the dedup ladder's
+    * whole-doc Jaccard misses when the surrounding text differs (the
+    * reference analog: transformer.go renders per-row, never dedupes;
+    * this is the corpus-hygiene pass a 100 TB crawl needs on top).
+    *
+    * Scale shape: shingles cross the exchanges as poly_hash31 LONGS, not
+    * strings (the d9 lesson — text never shuffles); one shingle-keyed
+    * count (map-side partial — duplicated boilerplate shingles combine
+    * before the exchange), one join back to the (doc_id, ph) pairs, one
+    * doc-keyed agg computing total and duplicated counts in the SAME
+    * pass. No window, no cartesian; everything linear in corpus shingle
+    * volume. Hash collisions fold two distinct shingles into one ph in
+    * BOTH engines (same hash family), so the counts stay cross-engine
+    * exact.
+    */
+  def ngramCoverage(docs: DataFrame, minDf: Int = 2,
+                    dropPct: Int = 50): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(shingles3(tokens)).as("shingle"))
+      .select(col("doc_id"), poly_hash31(col("shingle")).as("ph"))
+    // shingles3 is distinct per doc → count(*) per ph IS document frequency
+    val dfreq = sh.groupBy(col("ph")).agg(count(lit(1)).as("ndocs"))
+    sh.join(dfreq, Seq("ph"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("ndocs") >= minDf, 1L).otherwise(0L)).as("dup_sh"))
+      .select(col("doc_id"), col("n_sh"), col("dup_sh"),
+        (col("dup_sh") * 100 >= col("n_sh") * dropPct).as("flagged"))
+  }
+
+  /** d14 — FUZZY decontamination (the Llama/GPT-4-report posture): the
+    * dedup ladder's MinHash-banded machinery run CROSS-relation, train
+    * vs the eval carve-out. Two things t12's absolute ≥3-exact-hit rule
+    * cannot give: (1) LENGTH-robustness — a long doc accumulates 3
+    * background shingle collisions by mass alone, while the similarity
+    * verdict here is a fraction of both docs' shingle sets; (2)
+    * ATTRIBUTION — contaminated_by names the leaking eval doc (min
+    * verified partner), which an aggregate hit count cannot. Candidates
+    * = train docs sharing ≥ `minBandHits` LSH bands with any eval doc;
+    * verification = exact 3-gram Jaccard ≥ 1/2 on candidates only
+    * (looser than the ladder's 0.7 — decon is recall-biased: a false
+    * drop costs one doc, a false keep leaks a benchmark).
+    *
+    * Scale shape: the eval index is benchmark-sized (≤ 10⁶ rows of
+    * (band, bucket) longs) so the candidate join's build side is tiny;
+    * train-side work is one linear banded pass; the exact tier touches
+    * candidate docs only (left-semi scoped, the incrementalDedup
+    * pattern). No train×train pairs are ever formed.
+    */
+  def fuzzyDecon(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                 minBandHits: Int = 2): DataFrame = {
+    val r = k / bands
+    val isEval = isEvalCarveOut
+    val train = docs.filter(!isEval)
+    val eval = docs.filter(isEval)
+    def banded(d: DataFrame): DataFrame =
+      minhashSignatures(d, k).select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => bandBucket(b, r)): _*))
+          .as(Seq("band", "bucket")))
+    val cand = banded(train).as("t").join(banded(eval).as("e"),
+        col("t.band") === col("e.band") && col("t.bucket") === col("e.bucket"))
+      .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("band_hits"))
+      .filter(col("band_hits") >= minBandHits)
+      .select(col("train_id"), col("eval_id"))
+    val candDocs = cand.select(col("train_id").as("doc_id"))
+      .union(cand.select(col("eval_id").as("doc_id"))).distinct()
+    val sh = docs.select(col("doc_id"),
+        explode(shingles3(tokens)).as("shingle"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "train_id")
+        .withColumnRenamed("shingle", "s1"), "train_id")
+      .join(sh.withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("shingle", "s2"), "eval_id")
+      .filter(col("s1") === col("s2"))
+      .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("inter"))
+    val hits = inter
+      .join(sizes.withColumnRenamed("doc_id", "train_id")
+        .withColumnRenamed("n_sh", "n1"), "train_id")
+      .join(sizes.withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("n_sh", "n2"), "eval_id")
+      .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 5)
+      .groupBy(col("train_id")).agg(min(col("eval_id")).as("contaminated_by"))
+    train.select(col("doc_id"))
+      .join(hits.withColumnRenamed("train_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("contaminated_by").isNotNull.as("is_contaminated"),
+        col("contaminated_by"))
+  }
+
   // ------------------------------------------------------------- KMV sketch
 
   /** Finalized uniform hash shared by the KMV sketch (d9) and the

@@ -69,6 +69,32 @@ object StreamDedup {
       }
   }
 
+  /** Shared in-row MinHash band kernel — identical arithmetic to the
+    * batch tier (TextOps.minhashSignatures + bandBucket): k affine
+    * min-hashes over the doc's shingle poly-hashes, Horner-combined into
+    * one bucket per band. Returns the per-band bucket ids (index =
+    * band). Empty input must be guarded by the caller.
+    */
+  private[streaming] def bandBuckets(shs: Seq[String], k: Int,
+                                     bands: Int): Array[Long] = {
+    val r = k / bands
+    val phs = shs.map(s => TextHashes.polyHash31(UTF8String.fromString(s)))
+    val mins = Array.tabulate(k) { i =>
+      var m = Long.MaxValue
+      phs.foreach { ph =>
+        val h = (ph * (2L * i + 1) + i.toLong * i + 1) % P31
+        if (h < m) m = h
+      }
+      m
+    }
+    Array.tabulate(bands) { b =>
+      var acc = b.toLong
+      var j = 0
+      while (j < r) { acc = (acc * 1000003L + mins(b * r + j)) % P31; j += 1 }
+      acc
+    }
+  }
+
   /** Per-document (band, bucket) keys, computed IN-ROW via a typed
     * flatMap — a plain JVM loop per row. (The batch form's explode →
     * groupBy signature aggregation cannot precede a stateful operator in
@@ -77,30 +103,13 @@ object StreamDedup {
   def bandHits(spark: SparkSession, docs: DataFrame, k: Int = 32,
                bands: Int = 8): Dataset[BandHit] = {
     import spark.implicits._
-    val r = k / bands
     docs.select(col("doc_id"),
         graft.functions.shingles3(split(col("text"), " ")).as("shs"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, shs) =>
         if (shs.isEmpty) Iterator.empty
-        else {
-          val phs = shs.map(s =>
-            TextHashes.polyHash31(UTF8String.fromString(s)))
-          val mins = Array.tabulate(k) { i =>
-            var m = Long.MaxValue
-            phs.foreach { ph =>
-              val h = (ph * (2L * i + 1) + i.toLong * i + 1) % P31
-              if (h < m) m = h
-            }
-            m
-          }
-          (0 until bands).iterator.map { b =>
-            var acc = b.toLong
-            var j = 0
-            while (j < r) { acc = (acc * 1000003L + mins(b * r + j)) % P31; j += 1 }
-            BandHit(b, acc, id)
-          }
-        }
+        else bandBuckets(shs, k, bands).iterator.zipWithIndex
+          .map { case (bucket, b) => BandHit(b, bucket, id) }
       }
   }
 
@@ -194,31 +203,14 @@ object StreamDedup {
                          k: Int = 32, bands: Int = 8,
                          maxReps: Int = 3): Dataset[CandPair] = {
     import spark.implicits._
-    val r = k / bands
     val hits = docs
       .select(col("doc_id"), col("ts"),
         graft.functions.shingles3(split(col("text"), " ")).as("shs"))
       .as[(Long, java.sql.Timestamp, Seq[String])]
       .flatMap { case (id, ts, shs) =>
         if (shs.isEmpty) Iterator.empty
-        else {
-          val phs = shs.map(s =>
-            TextHashes.polyHash31(UTF8String.fromString(s)))
-          val mins = Array.tabulate(k) { i =>
-            var m = Long.MaxValue
-            phs.foreach { ph =>
-              val h = (ph * (2L * i + 1) + i.toLong * i + 1) % P31
-              if (h < m) m = h
-            }
-            m
-          }
-          (0 until bands).iterator.map { b =>
-            var acc = b.toLong
-            var j = 0
-            while (j < r) { acc = (acc * 1000003L + mins(b * r + j)) % P31; j += 1 }
-            BandHitT(b, acc, id, ts)
-          }
-        }
+        else bandBuckets(shs, k, bands).iterator.zipWithIndex
+          .map { case (bucket, b) => BandHitT(b, bucket, id, ts) }
       }
     // watermark AFTER the typed flatMap: the event-time tag does not
     // survive the object (de)serialization boundary, so tagging the input
@@ -249,6 +241,84 @@ object StreamDedup {
               math.max(lastMs, state.getCurrentWatermarkMs() + 1) + horizonMs)
             pairs.iterator
           }
+      }
+  }
+
+  // --------------------------------------------------- fuzzy decontamination
+
+  case class FuzzyVerdict(doc_id: Long, is_contaminated: Boolean,
+                          contaminated_by: Option[Long])
+
+  /** Driver-built index of the (benchmark-sized) eval table for
+    * streaming fuzzy decontamination: each eval doc's banded
+    * (band, bucket) keys and its distinct shingle STRING set. Strings,
+    * not hashes, on the verify side so the exact-Jaccard intersection is
+    * bit-identical to the batch tier's shingle-equality join
+    * (TextOps.fuzzyDecon) even under poly-hash collisions. Size is
+    * O(|eval| × shingles/doc) — the same benchmark-sized-broadcast
+    * posture as [[evalHashSet]].
+    */
+  def evalFuzzyIndex(evalDocs: DataFrame, k: Int = 32, bands: Int = 8)
+      : (Map[(Int, Long), Seq[Long]], Map[Long, Set[String]]) = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    val rows = evalDocs.select(col("doc_id"),
+        graft.functions.shingles3(split(col("text"), " ")).as("shs"))
+      .as[(Long, Seq[String])].collect()
+    val shingleSets = rows.map { case (id, s) => id -> s.toSet }.toMap
+    val buckets = scala.collection.mutable.Map
+      .empty[(Int, Long), List[Long]]
+    rows.foreach { case (id, shs) =>
+      if (shs.nonEmpty)
+        bandBuckets(shs, k, bands).zipWithIndex.foreach { case (bucket, b) =>
+          buckets((b, bucket)) = id :: buckets.getOrElse((b, bucket), Nil)
+        }
+    }
+    (buckets.view.mapValues(_.sorted).toMap, shingleSets)
+  }
+
+  /** Streaming fuzzy decontamination — the stateless stream form of
+    * TextOps.fuzzyDecon (d14): per arriving doc, one in-row loop
+    * computes its band buckets (same kernel as the batch signatures),
+    * votes candidate eval partners from the broadcast index
+    * (≥ `minBandHits` shared bands), then exact-Jaccard-verifies
+    * candidates in ascending eval-id order against the broadcast shingle
+    * sets, stopping at the FIRST pass — which IS the batch op's
+    * min(verified partner). Zero state, no watermark, composes anywhere
+    * in a stream; verdicts match the batch op row-for-row
+    * (StreamingSpec).
+    */
+  def fuzzyVerdicts(spark: SparkSession, docs: DataFrame,
+                    index: Map[(Int, Long), Seq[Long]],
+                    evalShingles: Map[Long, Set[String]],
+                    k: Int = 32, bands: Int = 8,
+                    minBandHits: Int = 2): Dataset[FuzzyVerdict] = {
+    import spark.implicits._
+    val bcIdx = spark.sparkContext.broadcast(index)
+    val bcSh = spark.sparkContext.broadcast(evalShingles)
+    docs.select(col("doc_id"),
+        graft.functions.shingles3(split(col("text"), " ")).as("shs"))
+      .as[(Long, Seq[String])]
+      .map { case (id, shs) =>
+        if (shs.isEmpty) FuzzyVerdict(id, is_contaminated = false, None)
+        else {
+          val votes = scala.collection.mutable.Map.empty[Long, Int]
+          bandBuckets(shs, k, bands).zipWithIndex.foreach { case (bucket, b) =>
+            bcIdx.value.get((b, bucket)).foreach(_.foreach { e =>
+              votes(e) = votes.getOrElse(e, 0) + 1
+            })
+          }
+          val n1 = shs.length // shingles3 is distinct per doc
+          val hit = votes.iterator
+            .collect { case (e, v) if v >= minBandHits => e }
+            .toArray.sorted
+            .find { e =>
+              val es = bcSh.value(e)
+              val inter = shs.count(es.contains)
+              inter * 10 >= (n1 + es.size - inter) * 5
+            }
+          FuzzyVerdict(id, hit.isDefined, hit)
+        }
       }
   }
 }

@@ -197,6 +197,57 @@ class StreamingSpec extends SparkSuite {
       progressed.map(_.stateOperators.length).mkString(","))
   }
 
+  test("streaming FUZZY decontamination: stateless verdicts match batch fuzzyDecon row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    // id 3 is the carve-out eval member (3 % 29 == 3) the batch op uses
+    val all = Seq(3L -> base, 1L -> near, 2L -> far, 4L -> base,
+      5L -> "too short")
+    val train = all.filterNot(_._1 % 29 == 3)
+    val evalDocs = all.filter(_._1 % 29 == 3).toDF("doc_id", "text")
+
+    val (idx, evSh) = StreamDedup.evalFuzzyIndex(evalDocs)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamDedup
+      .fuzzyVerdicts(spark, ms.toDF().toDF("doc_id", "text"), idx, evSh)
+      .toDF().writeStream.format("memory").queryName("fuzzydecon")
+      .outputMode("append").start()
+    try {
+      ms.addData(train: _*)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis + 10000
+      while (q.recentProgress.forall(_.numInputRows == 0) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM fuzzydecon").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    val batchDf = all.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val batch = graft.operators.TextOps.fuzzyDecon(batchDf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(t => t._1 -> ((t._2, t._3))).toMap ==
+      Map(1L -> ((true, 3L)), 2L -> ((false, -1L)), 4L -> ((true, 3L)),
+        5L -> ((false, -1L))))
+    // stateless: no state operators may appear in the progress events
+    val progressed = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progressed.nonEmpty, "no progress event captured — assertion would be vacuous")
+    assert(progressed.forall(_.stateOperators.isEmpty),
+      progressed.map(_.stateOperators.length).mkString(","))
+  }
+
   test("per-row text ops are stream-transparent: split/mix/redact/quality identical on stream vs batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -448,6 +448,41 @@ class TextOpsSpec extends SparkSuite {
     assert(ext(1L) && ext(3L) && !ext(2L) && !ext(4L) && !ext(5L))
   }
 
+  test("ngramCoverage: exact copies fully duplicated, fresh text clean, 48% overlap under the 50% flag line") {
+    // 4 shares base's first 30 tokens → trigram starts 1..28 duplicated
+    // of its 58 → 48.3% < 50% → NOT flagged; the copies are 100% → flagged
+    val halfFresh = ((1 to 30).map(i => s"w$i") ++
+      (1 to 30).map(i => s"f$i")).mkString(" ")
+    val got = TextOps.ngramCoverage(docs(1L -> base, 2L -> base,
+        3L -> unrelated, 4L -> halfFresh, 5L -> "one two"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // shingle-less 5 absent
+    assert(got(1L) == ((58L, 58L, true)) && got(2L) == ((58L, 58L, true)))
+    assert(got(3L) == ((58L, 0L, false)))
+    assert(got(4L) == ((58L, 28L, false)))
+    // scale shape: no window, no cartesian; text never crosses a shuffle
+    // (shingles hash to longs before the exchanges)
+    val plan = TextOps.ngramCoverage(docs(1L -> base))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fuzzyDecon: near-twin of an eval doc flagged, unrelated clean, exact copy flagged with min partner") {
+    // doc_id % 29 == 3 → id 3 is the eval carve-out member
+    val got = TextOps.fuzzyDecon(docs(3L -> base, 1L -> nearDup,
+        2L -> unrelated, 4L -> base))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L)) // eval member carries no verdict
+    assert(got(1L) == ((true, 3L)))  // paraphrase: Jaccard 55/61 ≥ 1/2
+    assert(got(2L) == ((false, -1L)))
+    assert(got(4L) == ((true, 3L)))  // exact copy
+    val plan = TextOps.fuzzyDecon(docs(3L -> base, 1L -> nearDup))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("kmvDistinct: unsaturated sources exact, saturated estimate self-consistent and bounded") {
     import org.apache.spark.sql.functions.{col, when}
     // srcSmall: 5 distinct tokens repeated (duplicates must not fill slots)
