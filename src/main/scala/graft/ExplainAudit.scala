@@ -89,8 +89,10 @@ object ExplainAudit {
     // e9 PQ-ADC serves top-k through the same heap-merge reducer (code
     // assignment and ADC tables are in-row vs literal codebooks — no
     // codebook join); e10 composes it with the knnBruteAgg ground truth
+    // e11/e12: the refine stage adds only broadcast joins of the KB-sized
+    // candidate relation plus the same heap-merge reducer
     Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
-      "e10_pq_recall").foreach { q =>
+      "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))
@@ -230,6 +232,32 @@ object ExplainAudit {
       SparkEntry.queries("d13_dup_clusters_star")(spark, sfDir),
       Seq("ExistingRDD"),
       forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+
+    // t25 bigram LM quality: hashed bigram/prefix count tables combine
+    // map-side (partial_count) and join back long-keyed — never a rank
+    // window, never a product join
+    audit("t25_bigram_lm",
+      SparkEntry.queries("t25_bigram_lm")(spark, sfDir),
+      Seq("partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // t24 cluster-aware split: d11's converged labels off the checkpoint
+    // boundary plus ONE per-row hash — same prohibitions as d11 (the
+    // split adds no exchange of its own)
+    audit("t24_cluster_split",
+      SparkEntry.queries("t24_cluster_split")(spark, sfDir),
+      Seq("ExistingRDD"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+
+    // d15 longest dup run: the dfreq side is t23's map-side-combining
+    // long count (partial_count); the Window here is LEGITIMATE — it
+    // partitions by doc_id so every partition is bounded by one document,
+    // never by the corpus (the t10 packing argument) — so only the
+    // product joins are banned
+    audit("d15_dup_run",
+      SparkEntry.queries("d15_dup_run")(spark, sfDir),
+      Seq("partial_count"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
     // d12 incremental dedup: banded index joins + candidate-scoped verify
     // — all legitimate hash exchanges; no rank window anywhere (dup_of is

@@ -294,6 +294,40 @@ pqk AS (SELECT qid, nid FROM pqtop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN pqk l ON b.qid = l.qid AND b.nid = l.nid"""
 
+  /** e11/e12: exact re-rank of the top k·refine ADC candidates — the
+    * two-stage refine chain shared by knnPqRefineSql and
+    * pqRefineRecallSql (mirrors Similarity.knnPqRefine).
+    */
+  private def pqRefineCtes(nQueries: Int, k: Int, refine: Int, m: Int,
+                           kCb: Int, iters: Int, dim: Int): String =
+    s"""${pqChain(nQueries, m, kCb, iters, dim)},
+rcand AS (SELECT qid, nid FROM pqtop WHERE rnk <= ${k * refine}),
+rescored AS (
+  SELECT c.qid, c.nid, ${dotSql("p.q", "n.q")} AS dot
+  FROM rcand c
+  JOIN eq p ON p.vec_id = c.qid
+  JOIN eq n ON n.vec_id = c.nid),
+rtop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM rescored)"""
+
+  /** e11: PQ-ADC top-(k·refine) candidates, exact-dot re-ranked to k. */
+  def knnPqRefineSql(nQueries: Int = 10, k: Int = 5, refine: Int = 3,
+                     m: Int = 8, kCb: Int = 16, iters: Int = 2,
+                     dim: Int = 64): String =
+    s"WITH $eqCte ${pqRefineCtes(nQueries, k, refine, m, kCb, iters, dim)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM rtop WHERE rnk <= $k"
+
+  /** e12: recall@k of refined PQ vs exact brute force. */
+  def pqRefineRecallSql(nQueries: Int = 10, k: Int = 5, refine: Int = 3,
+                        m: Int = 8, kCb: Int = 16, iters: Int = 2,
+                        dim: Int = 64): String =
+    s"""WITH $eqCte ${pqRefineCtes(nQueries, k, refine, m, kCb, iters, dim)}${bruteCte(nQueries, k)},
+rk AS (SELECT qid, nid FROM rtop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN rk l ON b.qid = l.qid AND b.nid = l.nid"""
+
   /** e8: SemDeDup semantic dedup — the unrolled k-means chain assigns
     * every vector a cell, within-cell pairs above the quantized-dot
     * threshold mark the larger id a dup of the smallest qualifying

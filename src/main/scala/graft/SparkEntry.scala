@@ -448,6 +448,20 @@ object SparkEntry {
     // shingles cross exchanges as longs, one df count + one per-doc agg
     "t23_ngram_coverage" -> ((s, dir) =>
       operators.TextOps.ngramCoverage(t(s, dir, "documents"))),
+    // longest duplicated-shingle RUN (span-level t23): positional
+    // shingles flagged by corpus df, gaps-and-islands over consecutive
+    // flagged positions — the n-gram stand-in for suffix-array
+    // longest-duplicated-substring
+    "d15_dup_run" -> ((s, dir) =>
+      operators.TextOps.dupRunLength(t(s, dir, "documents"))),
+    // cluster-aware split: t4's hash rule keyed on d11's dup-cluster
+    // label, so near-dup families never straddle train/val/test
+    "t24_cluster_split" -> ((s, dir) =>
+      operators.TextOps.clusterSplit(t(s, dir, "documents"))),
+    // bigram LM quality (CCNet/KenLM posture): quantized conditional
+    // nll under the corpus bigram model — bigrams shuffle as longs
+    "t25_bigram_lm" -> ((s, dir) =>
+      operators.TextOps.bigramLmQuality(t(s, dir, "documents"))),
     // KMV distinct-count sketch: the ESTIMATE is integer-exact
     // cross-engine, so even the approximation is hash-checked
     "d9_kmv_distinct" -> ((s, dir) =>
@@ -572,6 +586,12 @@ object SparkEntry {
       operators.Similarity.knnPq(t(s, dir, "embeddings"))),
     "e10_pq_recall" -> ((s, dir) =>
       operators.Similarity.pqRecall(t(s, dir, "embeddings"))),
+    // PQ + exact re-rank (the canonical IVF-PQ refine stage): top k·3 by
+    // ADC, exact dot on candidates only; e12 shows the recall buy-back
+    "e11_knn_pq_refine" -> ((s, dir) =>
+      operators.Similarity.knnPqRefine(t(s, dir, "embeddings"))),
+    "e12_pq_refine_recall" -> ((s, dir) =>
+      operators.Similarity.pqRefineRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -908,6 +928,9 @@ object SparkEntry {
     "t12_decontaminate" -> TextOracles.decontaminateSql(),
     "d14_fuzzy_decon" -> TextOracles.fuzzyDeconSql(),
     "t23_ngram_coverage" -> TextOracles.ngramCoverageSql(),
+    "d15_dup_run" -> TextOracles.dupRunSql(),
+    "t24_cluster_split" -> TextOracles.clusterSplitSql(),
+    "t25_bigram_lm" -> TextOracles.bigramLmSql,
     "q25_gap_fill" -> """
       SELECT event_id, user_id, ts,
         CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
@@ -954,6 +977,8 @@ object SparkEntry {
     "e8_semdedup" -> SimOracles.semanticDedupSql(),
     "e9_knn_pq" -> SimOracles.knnPqSql(),
     "e10_pq_recall" -> SimOracles.pqRecallSql(),
+    "e11_knn_pq_refine" -> SimOracles.knnPqRefineSql(),
+    "e12_pq_refine_recall" -> SimOracles.pqRefineRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -178,9 +178,12 @@ LIMIT $k"""
     * iterative hash-to-min propagation: DuckDB materializes the full
     * reachability set, Spark converges labels — identical fixpoint.
     */
-  def dupClustersSql(k: Int = 32, bands: Int = 8,
-                     minBandHits: Int = 2): String =
-    s"""WITH RECURSIVE ${shingleCtes()} ${minhashCtes(k, bands)},
+  /** The d11 transitive-closure CTE chain through `labels` (id,
+    * cluster_id) — shared by dupClustersSql and clusterSplitSql (t24).
+    * Caller must open with WITH RECURSIVE.
+    */
+  private def clusterCtes(k: Int, bands: Int, minBandHits: Int): String =
+    s"""${shingleCtes()} ${minhashCtes(k, bands)},
 cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -203,9 +206,32 @@ reach AS (
   UNION
   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
 labels AS (
-  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)"""
+
+  def dupClustersSql(k: Int = 32, bands: Int = 8,
+                     minBandHits: Int = 2): String =
+    s"""WITH RECURSIVE ${clusterCtes(k, bands, minBandHits)}
 SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id"""
+
+  /** t24: cluster-aware split — t4's hash rule keyed on the d11 cluster
+    * label, so near-dup families never straddle train/val/test.
+    */
+  def clusterSplitSql(k: Int = 32, bands: Int = 8,
+                      minBandHits: Int = 2): String =
+    s"""WITH RECURSIVE ${clusterCtes(k, bands, minBandHits)},
+clab AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+cbk AS (
+  SELECT doc_id, cluster_id,
+    CAST(${ph("'split|' || CAST(cluster_id AS STRING)")} % 10 AS INT)
+      AS bucket
+  FROM clab)
+SELECT doc_id, cluster_id, bucket,
+  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+       ELSE 'test' END AS split
+FROM cbk"""
 
   /** The 62-bit SimHash fingerprint of `documents.text` (token-level
     * PolyHash31 + affine-image bit votes) — mirror of SimHashPoly.
@@ -482,6 +508,40 @@ SELECT doc_id, n_sh, dup_sh,
   dup_sh * 100 >= n_sh * $dropPct AS flagged
 FROM per"""
 
+  /** d15: longest duplicated-shingle run — positional shingles (DuckDB
+    * zips the two unnest calls, so pos aligns with its shingle; 1-based
+    * vs Spark's 0-based posexplode is absorbed by the islands DIFFERENCE),
+    * dup-flagged by the same distinct-per-doc document frequency as t23,
+    * runs via pos − row_number gaps-and-islands.
+    */
+  def dupRunSql(minDf: Int = 2): String =
+    s"""WITH ${shingleCtes()},
+psh AS (
+  SELECT doc_id,
+    unnest(range(1, greatest(len(t) - 1, 1))) AS pos,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks),
+rdfreq AS (
+  SELECT ph, count(*) AS ndocs
+  FROM (SELECT doc_id, ${ph("shingle")} AS ph FROM sh)
+  GROUP BY ph),
+rflag AS (
+  SELECT p.doc_id, p.pos, d.ndocs >= $minDf AS dup
+  FROM (SELECT doc_id, pos, ${ph("shingle")} AS ph FROM psh) p
+  JOIN rdfreq d USING (ph)),
+rruns AS (
+  SELECT doc_id, grp, count(*) AS run FROM (
+    SELECT doc_id,
+      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM rflag WHERE dup)
+  GROUP BY doc_id, grp),
+rmax AS (SELECT doc_id, max(run) AS max_dup_run FROM rruns GROUP BY doc_id),
+rbase AS (SELECT doc_id, count(*) AS n_pos FROM rflag GROUP BY doc_id)
+SELECT b.doc_id, b.n_pos,
+  CAST(COALESCE(m.max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM rbase b LEFT JOIN rmax m USING (doc_id)"""
+
   /** d14: fuzzy decontamination — mirror of TextOps.fuzzyDecon: banded
     * MinHash collisions between train (doc_id % 29 <> 3) and the eval
     * carve-out, ≥`minBandHits` band votes, exact-Jaccard ≥ 1/2 verify on
@@ -754,6 +814,30 @@ scored AS (
 SELECT doc_id, n_tok, n_invocab, logprob_sum,
   (100 * logprob_sum) // n_tok AS score_x100
 FROM scored"""
+
+  /** t25: bigram LM quality — mirror of TextOps.bigramLmQuality: hashed
+    * bigram/prefix counts with multiplicity, quantized conditional nll
+    * q(c(w1·)) − q(c(w1 w2)) summed per doc (every term ≥ 0, so the //
+    * is truncation-safe).
+    */
+  def bigramLmSql: String =
+    s"""WITH big AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+    i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+bf AS (
+  SELECT doc_id, ${ph("bg")} AS f2,
+    ${ph("split_part(bg, ' ', 1)")} AS f1
+  FROM big),
+bc2 AS (SELECT f2, count(*) AS c2 FROM bf GROUP BY f2),
+bc1 AS (SELECT f1, count(*) AS c1 FROM bf GROUP BY f1),
+bscored AS (
+  SELECT doc_id, count(*) AS n_bg,
+    CAST(sum(length(bin(c1)) - length(bin(c2))) AS BIGINT) AS nll_sum
+  FROM bf JOIN bc2 USING (f2) JOIN bc1 USING (f1)
+  GROUP BY doc_id)
+SELECT doc_id, n_bg, nll_sum, (100 * nll_sum) // n_bg AS nll_x100
+FROM bscored"""
 
   /** t21: CCNet head/middle/tail quality buckets — the t14 chain with
     * lang carried through, then DISCRETE per-language tercile thresholds

@@ -57,6 +57,47 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL word 3-gram shingles of a token array in POSITION order, duplicates
+  * kept — the positional companion of [[Shingles3]] for span-level analyses
+  * (d15 longest-duplicated-run) where the i-th output element IS the shingle
+  * starting at token i. Same codegen'd one-loop shape; docs with < 3 tokens
+  * yield an empty array.
+  */
+case class Shingles3Pos(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles3_pos expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextShingles.emptyArray
+    else TextShingles.shingles3Pos(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull} ?
+          graft.functions.TextShingles.emptyArray() :
+          graft.functions.TextShingles.shingles3Pos(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "shingles3_pos"
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3Pos =
+    copy(child = newChild)
+}
+
 object TextShingles {
 
   private val SEP = UTF8String.fromString(" ")
@@ -82,5 +123,23 @@ object TextShingles {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  def shingles3Pos(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return EMPTY
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[AnyRef](n - 2)
+    i = 0
+    while (i + 2 < n) {
+      out(i) = UTF8String.concatWs(SEP, toks(i), toks(i + 1), toks(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

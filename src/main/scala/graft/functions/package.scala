@@ -27,6 +27,9 @@ package object functions {
     */
   def shingles3(c: Column): Column = column(Shingles3(expression(c)))
 
+  /** All word 3-gram shingles in position order, duplicates kept. */
+  def shingles3_pos(c: Column): Column = column(Shingles3Pos(expression(c)))
+
   /** Cross-engine polynomial fingerprint (mod 2^31-1, first 64 bytes). */
   def poly_hash31(c: Column): Column = column(PolyHash31(expression(c)))
 

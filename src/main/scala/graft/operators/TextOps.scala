@@ -862,6 +862,31 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** t24 — CLUSTER-aware train/val/test split: t4's deterministic hash
+    * split applied at the DUP-CLUSTER granularity (d11's transitive
+    * near-dup components), so a document and all its near-duplicates land
+    * in the SAME split — the group-shuffle-split posture every eval-honest
+    * training pipeline needs (a near-dup of a training doc in the val set
+    * silently inflates held-out metrics; doc-level hashing like t4 cannot
+    * prevent it because the twins hash independently). The split key is
+    * the cluster label, not the doc id: singleton clusters degenerate to
+    * exactly t4's rule (label = own id), so only near-dup families move.
+    *
+    * Scale shape: d11's per-iteration hash-to-min components (see
+    * [[dupClusters]]) plus ONE per-row hash — the split itself adds no
+    * exchange beyond the cluster labels it already joins.
+    */
+  def clusterSplit(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                   minBandHits: Int = 2, maxIters: Int = 25): DataFrame = {
+    val bucket = (coalesce(poly_hash31(concat(lit("split|"),
+      col("cluster_id").cast("string"))), lit(0L)) % 10).cast("int")
+    dupClusters(docs, k, bands, minBandHits, maxIters)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") < 9, "val")
+          .otherwise("test"))
+  }
+
   /** Context-window chunking: overlapping token windows of `chunkSize`
     * with `stride` (training-sequence preparation). One chunk per offset
     * i·stride while the offset is inside the document — per-row explode,
@@ -998,6 +1023,52 @@ object TextOps {
         sum(when(col("ndocs") >= minDf, 1L).otherwise(0L)).as("dup_sh"))
       .select(col("doc_id"), col("n_sh"), col("dup_sh"),
         (col("dup_sh") * 100 >= col("n_sh") * dropPct).as("flagged"))
+  }
+
+  /** d15 — longest duplicated-shingle RUN per doc: the SPAN-level
+    * companion of t23. t23 measures how much of a doc is corpus-duplicated;
+    * this measures how CONTIGUOUS that duplication is — the n-gram-level
+    * stand-in for Lee et al.'s suffix-array longest-duplicated-substring
+    * (a 40-shingle run is a lifted paragraph; 40 scattered dup shingles are
+    * just common phrases). Positional shingles ([[graft.functions.Shingles3Pos]],
+    * duplicates kept, i-th element = shingle at token i) are flagged by the
+    * same distinct-per-doc document frequency as t23, then runs of
+    * consecutive flagged positions reduce by the gaps-and-islands trick:
+    * island id = pos − row_number within (doc, dup) — constant within each
+    * maximal run. Output: (doc_id, n_pos, max_dup_run); docs with < 3
+    * tokens have no positions and drop, like t23.
+    *
+    * Scale shape: the dfreq side is t23's map-side-combining long count;
+    * positions join it as (doc_id, pos, ph) longs — text never shuffles.
+    * The windows partition by doc_id, so each partition is bounded by the
+    * longest DOCUMENT (the t10/t15 argument), never by corpus size; the
+    * engines disagree on pos origin (0- vs 1-based) but the island id is a
+    * difference, so run lengths are origin-invariant.
+    */
+  def dupRunLength(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val dfreq = docs
+      .select(col("doc_id"), explode(shingles3(tokens)).as("shingle"))
+      .select(poly_hash31(col("shingle")).as("ph"))
+      .groupBy(col("ph")).agg(count(lit(1)).as("ndocs"))
+    val flagged = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.shingles3_pos(tokens))
+          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"),
+        poly_hash31(col("shingle")).as("ph"))
+      .join(dfreq, Seq("ph"))
+      .select(col("doc_id"), col("pos"), (col("ndocs") >= minDf).as("dup"))
+    val isl = Window.partitionBy(col("doc_id"), col("dup"))
+      .orderBy(col("pos"))
+    val runs = flagged.filter(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(isl))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_dup_run"))
+    flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 
   /** d14 — FUZZY decontamination (the Llama/GPT-4-report posture): the
@@ -1559,6 +1630,43 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("n_invocab"),
         col("logprob_sum"),
         expr("(100 * logprob_sum) div n_tok").as("score_x100"))
+  }
+
+  /** t25 — BIGRAM LM quality (the CCNet/KenLM posture one notch up from
+    * t14's unigram): per-doc average conditional negative-log-probability
+    * proxy under the corpus-trained bigram model. For each doc bigram
+    * (w1 w2), quantized −log P(w2 | w1) ≈ q(c(w1 ·)) − q(c(w1 w2)) with
+    * q = length(bin(·)) — the t14/t17 integer log₂ — where c(w1 ·) is
+    * the count of bigrams STARTING with w1 (the proper conditional
+    * denominator) and c(w1 w2) the bigram count, both with multiplicity.
+    * Each term is ≥ 0 (the prefix count dominates its bigram count), so
+    * the sum stays non-negative and the `div` is truncation-safe
+    * cross-engine. Lower nll = more predictable/fluent text — rare
+    * continuations of common prefixes score worst, exactly the LM
+    * intuition CCNet's 5-gram perplexity filter runs on. Docs with < 2
+    * tokens have no bigrams and drop (the t23 convention).
+    *
+    * Scale shape: bigrams cross every exchange as poly_hash31 LONGS (f2
+    * the pair, f1 the prefix — the t23/d9 text-never-shuffles lesson);
+    * both count tables are two-phase hash aggregates whose map-side
+    * partials absorb the heavy bigrams; the join-backs are long-keyed
+    * equi-joins and the per-doc sum another two-phase aggregate. Linear
+    * in corpus bigram volume. Hash collisions fold identically in both
+    * engines (same family), so the scores stay hash-exact.
+    */
+  def bigramLmQuality(docs: DataFrame): DataFrame = {
+    val big = docs.select(col("doc_id"), explode(dsirBigrams).as("bg"))
+      .select(col("doc_id"), poly_hash31(col("bg")).as("f2"),
+        poly_hash31(substring_index(col("bg"), " ", 1)).as("f1"))
+    val c2 = big.groupBy(col("f2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("f1")).agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("f2")).join(c1, Seq("f1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(length(bin(col("c1"))) - length(bin(col("c2"))))
+          .cast("long").as("nll_sum"))
+      .select(col("doc_id"), col("n_bg"), col("nll_sum"),
+        expr("(100 * nll_sum) div n_bg").as("nll_x100"))
   }
 
   // ----------------------------------------------- DSIR importance weights

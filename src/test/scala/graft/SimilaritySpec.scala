@@ -126,6 +126,28 @@ class SimilaritySpec extends SparkSuite {
     assert(hits * 4 >= total, s"recall=$hits/$total below 0.25")
   }
 
+  test("PQ exact re-rank: in-cluster on constructed data; lifts real-corpus recall over raw ADC") {
+    // constructed clusters: refined neighbors must stay in-cluster (the
+    // exact re-rank can only improve on the ADC estimate)
+    val rf = Similarity.knnPqRefine(emb, nQueries = 2, k = 3, refine = 2,
+      m = 2, kCb = 4, iters = 2, dim = 4).collect()
+    assert(rf.length == 6)
+    rf.foreach { r =>
+      assert(r.getLong(0) % 2 == r.getLong(1) % 2,
+        s"query ${r.getLong(0)} got cross-cluster ${r.getLong(1)} refined")
+    }
+    // real corpus: with re-rank the lossy ADC only has to land the true
+    // neighbor in the top k·refine — recall jumps vs e10's raw ranking
+    // at the SAME 32-bit codes. Deterministic arithmetic, fixed corpus.
+    val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val raw = Similarity.pqRecall(embReal).collect()(0).getLong(0)
+    val r = Similarity.pqRefineRecall(embReal).collect()(0)
+    val (hits, total) = (r.getLong(0), r.getLong(1))
+    assert(total == 50L)
+    info(s"refined PQ recall@5 on sf0.01: $hits/$total vs raw ADC $raw/$total")
+    assert(hits > raw, s"refine $hits should beat raw ADC $raw")
+  }
+
   test("semanticDedup matches an independent brute-force SemDeDup (and keeps cluster minima)") {
     val nCells = 4; val iters = 2; val tau = 40000000L
     val res = Similarity.semanticDedup(emb, nCells, iters, tau).collect()

@@ -468,6 +468,72 @@ class TextOpsSpec extends SparkSuite {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("shingles3_pos keeps duplicates in position order; < 3 tokens empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val got = Seq("m n o m n o", "a b").toDF("text")
+      .select(graft.functions.shingles3_pos(split(col("text"), " ")))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("m n o", "n o m", "o m n", "m n o"))
+    assert(got(1) == Nil)
+  }
+
+  test("dupRunLength: shared span = its run; scattered within-doc repetition does not count") {
+    // docs 1 and 2 share the 5-token span "p q r s t" → positional
+    // trigrams pqr,qrs,rst duplicated (df=2), one maximal run of 3;
+    // doc 4 repeats "m n o" WITHIN itself only — df counts DOCS, so
+    // nothing is corpus-duplicated and its max run is 0
+    val got = TextOps.dupRunLength(docs(
+        1L -> "u1 u2 p q r s t u3 u4",
+        2L -> "v1 p q r s t v2 v3 v4",
+        3L -> (1 to 9).map(i => s"q$i").mkString(" "),
+        4L -> "m n o m n o m n o",
+        5L -> "one two"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // 9 tokens → 7 positions each; shingle-less doc 5 absent (as in t23)
+    assert(got == Map(1L -> ((7L, 3L)), 2L -> ((7L, 3L)),
+      3L -> ((7L, 0L)), 4L -> ((7L, 0L))))
+  }
+
+  test("bigramLmQuality: rare continuations of common prefixes score worst; hand-computed nll") {
+    // corpus bigrams (with multiplicity): doc1 "a b a b" → (a b),(b a),
+    // (a b); doc2 "a b" → (a b); doc3 "a c" → (a c). c(a·)=4, c(b·)=1,
+    // c(a b)=3, c(b a)=1, c(a c)=1; q=⌊log2⌋+1: q(4)=3,q(3)=2,q(1)=1.
+    // doc1: (3−2)+(1−1)+(3−2)=2 over 3 → 66; doc2: 1 over 1 → 100;
+    // doc3: (3−1)=2 over 1 → 200 — the rare continuation is worst.
+    val got = TextOps.bigramLmQuality(docs(
+        1L -> "a b a b", 2L -> "a b", 3L -> "a c", 4L -> "solo"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((3L, 2L, 66L)), 2L -> ((1L, 1L, 100L)),
+      3L -> ((1L, 2L, 200L)))) // 1-token doc 4 has no bigrams → absent
+  }
+
+  test("clusterSplit: a near-dup family shares one split; singletons keep t4's own-id split") {
+    import spark.implicits._
+    val rows =
+      (1L to 10L).map(i => (i, (1 to 60).map(j => s"t${i}w$j").mkString(" "),
+        "en", "src0", 300L)) ++
+      Seq(11L, 12L).map(i => (i, (1 to 60).map(j => s"t1w$j").mkString(" "),
+        "en", "src0", 300L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.clusterSplit(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    // the {1,11,12} family rides doc 1's label — identical bucket+split
+    assert(got(11L) == got(1L) && got(12L) == got(1L))
+    // singletons: label = own id, so bucket/split equal t4's doc-id rule
+    val t4 = TextOps.splitDocs(
+        d.filter(org.apache.spark.sql.functions.col("doc_id") <= 10L))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("bucket"), r.getAs[String]("split")))).toMap
+    (2L to 10L).foreach { i =>
+      assert((got(i)._2, got(i)._3) == t4(i), s"doc $i")
+    }
+  }
+
   test("fuzzyDecon: near-twin of an eval doc flagged, unrelated clean, exact copy flagged with min partner") {
     // doc_id % 29 == 3 → id 3 is the eval carve-out member
     val got = TextOps.fuzzyDecon(docs(3L -> base, 1L -> nearDup,
