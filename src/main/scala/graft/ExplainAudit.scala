@@ -91,8 +91,12 @@ object ExplainAudit {
     // codebook join); e10 composes it with the knnBruteAgg ground truth
     // e11/e12: the refine stage adds only broadcast joins of the KB-sized
     // candidate relation plus the same heap-merge reducer
+    // e13/e14: the composed IVF-PQ stack — cell-restricted equi-join
+    // candidates, in-row codes/ADC tables, broadcast refine joins, the
+    // same heap-merge reducer at both ranking tiers
     Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
-      "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall").foreach { q =>
+      "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall",
+      "e13_knn_ivfpq", "e14_ivfpq_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

@@ -240,8 +240,12 @@ FROM brute b LEFT JOIN ivfk l ON b.qid = l.qid AND b.nid = l.nid"""
     * dot(query-slice, centroid-of-candidate's-code); pqscored sums the
     * m contributions (mirrors Similarity.knnPq digit-for-digit).
     */
-  private def pqChain(nQueries: Int, m: Int, kCb: Int, iters: Int,
-                      dim: Int): String = {
+  /** Per-block PQ code assignment CTEs only — eqb$b (quantized slice),
+    * its unrolled Lloyd's (pq${b}c0…), and pqcode$b (in-row argmin code)
+    * — shared by the whole-corpus ADC chain (e9/e10) and the
+    * cell-restricted IVF-PQ chain (e13/e14).
+    */
+  private def pqCodeCtes(m: Int, kCb: Int, iters: Int, dim: Int): String = {
     val bd = dim / m
     val sb = new StringBuilder
     for (b <- 0 until m) {
@@ -256,7 +260,16 @@ pqcode$b AS (
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
     FROM eqb$b e CROSS JOIN pq${b}c$iters c)
-  WHERE rn = 1),
+  WHERE rn = 1)""")
+    }
+    sb.toString
+  }
+
+  private def pqChain(nQueries: Int, m: Int, kCb: Int, iters: Int,
+                      dim: Int): String = {
+    val sb = new StringBuilder(pqCodeCtes(m, kCb, iters, dim))
+    for (b <- 0 until m) {
+      sb.append(s""",
 adc$b AS (
   SELECT p.vec_id AS qid, n.vec_id AS nid, ${dotSql("p.q", "cb.cv")} AS dot
   FROM eqb$b p
@@ -311,6 +324,86 @@ rtop AS (
   SELECT qid, nid, dot,
     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
   FROM rescored)"""
+
+  /** e13/e14: composed IVF-PQ chain — coarse k-means cells restrict the
+    * candidate pairs, PQ-ADC scores only those, exact re-rank to k
+    * (mirrors Similarity.knnIvfPq). Ends in `ipfinal` (qid,nid,dot,rnk).
+    */
+  private def ivfPqChain(nQueries: Int, k: Int, refine: Int, nCells: Int,
+                         nProbe: Int, cIters: Int, m: Int, kCb: Int,
+                         pqIters: Int, dim: Int): String = {
+    val sb = new StringBuilder(kmeansCtes(nCells, cIters, dim))
+    sb.append(pqCodeCtes(m, kCb, pqIters, dim))
+    sb.append(s""",
+ipassign AS (
+  SELECT vec_id AS nid, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$cIters c)
+  WHERE rn = 1),
+ipprobe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$cIters c
+    WHERE e.vec_id < $nQueries)
+  WHERE rn <= $nProbe),
+ipcand AS (
+  SELECT p.qid, a.nid FROM ipassign a JOIN ipprobe p USING (cell)
+  WHERE a.nid != p.qid)""")
+    for (b <- 0 until m) {
+      sb.append(s""",
+ipadc$b AS (
+  SELECT cp.qid, cp.nid, ${dotSql("p.q", "cb.cv")} AS dot
+  FROM ipcand cp
+  JOIN eqb$b p ON p.vec_id = cp.qid
+  JOIN pqcode$b n ON n.vec_id = cp.nid
+  JOIN pq${b}c$pqIters cb ON cb.cell = n.cell)""")
+    }
+    val sum = (0 until m).map(b => s"a$b.dot").mkString(" + ")
+    val joins = (1 until m)
+      .map(b => s"JOIN ipadc$b a$b USING (qid, nid)").mkString("\n  ")
+    sb.append(s""",
+ipscored AS (
+  SELECT qid, nid, $sum AS dot
+  FROM ipadc0 a0
+  $joins),
+iptop AS (
+  SELECT qid, nid,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM ipscored),
+iprcand AS (SELECT qid, nid FROM iptop WHERE rnk <= ${k * refine}),
+iprescore AS (
+  SELECT c.qid, c.nid, ${dotSql("p.q", "n.q")} AS dot
+  FROM iprcand c
+  JOIN eq p ON p.vec_id = c.qid
+  JOIN eq n ON n.vec_id = c.nid),
+ipfinal AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM iprescore)""")
+    sb.toString
+  }
+
+  /** e13: composed IVF-PQ (cells → ADC → exact re-rank) top-k. */
+  def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                  nProbe: Int = 4, cIters: Int = 4, m: Int = 8,
+                  kCb: Int = 16, pqIters: Int = 2, dim: Int = 64,
+                  refine: Int = 3): String =
+    s"WITH $eqCte ${ivfPqChain(nQueries, k, refine, nCells, nProbe, cIters, m, kCb, pqIters, dim)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ipfinal WHERE rnk <= $k"
+
+  /** e14: recall@k of the composed IVF-PQ stack vs exact brute force. */
+  def ivfPqRecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                     nProbe: Int = 4, cIters: Int = 4, m: Int = 8,
+                     kCb: Int = 16, pqIters: Int = 2, dim: Int = 64,
+                     refine: Int = 3): String =
+    s"""WITH $eqCte ${ivfPqChain(nQueries, k, refine, nCells, nProbe, cIters, m, kCb, pqIters, dim)}${bruteCte(nQueries, k)},
+ipk AS (SELECT qid, nid FROM ipfinal WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN ipk l ON b.qid = l.qid AND b.nid = l.nid"""
 
   /** e11: PQ-ADC top-(k·refine) candidates, exact-dot re-ranked to k. */
   def knnPqRefineSql(nQueries: Int = 10, k: Int = 5, refine: Int = 3,

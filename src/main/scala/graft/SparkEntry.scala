@@ -592,6 +592,12 @@ object SparkEntry {
       operators.Similarity.knnPqRefine(t(s, dir, "embeddings"))),
     "e12_pq_refine_recall" -> ((s, dir) =>
       operators.Similarity.pqRefineRecall(t(s, dir, "embeddings"))),
+    // composed IVF-PQ (FAISS IVFADC): learned cells restrict the scan,
+    // ADC scores candidates through in-row codes, exact re-rank to k
+    "e13_knn_ivfpq" -> ((s, dir) =>
+      operators.Similarity.knnIvfPq(t(s, dir, "embeddings"))),
+    "e14_ivfpq_recall" -> ((s, dir) =>
+      operators.Similarity.ivfPqRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -979,6 +985,8 @@ object SparkEntry {
     "e10_pq_recall" -> SimOracles.pqRecallSql(),
     "e11_knn_pq_refine" -> SimOracles.knnPqRefineSql(),
     "e12_pq_refine_recall" -> SimOracles.pqRefineRecallSql(),
+    "e13_knn_ivfpq" -> SimOracles.knnIvfPqSql(),
+    "e14_ivfpq_recall" -> SimOracles.ivfPqRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

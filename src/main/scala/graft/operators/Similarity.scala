@@ -432,6 +432,80 @@ object Similarity {
     recallVsBrute(emb, knnPqRefine(emb, nQueries, k, refine, m, kCb, iters,
       dim), nQueries, k)
 
+  /** e13 — composed IVF-PQ with exact re-rank: the full FAISS-style
+    * serving stack (Jégou et al. 2011 §V "IVFADC"). Three tiers, each
+    * cutting the next tier's work: (1) the learned coarse quantizer
+    * ([[kmeansCentroids]]) restricts the scan to the query's `nProbe`
+    * nearest cells — a `nProbe/nCells` corpus fraction; (2) PQ-ADC
+    * ([[pqCodebooks]]) scores ONLY those candidates through m table
+    * lookups against in-row codes — no full vectors touched; (3) the
+    * top `k·refine` survivors are exactly re-scored ([[knnPqRefine]]'s
+    * stage 2) and re-ranked to the final k. e14 measures the recall of
+    * the composition.
+    *
+    * Scale shape: cell assignment and codes are IN-ROW against literal
+    * centroids/codebooks (no training-table join); the probe join is an
+    * equi-join on cell with the KB-sized exploded probe relation
+    * broadcast; ADC candidates reduce through the heap-merge aggregator
+    * (≤ k·refine per (query, partition) cross the exchange); the exact
+    * tier touches nQueries·k·refine rows. At 10⁹ vectors this is the
+    * architecture that serves from RAM: 4-byte codes in place of
+    * 256-byte vectors, 1/4 of cells scanned, full vectors only for
+    * ~15 ids per query.
+    */
+  def knnIvfPq(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+               nCells: Int = 16, nProbe: Int = 4, cIters: Int = 4,
+               m: Int = 8, kCb: Int = 16, pqIters: Int = 2,
+               dim: Int = 64, refine: Int = 3): DataFrame = {
+    val bd = dim / m
+    val cents = kmeansCentroids(emb, nCells, cIters)
+    val books = pqCodebooks(emb, m, kCb, pqIters, dim)
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("dists", cellDists(cents))
+    def blockOf(b: Int) = slice(col("qe"), b * bd + 1, bd)
+    val codes = array((0 until m).map { b =>
+      array_min(cellDists(books(b), blockOf(b))).getField("cell")
+    }: _*)
+    val encoded = q.select(col("vec_id").as("nid"), codes.as("codes"),
+      array_min(col("dists")).getField("cell").as("cell"))
+    val tabs = array((0 until m).map { b =>
+      array(books(b).map(cv =>
+        dotCols(typedLit(cv.toSeq), blockOf(b))): _*)
+    }: _*)
+    val probes = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), tabs.as("tabs"),
+        explode(transform(slice(array_sort(col("dists")), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val adc = (0 until m).map { b =>
+      element_at(element_at(col("tabs"), b + 1),
+        element_at(col("codes"), b + 1) + 1)
+    }.reduce(_ + _)
+    val cand = topKByDot(encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adc.as("dot")), k * refine)
+      .select(col("qid"), col("nid"))
+    val qv = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    topKByDot(qv.select(col("vec_id").as("nid"), col("q").as("nq"))
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(qv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qq"), col("nq")).as("dot")), k)
+  }
+
+  /** Recall@k of the composed IVF-PQ stack vs exact brute force (e14):
+    * the end-to-end price of scanning nProbe/nCells of the corpus
+    * through 32-bit codes — vs e7 (exact dots in probed cells) it
+    * isolates what ADC loses, vs e12 (PQ-refine over the whole corpus)
+    * what cell restriction loses.
+    */
+  def ivfPqRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  nCells: Int = 16, nProbe: Int = 4, cIters: Int = 4,
+                  m: Int = 8, kCb: Int = 16, pqIters: Int = 2,
+                  dim: Int = 64, refine: Int = 3): DataFrame =
+    recallVsBrute(emb, knnIvfPq(emb, nQueries, k, nCells, nProbe, cIters,
+      m, kCb, pqIters, dim, refine), nQueries, k)
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the learned k-means coarse
     * quantizer ([[kmeansCentroids]]), then prune within-cluster semantic

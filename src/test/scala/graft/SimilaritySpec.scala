@@ -148,6 +148,30 @@ class SimilaritySpec extends SparkSuite {
     assert(hits > raw, s"refine $hits should beat raw ADC $raw")
   }
 
+  test("composed IVF-PQ: in-cluster on constructed data; real-corpus recall within the expected ladder") {
+    // constructed clusters: the full stack (cells → ADC → re-rank) must
+    // keep neighbors in-cluster
+    val ip = Similarity.knnIvfPq(emb, nQueries = 2, k = 3, nCells = 4,
+      nProbe = 2, cIters = 2, m = 2, kCb = 4, pqIters = 2, dim = 4,
+      refine = 2).collect()
+    assert(ip.length == 6)
+    ip.foreach { r =>
+      assert(r.getLong(0) % 2 == r.getLong(1) % 2,
+        s"query ${r.getLong(0)} got cross-cluster ${r.getLong(1)} via IVF-PQ")
+    }
+    // real corpus, the recall ladder: the composed stack scans 1/4 of
+    // cells through 32-bit codes — it must land between the raw ADC
+    // floor (e10, 0.30 here) and the exact-dot-in-probed-cells ceiling
+    // (e7-at-nProbe-4); measured 0.56 at sf0.001, 0.58 at sf0.01
+    val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val raw = Similarity.pqRecall(embReal).collect()(0).getLong(0)
+    val r = Similarity.ivfPqRecall(embReal).collect()(0)
+    val (hits, total) = (r.getLong(0), r.getLong(1))
+    assert(total == 50L)
+    info(s"IVF-PQ recall@5 on sf0.01: $hits/$total vs raw ADC $raw/$total")
+    assert(hits > raw, s"composed stack $hits should beat raw ADC $raw")
+  }
+
   test("semanticDedup matches an independent brute-force SemDeDup (and keeps cluster minima)") {
     val nCells = 4; val iters = 2; val tau = 40000000L
     val res = Similarity.semanticDedup(emb, nCells, iters, tau).collect()
