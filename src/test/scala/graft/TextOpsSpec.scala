@@ -510,6 +510,46 @@ class TextOpsSpec extends SparkSuite {
       3L -> ((1L, 2L, 200L)))) // 1-token doc 4 has no bigrams → absent
   }
 
+  test("dupRunLength: generative equivalence with an in-memory runs model") {
+    // reference model: corpus df over distinct-per-doc trigrams, then per
+    // doc the longest run of consecutive positions whose trigram has
+    // df >= 2 (matching poly-hash folding is unnecessary at this alphabet
+    // size: distinct trigram strings stay distinct under the hash with
+    // overwhelming margin, and a collision would fail the assert loudly)
+    def model(rows: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      def tris(text: String): Seq[String] = {
+        val t = text.split(" ", -1).toSeq
+        if (t.length < 3) Nil
+        else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+      }
+      val df = rows.flatMap { case (id, tx) => tris(tx).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      rows.flatMap { case (id, tx) =>
+        val flags = tris(tx).map(s => df(s) >= 2)
+        if (flags.isEmpty) None
+        else {
+          var best = 0L; var cur = 0L
+          flags.foreach { f =>
+            cur = if (f) cur + 1 else 0
+            best = math.max(best, cur)
+          }
+          Some(id -> ((flags.length.toLong, best)))
+        }
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 10) {
+      // tiny alphabet forces cross-doc duplicate trigrams and runs
+      val rows = (1L to (3 + rnd.nextInt(5)).toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(24))("abcd".charAt(rnd.nextInt(4)).toString)
+          .mkString(" ")
+      }
+      val got = TextOps.dupRunLength(docs(rows: _*)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == model(rows), s"trial $trial rows=$rows")
+    }
+  }
+
   test("clusterSplit: a near-dup family shares one split; singletons keep t4's own-id split") {
     import spark.implicits._
     val rows =
