@@ -335,10 +335,50 @@ object Similarity {
                   dim: Int = 64): Array[Array[Array[Long]]] = {
     require(dim % m == 0, s"dim $dim must split into $m equal blocks")
     val bd = dim / m
-    (0 until m).map { b =>
-      kmeansCentroids(emb.select(col("vec_id"),
-        slice(col("embedding"), b * bd + 1, bd).as("embedding")), kCb, iters)
-    }.toArray
+    // ALL m block-Lloyd's run in ONE Spark job per iteration (r4: the
+    // m-sequential form cost m·iters driver round-trips — the serial
+    // Amdahl term of the whole PQ family). Arithmetic is digit-identical
+    // to per-block kmeansCentroids on the sliced relation: quantize is
+    // elementwise so slice∘quantize = quantize∘slice; seeds, argmin
+    // tie-break (min dist, then min cell), truncating integer mean and
+    // empty-cells-keep-previous all match (spec- and oracle-asserted).
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .cache()
+    try {
+      val seedRows = q.filter(col("vec_id") < kCb)
+        .orderBy(col("vec_id")).collect()
+      require(seedRows.nonEmpty,
+        s"pqCodebooks: no seed vectors (need rows with vec_id < $kCb" +
+          " — corpus vec_ids must start at 0)")
+      if (seedRows.length < kCb)
+        System.err.println(s"[pqCodebooks] WARN: only ${seedRows.length} of " +
+          s"$kCb seed vectors present (sparse vec_ids) — fewer codes")
+      var books: Array[Array[Array[Long]]] = Array.tabulate(m) { b =>
+        seedRows.map(_.getAs[scala.collection.Seq[Long]]("qe")
+          .slice(b * bd, (b + 1) * bd).toArray)
+      }
+      for (_ <- 0 until iters) {
+        val blockCells = array((0 until m).map { b =>
+          val qs = slice(col("qe"), b * bd + 1, bd)
+          struct(lit(b).as("blk"),
+            array_min(cellDists(books(b), qs)).getField("cell").as("cell"),
+            qs.as("qs"))
+        }: _*)
+        val sums = q.select(explode(blockCells).as("bc"))
+          .select(col("bc.blk").as("blk"), col("bc.cell").as("cell"),
+            posexplode(col("bc.qs")).as(Seq("i", "x")))
+          .groupBy(col("blk"), col("cell"), col("i"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getAs[Int]("blk"))(r.getAs[Int]("cell"))(r.getAs[Int]("i")) =
+            r.getAs[Long]("s") / r.getAs[Long]("n")
+        }
+        books = next
+      }
+      books
+    } finally { q.unpersist(): Unit }
   }
 
   /** PQ ANN with asymmetric-distance (ADC) scoring: every corpus vector
