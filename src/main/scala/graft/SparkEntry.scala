@@ -1042,6 +1042,9 @@ object SparkEntry {
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS word_tokens,
+        CAST(len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+          AS INT) AS bpe_tokens,
         CAST(length(text) AS INT) AS n_chars
       FROM documents""",
     "e1_knn_brute" -> """

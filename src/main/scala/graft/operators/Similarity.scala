@@ -358,21 +358,29 @@ object Similarity {
           .slice(b * bd, (b + 1) * bd).toArray)
       }
       for (_ <- 0 until iters) {
-        val blockCells = array((0 until m).map { b =>
-          val qs = slice(col("qe"), b * bd + 1, bd)
-          struct(lit(b).as("blk"),
-            array_min(cellDists(books(b), qs)).getField("cell").as("cell"),
-            qs.as("qs"))
+        // the m argmins live in a PROJECT (whose codegen splits large
+        // expression trees into helper methods), and the generator input
+        // is the small raw vector — feeding an array-of-structs carrying
+        // the slices straight into explode() inlined all m·kCb dot
+        // products into the Generate's single doConsume and blew janino's
+        // 64 KB method limit (codegen fell back to interpreted on the
+        // training hot path)
+        val cells = array((0 until m).map { b =>
+          array_min(cellDists(books(b), slice(col("qe"), b * bd + 1, bd)))
+            .getField("cell")
         }: _*)
-        val sums = q.select(explode(blockCells).as("bc"))
-          .select(col("bc.blk").as("blk"), col("bc.cell").as("cell"),
-            posexplode(col("bc.qs")).as(Seq("i", "x")))
-          .groupBy(col("blk"), col("cell"), col("i"))
+        val blk = floor(col("i") / bd).cast("int")
+        val sums = q.select(col("qe"), cells.as("cells"))
+          .select(col("cells"), posexplode(col("qe")).as(Seq("i", "x")))
+          .select(blk.as("blk"),
+            element_at(col("cells"), blk + 1).as("cell"),
+            pmod(col("i"), lit(bd)).cast("int").as("ib"), col("x"))
+          .groupBy(col("blk"), col("cell"), col("ib"))
           .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
           .collect()
         val next = books.map(_.map(_.clone()))
         sums.foreach { r =>
-          next(r.getAs[Int]("blk"))(r.getAs[Int]("cell"))(r.getAs[Int]("i")) =
+          next(r.getAs[Int]("blk"))(r.getAs[Int]("cell"))(r.getAs[Int]("ib")) =
             r.getAs[Long]("s") / r.getAs[Long]("n")
         }
         books = next

@@ -621,10 +621,24 @@ object TextOps {
   /** Token counts: whitespace tokens + regex word tokens (BPE-ish pre-token
     * split). Pure per-row projections — embarrassingly parallel.
     */
+  /** GPT-2-style pre-tokenizer pattern, restricted to the
+    * RE2-safe/Java-identical common dialect (no \p classes, no
+    * lookahead): contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs. Both engines use leftmost-first alternation, so
+    * the match SEQUENCE — not just the count — is identical; this is the
+    * budget estimator a BPE tokenizer's piece count tracks (each match
+    * is one-or-more BPE pieces, and the pattern is what determines merge
+    * boundaries).
+    */
+  private[graft] val BpePat =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(tokens).as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit("([a-z0-9]+)"))).as("word_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePat), lit(0)))
+        .as("bpe_tokens"),
       length(col("text")).as("n_chars"))
 
   // RE2-safe common dialect (no backreferences/lookaround) shared verbatim
