@@ -30,18 +30,28 @@ import org.apache.spark.sql.functions._
   * at chance level — candidate volume grows LINEARLY with mult instead
   * of the mult² per-bucket blow-up naive copying would create (the
   * DocsScalingBench token-suffix argument, vector edition). vec_ids
-  * remap to vec_id·mult + rep; queries stay `vec_id < nQueries`, i.e.
-  * the first replica block, so query count is fixed while the corpus
-  * grows — the serving regime.
+  * remap REP-MAJOR to `vec_id + rep·|src|`, so `vec_id < nQueries`
+  * still selects nQueries DISTINCT original vectors (replica 0) — a
+  * rep-minor `vec_id·mult + rep` remap would make the query set
+  * nQueries transforms of the single original vector 0. Query count is
+  * fixed while the corpus grows — the serving regime.
   */
 object AnnScalingBench {
 
   def materializeVecs(spark: SparkSession, sfDir: String, mult: Int,
                       path: String, partitions: Int): Long = {
     val src = sources.Transcripts.table(spark, sfDir, "embeddings")
-    val expected = src.count() * mult
+    val srcCount = src.count()
+    val expected = srcCount * mult
+    // the fingerprint includes a CONTENT signature of the source table —
+    // a (count, sfDir)-only key silently reuses a stale bench table if
+    // the source corpus is regenerated with the same row count
+    val contentSig = src
+      .agg(sum(hash(col("vec_id"), col("embedding"), col("label"))))
+      .collect()(0).getLong(0)
     val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"vecs-rep-v1|$mult|$sfDir|$partitions".getBytes("UTF-8"))
+      .digest(s"vecs-rep-v2|$mult|$sfDir|$partitions|$contentSig"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val fpFile = java.nio.file.Paths.get(path, "_fingerprint")
     val fpMatches =
@@ -66,7 +76,7 @@ object AnnScalingBench {
             pmod(i + col("rep"), dim).cast("int") + 1) *
             when(pmod(hash(col("rep"), i), lit(2)) === 0, -1.0f)
               .otherwise(1.0f)).cast("float")))
-      .withColumn("vec_id", col("vec_id") * mult + col("rep"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * srcCount)
       .drop("rep")
       .select("vec_id", "embedding", "label")
     big.repartition(partitions).write.mode("overwrite").parquet(path)
@@ -131,6 +141,10 @@ object AnnScalingBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_JOBS")
       .map(_.split(",").map(_.trim).toSet).getOrElse(jobOrder.toSet)
+    val unknown = only -- jobOrder.toSet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_JOBS names unknown jobs: ${unknown.mkString(",")} " +
+        s"(valid: ${jobOrder.mkString(",")})")
     val n4 = n * 4
 
     val path = s"target/bench_vecs_${sfDir.replaceAll("[^0-9.]", "")}_$mult"

@@ -28,8 +28,15 @@ object DocsScalingBench {
                       path: String, partitions: Int): Long = {
     val src = sources.Transcripts.table(spark, sfDir, "documents")
     val expected = src.count() * mult
+    // content signature in the key: a (count, sfDir)-only fingerprint
+    // silently reuses a stale bench table if the source corpus is
+    // regenerated with the same row count (the AnnScalingBench fix)
+    val contentSig = src
+      .agg(sum(hash(col("doc_id"), col("text"), col("source"))))
+      .collect()(0).getLong(0)
     val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"docs-rep-v1|$mult|$sfDir|$partitions".getBytes("UTF-8"))
+      .digest(s"docs-rep-v2|$mult|$sfDir|$partitions|$contentSig"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val fpFile = java.nio.file.Paths.get(path, "_fingerprint")
     val fpMatches =
@@ -159,6 +166,10 @@ object DocsScalingBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_JOBS")
       .map(_.split(",").map(_.trim).toSet).getOrElse(jobOrder.toSet)
+    val unknown = only -- jobOrder.toSet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_JOBS names unknown jobs: ${unknown.mkString(",")} " +
+        s"(valid: ${jobOrder.mkString(",")})")
     val n4 = n * 4
 
     val path = s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}_$mult"

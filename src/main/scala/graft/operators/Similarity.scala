@@ -199,15 +199,24 @@ object Similarity {
         quantized(col("embedding")).as("qv"))
       .withColumn("cdots",
         graft.functions.sign_projections(col("qv"), nCells, AnchorSalt))
-      // rank of each cell among the dots (0 = nearest), ties by cell index
+    // corpus rows need only the ARGMAX cell (ties by smaller index):
+    // array_max over (dot, -cell) structs — literal-indexed, fully
+    // codegen'd, O(nCells)/row. The O(nCells²) interpreted rank-array
+    // HOF below runs on the nQueries probe rows ONLY (r4: it previously
+    // ran per corpus row — the file's own interpreted-HOF tax, measured
+    // on the 4.1M-vector bench as the e3 hot path).
+    val cellStructs = array((0 until nCells).map(c =>
+      struct(element_at(col("cdots"), c + 1).as("d"),
+        lit(-c).as("nc"))): _*)
+    val assigned = base.select(col("vid").as("nid"), col("qv").as("qe_n"),
+      (-array_max(cellStructs).getField("nc")).cast("int").as("cell"))
+    // rank of each cell among the dots (0 = nearest), ties by cell index
+    val probes = base.filter(col("vid") < nQueries)
       .withColumn("rnks", transform(cellSeq, c =>
         size(filter(cellSeq, c2 =>
           element_at(col("cdots"), c2 + 1) > element_at(col("cdots"), c + 1) ||
             (element_at(col("cdots"), c2 + 1) === element_at(col("cdots"), c + 1) &&
               c2 < c)))))
-    val assigned = base.select(col("vid").as("nid"), col("qv").as("qe_n"),
-      (array_position(col("rnks"), 0) - 1).cast("int").as("cell"))
-    val probes = base.filter(col("vid") < nQueries)
       .select(col("vid").as("qid"), col("qv").as("qe_q"),
         explode(filter(cellSeq, c =>
           element_at(col("rnks"), c + 1) < nProbe)).as("cell"))
@@ -257,7 +266,17 @@ object Similarity {
     // and re-runs the quantization projection
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .cache()
-    try {
+    try kmeansCentroidsQ(q, nCells, iters)
+    finally { q.unpersist(): Unit }
+  }
+
+  /** Core Lloyd's loop over an ALREADY-CACHED (vec_id, qe) relation —
+    * shared so [[knnIvfPq]] can train the coarse quantizer and the PQ
+    * codebooks off ONE cache fill instead of two quantize+cache cycles.
+    */
+  private def kmeansCentroidsQ(q: DataFrame, nCells: Int,
+                               iters: Int): Array[Array[Long]] = {
+    {
       var cents: Array[Array[Long]] = q.filter(col("vec_id") < nCells)
         .orderBy(col("vec_id")).collect()
         .map(_.getAs[scala.collection.Seq[Long]]("qe").toArray)
@@ -287,7 +306,7 @@ object Similarity {
         cents = next
       }
       cents
-    } finally { q.unpersist(): Unit }
+    }
   }
 
   /** IVF ANN over the LEARNED k-means cells: same probe shape as
@@ -344,7 +363,17 @@ object Similarity {
     // empty-cells-keep-previous all match (spec- and oracle-asserted).
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .cache()
-    try {
+    try pqCodebooksQ(q, m, kCb, iters, dim)
+    finally { q.unpersist(): Unit }
+  }
+
+  /** Core fused block-Lloyd's over an ALREADY-CACHED (vec_id, qe)
+    * relation (see [[kmeansCentroidsQ]] for why it is split out).
+    */
+  private def pqCodebooksQ(q: DataFrame, m: Int, kCb: Int, iters: Int,
+                           dim: Int): Array[Array[Array[Long]]] = {
+    val bd = dim / m
+    locally {
       val seedRows = q.filter(col("vec_id") < kCb)
         .orderBy(col("vec_id")).collect()
       require(seedRows.nonEmpty,
@@ -386,7 +415,49 @@ object Similarity {
         books = next
       }
       books
-    } finally { q.unpersist(): Unit }
+    }
+  }
+
+  // --- shared PQ building blocks (knnPq / knnPqRefine / knnIvfPq): one
+  // definition each, so the ADC estimator and the exact re-rank
+  // tie-break can never diverge between e9/e11/e13 and their oracles
+  private def pqBlockOf(b: Int, bd: Int): Column =
+    slice(col("qe"), b * bd + 1, bd)
+
+  /** In-row PQ code per block: argmin cell of the block slice. */
+  private def pqCodes(books: Array[Array[Array[Long]]], bd: Int): Column =
+    array(books.indices.map { b =>
+      array_min(cellDists(books(b), pqBlockOf(b, bd))).getField("cell")
+    }: _*)
+
+  /** Per-query m×kCb lookup tables of block-dots (ADC tables). */
+  private def pqTabs(books: Array[Array[Array[Long]]], bd: Int): Column =
+    array(books.indices.map { b =>
+      array(books(b).map(cv =>
+        dotCols(typedLit(cv.toSeq), pqBlockOf(b, bd))): _*)
+    }: _*)
+
+  /** The ADC estimator: m lookups `tabs[b][codes[b]]` summed. */
+  private def adcSum(m: Int): Column =
+    (0 until m).map { b =>
+      element_at(element_at(col("tabs"), b + 1),
+        element_at(col("codes"), b + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Exact-dot re-rank of a KB-sized (qid, nid) candidate relation to
+    * the final k — stage 2 of [[knnPqRefine]] and stage 3 of
+    * [[knnIvfPq]]: both candidate joins broadcast, the exact tier
+    * touches candidate rows only.
+    */
+  private def exactRerank(emb: DataFrame, cand: DataFrame, nQueries: Int,
+                          k: Int): DataFrame = {
+    val qv = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    topKByDot(qv.select(col("vec_id").as("nid"), col("q").as("nq"))
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(qv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qq"), col("nq")).as("dot")), k)
   }
 
   /** PQ ANN with asymmetric-distance (ADC) scoring: every corpus vector
@@ -413,24 +484,13 @@ object Similarity {
     val bd = dim / m
     val books = pqCodebooks(emb, m, kCb, iters, dim)
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
-    def blockOf(b: Int) = slice(col("qe"), b * bd + 1, bd)
-    val codes = array((0 until m).map { b =>
-      array_min(cellDists(books(b), blockOf(b))).getField("cell")
-    }: _*)
-    val encoded = q.select(col("vec_id").as("nid"), codes.as("codes"))
-    val tabs = array((0 until m).map { b =>
-      array(books(b).map(cv =>
-        dotCols(typedLit(cv.toSeq), blockOf(b))): _*)
-    }: _*)
+    val encoded = q.select(col("vec_id").as("nid"),
+      pqCodes(books, bd).as("codes"))
     val probes = q.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), tabs.as("tabs"))
-    val adc = (0 until m).map { b =>
-      element_at(element_at(col("tabs"), b + 1),
-        element_at(col("codes"), b + 1) + 1)
-    }.reduce(_ + _)
+      .select(col("vec_id").as("qid"), pqTabs(books, bd).as("tabs"))
     topKByDot(encoded.crossJoin(broadcast(probes))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adc.as("dot")), k)
+      .select(col("qid"), col("nid"), adcSum(m).as("dot")), k)
   }
 
   /** Recall@k of PQ-ADC vs exact brute force (e10) — the compression/
@@ -461,13 +521,7 @@ object Similarity {
                   iters: Int = 2, dim: Int = 64): DataFrame = {
     val cand = knnPq(emb, nQueries, k * refine, m, kCb, iters, dim)
       .select(col("qid"), col("nid"))
-    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val scored = q.select(col("vec_id").as("nid"), col("q").as("nq"))
-      .join(broadcast(cand), Seq("nid"))
-      .join(broadcast(q.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("q").as("qq"))), Seq("qid"))
-      .select(col("qid"), col("nid"), dotCols(col("qq"), col("nq")).as("dot"))
-    topKByDot(scored, k)
+    exactRerank(emb, cand, nQueries, k)
   }
 
   /** Recall@k of refined PQ vs exact brute force (e12) — with re-rank the
@@ -506,39 +560,29 @@ object Similarity {
                m: Int = 8, kCb: Int = 16, pqIters: Int = 2,
                dim: Int = 64, refine: Int = 3): DataFrame = {
     val bd = dim / m
-    val cents = kmeansCentroids(emb, nCells, cIters)
-    val books = pqCodebooks(emb, m, kCb, pqIters, dim)
+    // both trainers run off ONE cached quantized relation (previously
+    // each ran its own quantize+cache+unpersist cycle — a redundant
+    // corpus scan and block-manager fill per call)
+    val qt = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .cache()
+    val (cents, books) =
+      try (kmeansCentroidsQ(qt, nCells, cIters),
+        pqCodebooksQ(qt, m, kCb, pqIters, dim))
+      finally { qt.unpersist(): Unit }
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .withColumn("dists", cellDists(cents))
-    def blockOf(b: Int) = slice(col("qe"), b * bd + 1, bd)
-    val codes = array((0 until m).map { b =>
-      array_min(cellDists(books(b), blockOf(b))).getField("cell")
-    }: _*)
-    val encoded = q.select(col("vec_id").as("nid"), codes.as("codes"),
+    val encoded = q.select(col("vec_id").as("nid"),
+      pqCodes(books, bd).as("codes"),
       array_min(col("dists")).getField("cell").as("cell"))
-    val tabs = array((0 until m).map { b =>
-      array(books(b).map(cv =>
-        dotCols(typedLit(cv.toSeq), blockOf(b))): _*)
-    }: _*)
     val probes = q.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), tabs.as("tabs"),
+      .select(col("vec_id").as("qid"), pqTabs(books, bd).as("tabs"),
         explode(transform(slice(array_sort(col("dists")), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
-    val adc = (0 until m).map { b =>
-      element_at(element_at(col("tabs"), b + 1),
-        element_at(col("codes"), b + 1) + 1)
-    }.reduce(_ + _)
     val cand = topKByDot(encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adc.as("dot")), k * refine)
+      .select(col("qid"), col("nid"), adcSum(m).as("dot")), k * refine)
       .select(col("qid"), col("nid"))
-    val qv = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
-    topKByDot(qv.select(col("vec_id").as("nid"), col("q").as("nq"))
-      .join(broadcast(cand), Seq("nid"))
-      .join(broadcast(qv.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("q").as("qq"))), Seq("qid"))
-      .select(col("qid"), col("nid"),
-        dotCols(col("qq"), col("nq")).as("dot")), k)
+    exactRerank(emb, cand, nQueries, k)
   }
 
   /** Recall@k of the composed IVF-PQ stack vs exact brute force (e14):

@@ -1454,17 +1454,8 @@ object TextOps {
   def qualityBuckets(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val vocab = freq
-      .orderBy(col("cnt").desc, poly_hash31(col("tok")).asc, col("tok").asc)
-      .limit(vocabSize)
-    val scored = toks.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tok"),
-        coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("lp"))
-      .select(col("doc_id"), col("lang"),
-        expr("(100 * lp) div n_tok").as("score_x100"))
+    val scored = unigramScores(docs, vocabSize, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("score_x100"))
     val hist = scored.groupBy(col("lang"), col("score_x100"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -1629,21 +1620,34 @@ object TextOps {
     * groupBy(doc_id) whose exchange is ~1 row per doc. The corpus is
     * never the shuffled side of a join.
     */
-  def unigramQuality(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+  def unigramQuality(docs: DataFrame, vocabSize: Int = 256): DataFrame =
+    unigramScores(docs, vocabSize, Nil)
+      .select(col("doc_id"), col("n_tok"), col("n_invocab"),
+        col("logprob_sum"), col("score_x100"))
+
+  /** The t14 scoring chain — top-`vocabSize` corpus vocabulary joined
+    * onto the token explode, quantized log-prob sum per doc — ONE
+    * definition shared by [[unigramQuality]] (t14) and
+    * [[qualityBuckets]] (t21): the score is oracle-contract-bearing, so
+    * a tweak applied to one caller but not the other would make t14 and
+    * t21 silently disagree. `keyCols` ride through the per-doc aggregate
+    * (t21 carries lang).
+    */
+  private def unigramScores(docs: DataFrame, vocabSize: Int,
+                            keyCols: Seq[String]): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
-    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val toks = docs.select(
+      (col("doc_id") +: keyCols.map(col)) :+ explode(tokens).as("tok"): _*)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val vocab = freq
       .orderBy(col("cnt").desc, poly_hash31(col("tok")).asc, col("tok").asc)
       .limit(vocabSize)
     toks.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_tok"),
         count(col("cnt")).as("n_invocab"),
         coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("logprob_sum"))
-      .select(col("doc_id"), col("n_tok"), col("n_invocab"),
-        col("logprob_sum"),
-        expr("(100 * logprob_sum) div n_tok").as("score_x100"))
+      .withColumn("score_x100", expr("(100 * logprob_sum) div n_tok"))
   }
 
   /** t25 — BIGRAM LM quality (the CCNet/KenLM posture one notch up from

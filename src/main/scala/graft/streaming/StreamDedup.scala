@@ -107,11 +107,22 @@ object StreamDedup {
         graft.functions.shingles3(split(col("text"), " ")).as("shs"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, shs) =>
-        if (shs.isEmpty) Iterator.empty
-        else bandBuckets(shs, k, bands).iterator.zipWithIndex
-          .map { case (bucket, b) => BandHit(b, bucket, id) }
+        hitsOf(shs, k, bands).map { case (b, bucket) =>
+          BandHit(b, bucket, id)
+        }
       }
   }
+
+  /** THE shingle→(band, bucket) kernel — one definition shared by the
+    * evicting and non-evicting tiers, so they can never bucket the same
+    * document differently (the within-horizon-identical-semantics
+    * contract depends on it).
+    */
+  private def hitsOf(shs: Seq[String], k: Int,
+                     bands: Int): Iterator[(Int, Long)] =
+    if (shs.isEmpty) Iterator.empty
+    else bandBuckets(shs, k, bands).iterator.zipWithIndex
+      .map { case (bucket, b) => (b, bucket) }
 
   /** Shared candidate kernel: fold a sorted batch of arrivals into the
     * bucket's representative set. Every arrival not already a
@@ -208,9 +219,9 @@ object StreamDedup {
         graft.functions.shingles3(split(col("text"), " ")).as("shs"))
       .as[(Long, java.sql.Timestamp, Seq[String])]
       .flatMap { case (id, ts, shs) =>
-        if (shs.isEmpty) Iterator.empty
-        else bandBuckets(shs, k, bands).iterator.zipWithIndex
-          .map { case (bucket, b) => BandHitT(b, bucket, id, ts) }
+        hitsOf(shs, k, bands).map { case (b, bucket) =>
+          BandHitT(b, bucket, id, ts)
+        }
       }
     // watermark AFTER the typed flatMap: the event-time tag does not
     // survive the object (de)serialization boundary, so tagging the input
