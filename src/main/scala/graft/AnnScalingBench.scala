@@ -46,9 +46,13 @@ object AnnScalingBench {
     // the fingerprint includes a CONTENT signature of the source table —
     // a (count, sfDir)-only key silently reuses a stale bench table if
     // the source corpus is regenerated with the same row count
+    // coalesce: sum() is NULL on an empty source — surface that as a
+    // clear require instead of an opaque NPE on getLong (ADVICE r4)
     val contentSig = src
-      .agg(sum(hash(col("vec_id"), col("embedding"), col("label"))))
+      .agg(coalesce(sum(hash(col("vec_id"), col("embedding"), col("label"))),
+        lit(0L)))
       .collect()(0).getLong(0)
+    require(expected > 0, s"materializeVecs: empty source table in $sfDir")
     val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s"vecs-rep-v2|$mult|$sfDir|$partitions|$contentSig"
         .getBytes("UTF-8"))
@@ -100,13 +104,14 @@ object AnnScalingBench {
     s
   }
 
-  val jobOrder: Seq[String] = Seq("e1_brute_agg", "e3_ivf")
+  val jobOrder: Seq[String] = Seq("e1_brute_agg", "e3_ivf", "e15_ivfpq_model")
 
   /** Aggregates over the ops' OUTPUT columns pin every stage into the
     * executed plan (the DocsScalingBench count()-pruning lesson); fresh
     * DataFrames per rep so shuffle outputs are never reused across reps.
     */
-  def jobs(vecs: DataFrame): Seq[(String, () => Any)] = Seq(
+  def jobs(vecs: DataFrame,
+           model: Option[operators.Similarity.AnnModel]): Seq[(String, () => Any)] = Seq(
     // one corpus pass, heap-merge top-k: the broadcast-queries × corpus
     // scoring shape every exact tier shares — scales with corpus volume
     "e1_brute_agg" -> (() => operators.Similarity.knnBruteAgg(vecs)
@@ -115,14 +120,25 @@ object AnnScalingBench {
     // probes, exact dots inside probed cells (~19% scan fraction)
     "e3_ivf" -> (() => operators.Similarity.knnIvf(vecs)
       .agg(sum(col("dot")), count(lit(1))).collect())
-  )
+  ) ++ model.map { mdl =>
+    // the TRAINED serving path (r4 verdict item 1): IVF-PQ served from a
+    // persisted model trained ONCE during prep on a fixed-size subsample
+    // — the timed job runs ZERO Lloyd's (in-row assignment + codes
+    // against literal centroids/codebooks, ADC in probed cells, exact
+    // re-rank). This is the lane the per-query-training e6/e9/e13 family
+    // could never expose: serving-only, like a 10⁹-vector deployment.
+    "e15_ivfpq_model" -> (() =>
+      operators.Similarity.knnIvfPqModel(vecs, mdl)
+        .agg(sum(col("dot")), count(lit(1))).collect())
+  }
 
-  private def measure(cpus: Int, path: String, reps: Int,
-                      only: Set[String]): Map[String, Double] = {
+  private def measure(cpus: Int, path: String, reps: Int, only: Set[String],
+                      model: Option[operators.Similarity.AnnModel])
+      : Map[String, Double] = {
     val spark = session(cpus)
     try {
       val vecs = spark.read.parquet(path)
-      jobs(vecs).filter(j => only.contains(j._1)).map { case (name, job) =>
+      jobs(vecs, model).filter(j => only.contains(j._1)).map { case (name, job) =>
         System.err.println(s"[ann-bench] local[$cpus] $name warmup...")
         val (_, w) = Bench.timeIt(job()) // warmup (codegen + page cache)
         System.err.println(f"[ann-bench] local[$cpus] $name warmup $w%.1fs")
@@ -147,14 +163,29 @@ object AnnScalingBench {
         s"(valid: ${jobOrder.mkString(",")})")
     val n4 = n * 4
 
-    val path = s"target/bench_vecs_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
+    // partition count in the directory name — same stale-regeneration
+    // guard as DocsScalingBench (ADVICE r4)
+    val path =
+      s"target/bench_vecs_${sfDir.replaceAll("[^0-9.]", "")}_${mult}_p${n4 * 4}"
     val prep = session(n4)
-    val nVecs =
-      try materializeVecs(prep, sfDir, mult, path, n4 * 4)
-      finally prep.stop()
+    val (nVecs, model) =
+      try {
+        val count = materializeVecs(prep, sfDir, mult, path, n4 * 4)
+        // train the e15 serving model ONCE (prep, untimed) on a capped
+        // subsample of the materialized corpus — sampleEvery scales so
+        // training stays ~50k vectors at ANY mult, the fixed-cost-train
+        // posture of SCALE.md. annModelFor persists + round-trips the
+        // artifact, so N and 4N serve from the SAME persisted model.
+        val mdl = if (only.contains("e15_ivfpq_model")) {
+          val se = math.max(4, (count / 50000L).toInt)
+          Some(operators.Similarity.annModelFor(prep.read.parquet(path),
+            "target/ann_model", sampleEvery = se))
+        } else None
+        (count, mdl)
+      } finally prep.stop()
 
-    val tN = measure(n, path, reps, only)
-    val tN4 = measure(n4, path, reps, only)
+    val tN = measure(n, path, reps, only, model)
+    val tN4 = measure(n4, path, reps, only, model)
     val perJob = jobOrder.filter(only.contains).map { name =>
       val thN = nVecs / tN(name)
       val thN4 = nVecs / tN4(name)

@@ -31,9 +31,13 @@ object DocsScalingBench {
     // content signature in the key: a (count, sfDir)-only fingerprint
     // silently reuses a stale bench table if the source corpus is
     // regenerated with the same row count (the AnnScalingBench fix)
+    // coalesce: sum() is NULL on an empty source — surface that as a
+    // clear require instead of an opaque NPE on getLong (ADVICE r4)
     val contentSig = src
-      .agg(sum(hash(col("doc_id"), col("text"), col("source"))))
+      .agg(coalesce(sum(hash(col("doc_id"), col("text"), col("source"))),
+        lit(0L)))
       .collect()(0).getLong(0)
+    require(expected > 0, s"materializeDocs: empty source table in $sfDir")
     val fingerprint = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s"docs-rep-v2|$mult|$sfDir|$partitions|$contentSig"
         .getBytes("UTF-8"))
@@ -172,7 +176,12 @@ object DocsScalingBench {
         s"(valid: ${jobOrder.mkString(",")})")
     val n4 = n * 4
 
-    val path = s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}_$mult"
+    // partition count in the directory name: the fingerprint already
+    // includes it, so alternating SPARK_GRAFT_N/PARTS_MULT between runs
+    // would otherwise regenerate the full corpus on every flip instead of
+    // keeping one table per configuration (ADVICE r4)
+    val path =
+      s"target/bench_docs_${sfDir.replaceAll("[^0-9.]", "")}_${mult}_p${n4 * 4}"
     val prep = session(n4)
     val nDocs =
       try materializeDocs(prep, sfDir, mult, path, n4 * 4)

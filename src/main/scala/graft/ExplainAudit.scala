@@ -94,9 +94,14 @@ object ExplainAudit {
     // e13/e14: the composed IVF-PQ stack — cell-restricted equi-join
     // candidates, in-row codes/ADC tables, broadcast refine joins, the
     // same heap-merge reducer at both ranking tiers
+    // e15/e16: the model-SERVED IVF-PQ path inherits e13's exact serving
+    // plan (the model only replaces where centroids/codebooks came from),
+    // so the same prohibitions apply — and auditing it here also proves
+    // no training aggregate sneaks into the served plan
     Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
       "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall",
-      "e13_knn_ivfpq", "e14_ivfpq_recall").foreach { q =>
+      "e13_knn_ivfpq", "e14_ivfpq_recall", "e15_knn_ivfpq_model",
+      "e16_ivfpq_model_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

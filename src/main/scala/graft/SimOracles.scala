@@ -245,14 +245,25 @@ FROM brute b LEFT JOIN ivfk l ON b.qid = l.qid AND b.nid = l.nid"""
     * — shared by the whole-corpus ADC chain (e9/e10) and the
     * cell-restricted IVF-PQ chain (e13/e14).
     */
-  private def pqCodeCtes(m: Int, kCb: Int, iters: Int, dim: Int): String = {
+  // `trainSrc` redirects ONLY the Lloyd's training relation: None trains
+  // each block codebook on the full corpus slice eqb$b (e9–e14); Some(s)
+  // slices relation `s` into ${s}b$b and trains there instead, while code
+  // ASSIGNMENT still runs over the full-corpus slices — the e15/e16
+  // subsample-trained model posture (mirrors Similarity.trainAnnModel).
+  private def pqCodeCtes(m: Int, kCb: Int, iters: Int, dim: Int,
+                         trainSrc: Option[String] = None): String = {
     val bd = dim / m
     val sb = new StringBuilder
     for (b <- 0 until m) {
       val lo = b * bd + 1; val hi = (b + 1) * bd
       sb.append(s""",
 eqb$b AS (SELECT vec_id, q[$lo:$hi] AS q FROM eq)""")
-      sb.append(kmeansCtes(kCb, iters, bd, s"eqb$b", s"pq$b"))
+      trainSrc.foreach { s =>
+        sb.append(s""",
+${s}b$b AS (SELECT vec_id, q[$lo:$hi] AS q FROM $s)""")
+      }
+      sb.append(kmeansCtes(kCb, iters, bd,
+        trainSrc.map(s => s"${s}b$b").getOrElse(s"eqb$b"), s"pq$b"))
       sb.append(s""",
 pqcode$b AS (
   SELECT vec_id, cell FROM (
@@ -329,11 +340,24 @@ rtop AS (
     * candidate pairs, PQ-ADC scores only those, exact re-rank to k
     * (mirrors Similarity.knnIvfPq). Ends in `ipfinal` (qid,nid,dot,rnk).
     */
+  // `sampleEvery` = Some(S) trains BOTH quantizers on the deterministic
+  // subsample eqs (every S-th vector, re-id'd vec_id // S so the seed
+  // rule picks the first nCells/kCb sampled vectors) while assignment,
+  // probing, ADC and re-rank all run over the full corpus — the
+  // digit-for-digit mirror of Similarity.trainAnnModel + knnIvfPqModel.
   private def ivfPqChain(nQueries: Int, k: Int, refine: Int, nCells: Int,
                          nProbe: Int, cIters: Int, m: Int, kCb: Int,
-                         pqIters: Int, dim: Int): String = {
-    val sb = new StringBuilder(kmeansCtes(nCells, cIters, dim))
-    sb.append(pqCodeCtes(m, kCb, pqIters, dim))
+                         pqIters: Int, dim: Int,
+                         sampleEvery: Option[Int] = None): String = {
+    val sb = new StringBuilder
+    sampleEvery.foreach { s =>
+      sb.append(s""",
+eqs AS (SELECT vec_id // $s AS vec_id, q FROM eq WHERE vec_id % $s = 0)""")
+    }
+    sb.append(kmeansCtes(nCells, cIters, dim,
+      sampleEvery.map(_ => "eqs").getOrElse("eq")))
+    sb.append(pqCodeCtes(m, kCb, pqIters, dim,
+      sampleEvery.map(_ => "eqs")))
     sb.append(s""",
 ipassign AS (
   SELECT vec_id AS nid, cell FROM (
@@ -401,6 +425,30 @@ ipfinal AS (
                      kCb: Int = 16, pqIters: Int = 2, dim: Int = 64,
                      refine: Int = 3): String =
     s"""WITH $eqCte ${ivfPqChain(nQueries, k, refine, nCells, nProbe, cIters, m, kCb, pqIters, dim)}${bruteCte(nQueries, k)},
+ipk AS (SELECT qid, nid FROM ipfinal WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN ipk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** e15: IVF-PQ served from the subsample-trained model — identical
+    * chain to e13 except BOTH Lloyd's trainers read the deterministic
+    * subsample (`vec_id % sampleEvery = 0`, re-id'd); the serving stages
+    * are byte-identical. Because training is exact int64 and the
+    * subsample rule is pure arithmetic, the oracle reconstructs the
+    * PERSISTED model digit-for-digit without reading the artifact.
+    */
+  def knnIvfPqModelSql(nQueries: Int = 10, k: Int = 5, sampleEvery: Int = 4,
+                       nCells: Int = 16, nProbe: Int = 4, cIters: Int = 4,
+                       m: Int = 8, kCb: Int = 16, pqIters: Int = 2,
+                       dim: Int = 64, refine: Int = 10): String =
+    s"WITH $eqCte ${ivfPqChain(nQueries, k, refine, nCells, nProbe, cIters, m, kCb, pqIters, dim, Some(sampleEvery))}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ipfinal WHERE rnk <= $k"
+
+  /** e16: recall@k of the model-served IVF-PQ stack vs exact brute force. */
+  def ivfPqModelRecallSql(nQueries: Int = 10, k: Int = 5, sampleEvery: Int = 4,
+                          nCells: Int = 16, nProbe: Int = 4, cIters: Int = 4,
+                          m: Int = 8, kCb: Int = 16, pqIters: Int = 2,
+                          dim: Int = 64, refine: Int = 10): String =
+    s"""WITH $eqCte ${ivfPqChain(nQueries, k, refine, nCells, nProbe, cIters, m, kCb, pqIters, dim, Some(sampleEvery))}${bruteCte(nQueries, k)},
 ipk AS (SELECT qid, nid FROM ipfinal WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN ipk l ON b.qid = l.qid AND b.nid = l.nid"""

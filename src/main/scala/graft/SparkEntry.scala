@@ -23,6 +23,12 @@ object SparkEntry {
   /** t16's fixed probe query — terms of varying corpus frequency. */
   private val Bm25Terms = Seq("vector", "hash", "spark", "dup")
 
+  /** Where e15/e16's persisted ANN model artifacts live (fingerprint-keyed
+    * subdirs, so corpora/settings coexist; see Similarity.annModelFor).
+    */
+  private val AnnModelDir =
+    sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR", "target/ann_model")
+
   /** Parsed+filtered transcript turns — the pipeline front half. text is
     * dropped so query outputs keep the oracle-matched column set.
     */
@@ -598,6 +604,21 @@ object SparkEntry {
       operators.Similarity.knnIvfPq(t(s, dir, "embeddings"))),
     "e14_ivfpq_recall" -> ((s, dir) =>
       operators.Similarity.ivfPqRecall(t(s, dir, "embeddings"))),
+    // train-ONCE / serve-many IVF-PQ: the model (subsample-trained
+    // centroids + codebooks) persists as a parquet artifact keyed by
+    // corpus fingerprint; serving runs ZERO Lloyd's jobs. e15 and e16
+    // share the artifact — the first call in a Verify run trains it,
+    // every later call (and every later RUN) loads it.
+    "e15_knn_ivfpq_model" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.knnIvfPqModel(emb,
+        operators.Similarity.annModelFor(emb, AnnModelDir))
+    }),
+    "e16_ivfpq_model_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfPqModelRecall(emb,
+        operators.Similarity.annModelFor(emb, AnnModelDir))
+    }),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     "m1_media_meta" -> ((s, dir) =>
@@ -987,6 +1008,12 @@ object SparkEntry {
     "e12_pq_refine_recall" -> SimOracles.pqRefineRecallSql(),
     "e13_knn_ivfpq" -> SimOracles.knnIvfPqSql(),
     "e14_ivfpq_recall" -> SimOracles.ivfPqRecallSql(),
+    // the oracle reconstructs the persisted model digit-for-digit from
+    // the same deterministic subsample + exact-int64 Lloyd's, so the
+    // model-served path stays hash-exact without the oracle reading the
+    // artifact file
+    "e15_knn_ivfpq_model" -> SimOracles.knnIvfPqModelSql(),
+    "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

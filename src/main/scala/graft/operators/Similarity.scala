@@ -559,7 +559,6 @@ object Similarity {
                nCells: Int = 16, nProbe: Int = 4, cIters: Int = 4,
                m: Int = 8, kCb: Int = 16, pqIters: Int = 2,
                dim: Int = 64, refine: Int = 3): DataFrame = {
-    val bd = dim / m
     // both trainers run off ONE cached quantized relation (previously
     // each ran its own quantize+cache+unpersist cycle — a redundant
     // corpus scan and block-manager fill per call)
@@ -569,6 +568,22 @@ object Similarity {
       try (kmeansCentroidsQ(qt, nCells, cIters),
         pqCodebooksQ(qt, m, kCb, pqIters, dim))
       finally { qt.unpersist(): Unit }
+    ivfPqServe(emb, cents, books, nQueries, k, nProbe, m, dim, refine)
+  }
+
+  /** The SERVING path of the composed IVF-PQ stack — everything after
+    * training, over LITERAL centroids/codebooks: in-row cell assignment
+    * + PQ codes, broadcast probes, ADC scoring inside probed cells,
+    * heap-merge to k·refine candidates, exact re-rank to k. Shared by
+    * [[knnIvfPq]] (trains in-query, the oracle posture) and
+    * [[knnIvfPqModel]] (serves from a persisted [[AnnModel]] with ZERO
+    * training — the 100 TB posture), so the two can never diverge.
+    */
+  private def ivfPqServe(emb: DataFrame, cents: Array[Array[Long]],
+                         books: Array[Array[Array[Long]]], nQueries: Int,
+                         k: Int, nProbe: Int, m: Int, dim: Int,
+                         refine: Int): DataFrame = {
+    val bd = dim / m
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .withColumn("dists", cellDists(cents))
     val encoded = q.select(col("vec_id").as("nid"),
@@ -597,6 +612,162 @@ object Similarity {
                   dim: Int = 64, refine: Int = 3): DataFrame =
     recallVsBrute(emb, knnIvfPq(emb, nQueries, k, nCells, nProbe, cIters,
       m, kCb, pqIters, dim, refine), nQueries, k)
+
+  // ------------------------------------ train-once / serve-many ANN model
+
+  /** The persisted ANN model artifact: the coarse k-means centroids and
+    * per-block PQ codebooks of the IVF-PQ stack, trained ONCE on a
+    * deterministic corpus SUBSAMPLE and reused by every query via
+    * [[knnIvfPqModel]] with ZERO per-query training — the 100 TB serving
+    * posture SCALE.md documents (at 10⁹ vectors you never re-run Lloyd's
+    * inside a query; you train on a hash subsample, persist ~KBs of
+    * centroids, and serve from them until the corpus drifts).
+    *
+    * All values are exact int64 (the quantized-arithmetic convention of
+    * the whole e-tier), so the artifact round-trips parquet bit-exactly
+    * and a model-served query is as hash-oracleable as a train-in-query
+    * one.
+    */
+  case class AnnModel(nCells: Int, cIters: Int, m: Int, kCb: Int,
+                      pqIters: Int, dim: Int, sampleEvery: Int,
+                      centroids: Array[Array[Long]],
+                      books: Array[Array[Array[Long]]])
+
+  /** The deterministic training slice: every `sampleEvery`-th vector,
+    * re-id'd contiguously (vec_id div sampleEvery) so the Lloyd's seed
+    * rule "vec_id < nCells" picks the first nCells SAMPLED vectors — no
+    * RNG, replayable, and exactly expressible in the DuckDB oracle
+    * (`WHERE vec_id % S = 0`, `vec_id // S`). At 100 TB this is the whole
+    * point: training cost is corpus/S regardless of corpus size, and the
+    * serving path never touches the slice again.
+    */
+  private def trainingSlice(emb: DataFrame, sampleEvery: Int): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(sampleEvery.toLong)) === 0)
+      .select(expr(s"vec_id div $sampleEvery").as("vec_id"),
+        quantized(col("embedding")).as("qe"))
+
+  /** Train the IVF-PQ model on the subsample — the ONLY Lloyd's runs in
+    * the model-serving world. One cached slice feeds both trainers
+    * (the knnIvfPq single-cache-fill shape).
+    */
+  def trainAnnModel(emb: DataFrame, sampleEvery: Int = 4, nCells: Int = 16,
+                    cIters: Int = 4, m: Int = 8, kCb: Int = 16,
+                    pqIters: Int = 2, dim: Int = 64): AnnModel = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val slice = trainingSlice(emb, sampleEvery).cache()
+    val (cents, books) =
+      try (kmeansCentroidsQ(slice, nCells, cIters),
+        pqCodebooksQ(slice, m, kCb, pqIters, dim))
+      finally { slice.unpersist(): Unit }
+    AnnModel(nCells, cIters, m, kCb, pqIters, dim, sampleEvery, cents, books)
+  }
+
+  /** Persist the model as a long-format parquet table
+    * (kind, blk, cell, i, v): 'param' rows carry the hyperparameters in a
+    * fixed order, 'cent' rows the coarse centroids, 'book' rows the PQ
+    * codebooks. Long-format (not nested arrays) so ANY engine — DuckDB
+    * included — can read the artifact with a plain scan.
+    */
+  def saveAnnModel(spark: org.apache.spark.sql.SparkSession, model: AnnModel,
+                   path: String): Unit = {
+    import spark.implicits._
+    val params = Seq(model.nCells, model.cIters, model.m, model.kCb,
+      model.pqIters, model.dim, model.sampleEvery).zipWithIndex
+      .map { case (v, i) => ("param", 0, 0, i, v.toLong) }
+    val cents = for {
+      (cv, c) <- model.centroids.toSeq.zipWithIndex
+      (v, i) <- cv.toSeq.zipWithIndex
+    } yield ("cent", 0, c, i, v)
+    val books = for {
+      (bk, b) <- model.books.toSeq.zipWithIndex
+      (cv, c) <- bk.toSeq.zipWithIndex
+      (v, i) <- cv.toSeq.zipWithIndex
+    } yield ("book", b, c, i, v)
+    (params ++ cents ++ books).toDF("kind", "blk", "cell", "i", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model — exact inverse of [[saveAnnModel]] (int64
+    * round-trips parquet bit-exactly; spec-asserted).
+    */
+  def loadAnnModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): AnnModel = {
+    val rows = spark.read.parquet(path).collect()
+    val byKind = rows.groupBy(_.getAs[String]("kind"))
+    def p(i: Int): Int = byKind("param").find(_.getAs[Int]("i") == i)
+      .getOrElse(sys.error(s"loadAnnModel: missing param $i in $path"))
+      .getAs[Long]("v").toInt
+    val (nCells, cIters, m, kCb, pqIters, dim, sampleEvery) =
+      (p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+    val bd = dim / m
+    def grid(kind: String, blk: Int, cells: Int, width: Int) = {
+      val g = Array.fill(cells)(new Array[Long](width))
+      byKind.getOrElse(kind, Array.empty)
+        .filter(_.getAs[Int]("blk") == blk)
+        .foreach(r => g(r.getAs[Int]("cell"))(r.getAs[Int]("i")) =
+          r.getAs[Long]("v"))
+      g
+    }
+    AnnModel(nCells, cIters, m, kCb, pqIters, dim, sampleEvery,
+      grid("cent", 0, nCells, dim),
+      Array.tabulate(m)(b => grid("book", b, kCb, bd)))
+  }
+
+  /** Train-if-absent / load-if-present: the driver-facing composition.
+    * The artifact directory is keyed by a SHA-256 fingerprint of the
+    * corpus content signature + every hyperparameter, so models for
+    * different corpora (sf0.01 vs sf0.1 vs a bench-replicated table) and
+    * different settings coexist and a regenerated corpus never reuses a
+    * stale model. The content signature coalesces to 0 on an empty
+    * corpus (trainAnnModel then fails loudly on the seed require).
+    */
+  def annModelFor(emb: DataFrame, baseDir: String, sampleEvery: Int = 4,
+                  nCells: Int = 16, cIters: Int = 4, m: Int = 8,
+                  kCb: Int = 16, pqIters: Int = 2,
+                  dim: Int = 64): AnnModel = {
+    val spark = emb.sparkSession
+    val contentSig = emb
+      .agg(coalesce(sum(hash(col("vec_id"), col("embedding"))), lit(0L)))
+      .collect()(0).getLong(0)
+    val key = s"annmodel-v1|$contentSig|$sampleEvery|$nCells|$cIters" +
+      s"|$m|$kCb|$pqIters|$dim"
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"$baseDir/$fp"
+    val marker = java.nio.file.Paths.get(path, "_trained")
+    if (java.nio.file.Files.exists(marker)) loadAnnModel(spark, path)
+    else {
+      val model = trainAnnModel(emb, sampleEvery, nCells, cIters, m, kCb,
+        pqIters, dim)
+      saveAnnModel(spark, model, path)
+      java.nio.file.Files.writeString(marker, key)
+      // serve from the ARTIFACT, not the in-memory trainer output — the
+      // round-trip is the contract (spec-asserted exact)
+      loadAnnModel(spark, path)
+    }
+  }
+
+  /** e15 — IVF-PQ ANN served from a persisted [[AnnModel]]: identical
+    * serving plan to [[knnIvfPq]] (in-row assignment/codes against
+    * literal centroids, broadcast probes, ADC + exact re-rank) with ZERO
+    * training jobs — no Lloyd's pass, no driver collect beyond the final
+    * action. This is what a 10⁹-vector deployment runs per query batch;
+    * [[trainAnnModel]] amortizes across every query until retrain.
+    */
+  def knnIvfPqModel(emb: DataFrame, model: AnnModel, nQueries: Int = 10,
+                    k: Int = 5, nProbe: Int = 4, refine: Int = 10): DataFrame =
+    ivfPqServe(emb, model.centroids, model.books, nQueries, k, nProbe,
+      model.m, model.dim, refine)
+
+  /** e16 — recall@k of the model-served IVF-PQ stack vs exact brute
+    * force: measures what SUBSAMPLE training costs vs e14's
+    * full-corpus-trained recall at the same nProbe/nCells scan fraction.
+    */
+  def ivfPqModelRecall(emb: DataFrame, model: AnnModel, nQueries: Int = 10,
+                       k: Int = 5, nProbe: Int = 4,
+                       refine: Int = 10): DataFrame =
+    recallVsBrute(emb, knnIvfPqModel(emb, model, nQueries, k, nProbe, refine),
+      nQueries, k)
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the learned k-means coarse

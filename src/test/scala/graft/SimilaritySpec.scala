@@ -218,6 +218,95 @@ class SimilaritySpec extends SparkSuite {
     assert(res.count(!_._4) > 0, "corpus has within-cluster dups by construction")
   }
 
+  test("AnnModel: save/load round-trips bit-exactly and the loaded model " +
+    "serves identically to the in-memory one") {
+    val dir = java.nio.file.Files.createTempDirectory("annmodel").toString
+    val model = Similarity.trainAnnModel(emb, sampleEvery = 2, nCells = 4,
+      cIters = 2, m = 2, kCb = 4, pqIters = 2, dim = 4)
+    Similarity.saveAnnModel(spark, model, s"$dir/m")
+    val loaded = Similarity.loadAnnModel(spark, s"$dir/m")
+    assert(loaded.nCells == model.nCells && loaded.cIters == model.cIters &&
+      loaded.m == model.m && loaded.kCb == model.kCb &&
+      loaded.pqIters == model.pqIters && loaded.dim == model.dim &&
+      loaded.sampleEvery == model.sampleEvery)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val served = Similarity.knnIvfPqModel(emb, loaded, nQueries = 2, k = 3,
+      nProbe = 2, refine = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val inMem = Similarity.knnIvfPqModel(emb, model, nQueries = 2, k = 3,
+      nProbe = 2, refine = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(served == inMem)
+    // and the serving results stay in-cluster like the trained-in-query
+    // stack's (the model only changes WHERE training data came from)
+    served.foreach { case (q, n, _, _) =>
+      assert(q % 2 == n % 2, s"query $q got cross-cluster $n via model serve")
+    }
+  }
+
+  test("annModelFor trains once then loads: second call touches no Lloyd's " +
+    "(same artifact), and model serving runs zero training jobs") {
+    val dir = java.nio.file.Files.createTempDirectory("annmodelfor").toString
+    val m1 = Similarity.annModelFor(emb, dir, sampleEvery = 2, nCells = 4,
+      cIters = 2, m = 2, kCb = 4, pqIters = 2, dim = 4)
+    // artifact exists with exactly one fingerprint subdir + marker
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(subdirs.length == 1)
+    assert(new java.io.File(subdirs(0), "_trained").exists())
+    val m2 = Similarity.annModelFor(emb, dir, sampleEvery = 2, nCells = 4,
+      cIters = 2, m = 2, kCb = 4, pqIters = 2, dim = 4)
+    assert(m2.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
+    assert(m2.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      m1.books.map(_.map(_.toSeq).toSeq).toSeq)
+    // ZERO training in the serving path: count Spark jobs via a listener
+    // — the model-served query must run strictly fewer jobs than the
+    // trained-in-query stack with the SAME params (which adds 2 seed
+    // collects + cIters + pqIters Lloyd's aggregates on top of the
+    // identical serving pipeline).
+    def jobsOf(action: => Unit): Int = {
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          ran.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        action
+        // listener events are async — poll briefly for the bus to drain
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var last = -1
+        while (System.nanoTime() < deadline && last != ran.get()) {
+          last = ran.get(); Thread.sleep(100)
+        }
+        ran.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val servingJobs = jobsOf(Similarity.knnIvfPqModel(emb, m2, nQueries = 2,
+      k = 3, nProbe = 2, refine = 2).collect(): Unit)
+    val trainingJobs = jobsOf(Similarity.knnIvfPq(emb, nQueries = 2, k = 3,
+      nCells = 4, nProbe = 2, cIters = 2, m = 2, kCb = 4, pqIters = 2,
+      dim = 4, refine = 2).collect(): Unit)
+    assert(servingJobs + 4 <= trainingJobs,
+      s"model serving ran $servingJobs jobs vs $trainingJobs trained-in-" +
+        "query — training leaked into the serving path?")
+  }
+
+  test("subsample training slice: re-id'd ids are contiguous so Lloyd's " +
+    "seeds come from the sample (not original id space)") {
+    // sampleEvery=2 on ids 0..19 keeps originals 0,2,..,18 re-id'd 0..9;
+    // trainAnnModel must succeed with nCells=8 even though only ids < 8
+    // of the ORIGINAL space would give just 4 even seeds
+    val model = Similarity.trainAnnModel(emb, sampleEvery = 2, nCells = 8,
+      cIters = 1, m = 2, kCb = 8, pqIters = 1, dim = 4)
+    assert(model.centroids.length == 8)
+    assert(model.books.length == 2 && model.books(0).length == 8)
+  }
+
   test("IVF assignment is in-row (no corpus x centroid join/window in the plan)") {
     val plan = Similarity.knnIvf(emb, nQueries = 2, k = 3, nCells = 8,
       nProbe = 2).queryExecution.optimizedPlan.toString

@@ -20,6 +20,11 @@ for f in os.listdir(sf_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{f}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional argv[3:]: compare only the named queries (pairs with Verify's
+# query-name filter for fast local iteration)
+only = set(sys.argv[3:])
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name, sql in sorted(oracle.items()):
     res_dir = os.path.join(out_dir, name)
