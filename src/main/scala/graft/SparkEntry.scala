@@ -468,6 +468,23 @@ object SparkEntry {
     // nll under the corpus bigram model — bigrams shuffle as longs
     "t25_bigram_lm" -> ((s, dir) =>
       operators.TextOps.bigramLmQuality(t(s, dir, "documents"))),
+    // min-count-pruned bigram LM: the model tables keep only the heavy
+    // head (count >= 3) and BROADCAST — the doc-bigram explode is never
+    // shuffled (vs t25's two shuffle joins); pruned entries score as
+    // unseen. The production form at corpus scale, where the unpruned
+    // bigram table is the largest text-tier exchange.
+    "t29_bigram_pruned" -> ((s, dir) =>
+      operators.TextOps.bigramLmQuality(t(s, dir, "documents"),
+        minCount = 3L)),
+    // trained BPE (Sennrich 2016): 12 merges learned on the distinct-word
+    // count table (one vocab-sized aggregate + 1-row collect per round),
+    // then applied in-row per doc — the real-tokenizer upgrade of t3's
+    // regex approximation; the oracle unrolls the same merge rounds
+    "t26_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.TextOps.bpeTokenCounts(d,
+        operators.TextOps.bpeTrainMerges(d))
+    }),
     // KMV distinct-count sketch: the ESTIMATE is integer-exact
     // cross-engine, so even the approximation is hash-checked
     "d9_kmv_distinct" -> ((s, dir) =>
@@ -500,6 +517,19 @@ object SparkEntry {
             lit("\nto be continued...")).otherwise(lit("")),
           when(col("doc_id") % 5 === 0,
             lit(" ## 123 456 789 #")).otherwise(lit("")))))),
+    // Gopher REPETITION suite (Table A1's other half): duplicate-line/
+    // paragraph fractions + top-2/3/4-gram char shares, pure per-row —
+    // augmentations keyed on doc_id (%13 dup lines, %17 dup paragraphs,
+    // %19 a spam-gram run) make every rule non-vacuous
+    "t27_gopher_repetition" -> ((s, dir) =>
+      operators.TextOps.gopherRepetition(t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            lit("\nrepeat line one" * 3)).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("\n\npara block alpha" * 2)).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0,
+            lit(" spam" * 6)).otherwise(lit("")))))),
     // deterministic global training-order shuffle: global rank with no
     // global sort (range-bucket histogram + driver cumsum offsets +
     // bounded per-bucket windows)
@@ -957,7 +987,9 @@ object SparkEntry {
     "t23_ngram_coverage" -> TextOracles.ngramCoverageSql(),
     "d15_dup_run" -> TextOracles.dupRunSql(),
     "t24_cluster_split" -> TextOracles.clusterSplitSql(),
-    "t25_bigram_lm" -> TextOracles.bigramLmSql,
+    "t25_bigram_lm" -> TextOracles.bigramLmSql(),
+    "t29_bigram_pruned" -> TextOracles.bigramLmSql(minCount = 3L),
+    "t26_bpe_tokens" -> TextOracles.bpeSql(),
     "q25_gap_fill" -> """
       SELECT event_id, user_id, ts,
         CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
@@ -974,6 +1006,7 @@ object SparkEntry {
     // directly; the operator reaches the same row set bucket-wise
     "t18_token_budget" -> TextOracles.tokenBudgetSql(),
     "t19_gopher_rules" -> TextOracles.gopherRulesSql,
+    "t27_gopher_repetition" -> TextOracles.gopherRepetitionSql,
     "t20_global_shuffle" -> TextOracles.globalShuffleSql,
     "t21_quality_buckets" -> TextOracles.qualityBucketsSql(),
     "t22_upsample" -> TextOracles.upsampleSql(Seq("src0" -> 2500L,

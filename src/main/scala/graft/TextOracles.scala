@@ -747,6 +747,82 @@ SELECT doc_id, n_words, n_lines,
     AND (n_stop_kinds >= 2)) AS pass
 FROM m"""
 
+  /** t27: Gopher repetition suite — mirror of TextOps.gopherRepetition
+    * over the driver query's repetition-augmented corpus (duplicate
+    * lines / paragraphs / n-gram runs keyed on doc_id so every rule is
+    * non-vacuous). Duplicate rows are occurrences beyond the first of a
+    * distinct value; duplicate chars charge those repeats' lengths; the
+    * top-n-gram char share is max-count × gram length with the count
+    * tie broken toward the longest tied gram — definitions shared
+    * symbol-for-symbol with the Spark op. All shares cross-multiplied
+    * to integer comparisons at the paper's thresholds.
+    */
+  def gopherRepetitionSql: String = {
+    // top-n-gram char cover: maxcN carried from the previous CTE so the
+    // tie-break filter (count = max) stays one lambda deep
+    def top(g: String, mc: String) =
+      s"""CAST(COALESCE($mc * list_max(list_transform(
+      list_filter(list_distinct($g), x -> len(list_filter($g, y -> y = x)) = $mc),
+      x -> length(x))), 0) AS BIGINT)"""
+    def dupChars(a: String) =
+      s"""CAST(COALESCE(list_sum(list_transform(list_distinct($a),
+      x -> (len(list_filter($a, y -> y = x)) - 1) * length(x))), 0) AS BIGINT)"""
+    s"""WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || 'repeat line one', 3) ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0 THEN repeat(chr(10) || chr(10) || 'para block alpha', 2) ELSE '' END ||
+    CASE WHEN doc_id % 19 = 0 THEN repeat(' spam', 6) ELSE '' END AS text
+  FROM documents),
+f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+    string_split(text, chr(10)) AS lns,
+    string_split(text, chr(10) || chr(10)) AS prs,
+    string_split(text, ' ') AS t
+  FROM aug),
+g AS (
+  SELECT doc_id, n_chars, lns, prs,
+    list_transform(range(1, greatest(len(t), 1)),
+      i -> array_to_string(t[i:i+1], ' ')) AS g2,
+    list_transform(range(1, greatest(len(t) - 1, 1)),
+      i -> array_to_string(t[i:i+2], ' ')) AS g3,
+    list_transform(range(1, greatest(len(t) - 2, 1)),
+      i -> array_to_string(t[i:i+3], ' ')) AS g4
+  FROM f),
+c AS (
+  SELECT doc_id, n_chars, lns, prs, g2, g3, g4,
+    list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS mc2,
+    list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) AS mc3,
+    list_max(list_transform(list_distinct(g4), x -> len(list_filter(g4, y -> y = x)))) AS mc4
+  FROM g),
+d AS (
+  SELECT doc_id, n_chars,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS dup_lines,
+    ${dupChars("lns")} AS dup_line_chars,
+    CAST(len(prs) AS BIGINT) AS n_paras,
+    CAST(len(prs) - len(list_distinct(prs)) AS BIGINT) AS dup_paras,
+    ${dupChars("prs")} AS dup_para_chars,
+    ${top("g2", "mc2")} AS top2_chars,
+    ${top("g3", "mc3")} AS top3_chars,
+    ${top("g4", "mc4")} AS top4_chars
+  FROM c)
+SELECT doc_id, n_chars, n_lines, dup_lines, dup_line_chars,
+  n_paras, dup_paras, dup_para_chars, top2_chars, top3_chars, top4_chars,
+  (10 * dup_lines <= 3 * n_lines) AS r_dup_line,
+  (10 * dup_paras <= 3 * n_paras) AS r_dup_para,
+  (5 * dup_line_chars <= n_chars) AS r_dup_line_chars,
+  (5 * dup_para_chars <= n_chars) AS r_dup_para_chars,
+  (5 * top2_chars <= n_chars) AS r_top2,
+  (50 * top3_chars <= 9 * n_chars) AS r_top3,
+  (25 * top4_chars <= 4 * n_chars) AS r_top4,
+  ((10 * dup_lines <= 3 * n_lines) AND (10 * dup_paras <= 3 * n_paras)
+    AND (5 * dup_line_chars <= n_chars) AND (5 * dup_para_chars <= n_chars)
+    AND (5 * top2_chars <= n_chars) AND (50 * top3_chars <= 9 * n_chars)
+    AND (25 * top4_chars <= 4 * n_chars)) AS pass
+FROM d"""
+  }
+
   /** t20: deterministic global training-order shuffle — the oracle
     * states the semantics directly (row_number over the global
     * (hash, doc_id) order); the Spark operator reaches the identical
@@ -815,12 +891,22 @@ SELECT doc_id, n_tok, n_invocab, logprob_sum,
   (100 * logprob_sum) // n_tok AS score_x100
 FROM scored"""
 
-  /** t25: bigram LM quality — mirror of TextOps.bigramLmQuality: hashed
-    * bigram/prefix counts with multiplicity, quantized conditional nll
-    * q(c(w1·)) − q(c(w1 w2)) summed per doc (every term ≥ 0, so the //
-    * is truncation-safe).
+  /** t25/t29: bigram LM quality — mirror of TextOps.bigramLmQuality:
+    * hashed bigram/prefix counts with multiplicity, quantized conditional
+    * nll q(c(w1·)) − q(c(w1 w2)) summed per doc. Each term clamps at 0
+    * (a hash collision could invert c1/c2 and a negative sum would expose
+    * `div` vs `//` rounding — ADVICE r4); `minCount` > 1 prunes the model
+    * tables and scores pruned entries as unseen (count 1), matching the
+    * Spark op's broadcast-pruned form.
     */
-  def bigramLmSql: String =
+  def bigramLmSql(minCount: Long = 1L): String = {
+    val (joins, c2e, c1e) =
+      if (minCount == 1L)
+        ("JOIN bc2 USING (f2) JOIN bc1 USING (f1)", "c2", "c1")
+      else
+        (s"""LEFT JOIN (SELECT * FROM bc2 WHERE c2 >= $minCount) p2 USING (f2)
+  LEFT JOIN (SELECT * FROM bc1 WHERE c1 >= $minCount) p1 USING (f1)""",
+          "COALESCE(c2, 1)", "COALESCE(c1, 1)")
     s"""WITH big AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
     i -> t[i] || ' ' || t[i+1])) AS bg
@@ -833,11 +919,58 @@ bc2 AS (SELECT f2, count(*) AS c2 FROM bf GROUP BY f2),
 bc1 AS (SELECT f1, count(*) AS c1 FROM bf GROUP BY f1),
 bscored AS (
   SELECT doc_id, count(*) AS n_bg,
-    CAST(sum(length(bin(c1)) - length(bin(c2))) AS BIGINT) AS nll_sum
-  FROM bf JOIN bc2 USING (f2) JOIN bc1 USING (f1)
+    CAST(sum(greatest(0, length(bin($c1e)) - length(bin($c2e))))
+      AS BIGINT) AS nll_sum
+  FROM bf $joins
   GROUP BY doc_id)
 SELECT doc_id, n_bg, nll_sum, (100 * nll_sum) // n_bg AS nll_x100
 FROM bscored"""
+  }
+
+  /** t26: trained-BPE token counts — the unrolled mirror of
+    * TextOps.bpeTrainMerges + bpeTokenCounts. Round t: pair counts over
+    * the round-(t-1) representations of the distinct-word table (pairs
+    * tab-joined through one unnest, then split back), the top pair by
+    * (count DESC, a, b), and one replace() applying it. The pipe-wrapped
+    * symbol encoding makes replace() a correct greedy BPE merge — see
+    * the Spark op's bpeWrap scaladoc for the double-delimiter argument.
+    * Final: per-doc symbol counts joined back through the word explode
+    * (LEFT JOIN so wordless docs score 0, like the in-row aggregate).
+    */
+  def bpeSql(nMerges: Int = 12): String = {
+    val sb = new StringBuilder(s"""WITH bw AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+  FROM documents),
+wc AS (SELECT w, count(*) AS cnt FROM bw GROUP BY w),
+r0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS repr FROM wc)""")
+    for (t <- 1 to nMerges) {
+      val prev = s"r${t - 1}"
+      sb.append(s""",
+p$t AS (
+  SELECT split_part(pr, chr(9), 1) AS a, split_part(pr, chr(9), 2) AS b,
+    CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+      i -> syms[i] || chr(9) || syms[i+1])) AS pr
+    FROM (SELECT cnt, string_split(trim(repr, '|'), '||') AS syms
+          FROM $prev))
+  GROUP BY a, b),
+m$t AS (SELECT a, b FROM p$t ORDER BY c DESC, a, b LIMIT 1),
+r$t AS (
+  SELECT w, cnt,
+    replace(repr, '|' || a || '||' || b || '|', '|' || a || b || '|') AS repr
+  FROM $prev CROSS JOIN m$t)""")
+    }
+    sb.append(s"""
+SELECT d.doc_id, COALESCE(t.n_words, 0) AS n_words,
+  COALESCE(t.bpe_tokens, 0) AS bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words,
+    CAST(sum((length(repr) - length(replace(repr, '|', ''))) // 2)
+      AS BIGINT) AS bpe_tokens
+  FROM bw JOIN r$nMerges USING (w) GROUP BY doc_id) t USING (doc_id)""")
+    sb.toString
+  }
 
   /** t21: CCNet head/middle/tail quality buckets — the t14 chain with
     * lang carried through, then DISCRETE per-language tercile thresholds

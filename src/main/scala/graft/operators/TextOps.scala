@@ -641,6 +641,108 @@ object TextOps {
         .as("bpe_tokens"),
       length(col("text")).as("n_chars"))
 
+  // --------------------------------------------------- trained BPE (t26)
+
+  /** BPE word regex — the pre-tokenizer boundary: merges never cross it
+    * (Sennrich et al. 2016 train on word counts for exactly this reason).
+    * Restricted to [a-z0-9] so '|' is available as the symbol delimiter
+    * in [[bpeWrap]] (the corpus is ASCII — TESTDATA.md).
+    */
+  private[graft] val BpeWordPat = "[a-z0-9]+"
+
+  /** A word as a delimited symbol sequence: every symbol wrapped in
+    * pipes, e.g. "the" → "|t||h||e|". The DOUBLE delimiter between
+    * symbols is what makes string replace() a correct BPE merge step:
+    * the merge pattern "|a||b|" can only match a full symbol `a`
+    * followed by a full symbol `b` (a symbol merely ENDING in "a" gives
+    * "…xa||b|" — no "|a|" substring), and left-to-right non-overlapping
+    * replace() is exactly BPE's greedy merge order ([l,l,l] → [ll,l]).
+    * A single-delimiter encoding fails on consecutive merges: in
+    * " a b a b " the trailing space of match 1 is the leading space of
+    * match 2, so replace() merges only the first pair while BPE merges
+    * both.
+    */
+  private def bpeWrap(w: Column): Column =
+    regexp_replace(w, "(.)", "|$1|")
+
+  /** Symbol count of a wrapped representation: pipes / 2. */
+  private def bpeSymCount(repr: Column): Column =
+    ((length(repr) - length(translate(repr, "|", ""))) / 2).cast("long")
+
+  /** Train `nMerges` BPE merges on the corpus (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * start from characters, repeatedly merge the most frequent adjacent
+    * symbol pair. Deterministic: ties break by (first, second) symbol
+    * lexicographically — no RNG, replayable, and the DuckDB oracle
+    * unrolls the same rounds digit-for-digit.
+    *
+    * Scale shape (the BPE-on-word-counts design point): training runs on
+    * the DISTINCT-WORD count table, not the corpus — one corpus-linear
+    * explode+aggregate builds it, then every merge round is one
+    * vocab-sized two-phase pair-count aggregate plus a 1-row collect.
+    * At 100 TB the vocabulary is orders of magnitude smaller than the
+    * corpus (and capped in practice), so nMerges rounds cost
+    * nMerges × O(vocab), independent of corpus size; the word table is
+    * cached once. Representations are recomputed per round as an
+    * expression chain over the cached table (r replaces at round r) —
+    * O(nMerges²·vocab) string work beats checkpointing a mutated column
+    * every round at these merge counts.
+    */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 12)
+      : Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val wordCounts = docs
+      .select(explode(regexp_extract_all(col("text"), lit(BpeWordPat),
+        lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until nMerges) {
+        // the representation expression: wrap, then apply the merges
+        // learned so far in order
+        val reprCol = merges.foldLeft(bpeWrap(col("w"))) { case (r, (a, b)) =>
+          call_function("replace", r, lit(s"|$a||$b|"), lit(s"|${a + b}|"))
+        }
+        val syms = split(expr("trim(BOTH '|' FROM repr)"), "\\|\\|")
+        val top = wordCounts.select(col("cnt"), reprCol.as("repr"))
+          .select(col("cnt"), syms.as("syms"))
+          .select(col("cnt"), col("syms"),
+            posexplode(slice(col("syms"), lit(1),
+              greatest(size(col("syms")) - 1, lit(0)))).as(Seq("i", "a")))
+          .select(col("cnt"), col("a"),
+            element_at(col("syms"), col("i") + 2).as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) return merges.toSeq
+        merges += ((top(0).getAs[String]("a"), top(0).getAs[String]("b")))
+      }
+      merges.toSeq
+    } finally { wordCounts.unpersist(): Unit }
+  }
+
+  /** Per-doc token counts under a TRAINED merge list — the real-BPE
+    * upgrade of [[tokenCounts]]'s regex approximation: each word wraps,
+    * replays the merges in order, and contributes its surviving symbol
+    * count. Pure per-row projection (the merge list is a literal chain —
+    * no join, no shuffle, stream-transparent), so the budgets that
+    * consume token counts (t18's tokenBudgetSample, t10's packSequences)
+    * can swap this column in wherever they take a count.
+    */
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val applied = (w: Column) => merges.foldLeft(bpeWrap(w)) {
+      case (r, (a, b)) =>
+        call_function("replace", r, lit(s"|$a||$b|"), lit(s"|${a + b}|"))
+    }
+    val words = regexp_extract_all(col("text"), lit(BpeWordPat), lit(0))
+    docs.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L),
+        (acc, w) => acc + bpeSymCount(applied(w))).as("bpe_tokens"))
+  }
+
   // RE2-safe common dialect (no backreferences/lookaround) shared verbatim
   // with the DuckDB oracle — Java regex and RE2 agree on these exactly.
   private[graft] val UrlPat = "https?://[^ ]+"
@@ -850,6 +952,87 @@ object TextOps {
       (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
       (col("n_stop_kinds") >= 2L).as("r_stop"))
     m.select(col("doc_id") +: col("n_words") +: col("n_lines") +: rules :+
+      rules.map(r => r: Column).reduce(_ && _).as("pass"): _*)
+  }
+
+  /** t27 — the Gopher REPETITION suite (Rae et al. 2021, appendix Table
+    * A1 — the half of the MassiveText repetition gate [[gopherRules]]
+    * doesn't cover): per-document duplicate-line / duplicate-paragraph
+    * fractions (row and character share) and the top-2/3/4-gram
+    * character share, each as exact integer ingredients plus a
+    * cross-multiplied boolean rule at the paper's thresholds:
+    *
+    *   r_dup_line        dup-line fraction ≤ 0.30  (10·dup ≤ 3·n)
+    *   r_dup_para        dup-paragraph fraction ≤ 0.30
+    *   r_dup_line_chars  dup-line char fraction ≤ 0.20  (5·c ≤ chars)
+    *   r_dup_para_chars  dup-paragraph char fraction ≤ 0.20
+    *   r_top2            top-2-gram char share ≤ 0.20  (5·c ≤ chars)
+    *   r_top3            top-3-gram char share ≤ 0.18  (50·c ≤ 9·chars)
+    *   r_top4            top-4-gram char share ≤ 0.16  (25·c ≤ 4·chars)
+    *
+    * Definitions (documented because the paper leaves them loose, and
+    * the oracle must agree symbol-for-symbol): lines split on '\n',
+    * paragraphs on '\n\n'; a duplicate row is any occurrence beyond the
+    * first of its distinct value (dup = n − n_distinct), and duplicate
+    * CHARS charge those repeat occurrences' lengths. The top-n-gram is
+    * the most frequent space-joined word n-gram; its char share is
+    * count × gram length, with the count-tie broken toward the LONGEST
+    * tied gram (any tie-break yields the same product when lengths also
+    * tie, and max-length makes the rule deterministic when they don't).
+    * All shares are over length(text). Empty gram sets score 0.
+    *
+    * Scale shape: pure per-row projection — higher-order array
+    * functions only, NO shuffle, stream-transparent like the rest of
+    * the per-row text tier. The distinct-value scans are O(L²) in a
+    * document's own line/gram count, bounded by the longest DOCUMENT
+    * (the t10/t15 partition argument), never by corpus size.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val lns = split(col("text"), "\n")
+    val prs = split(col("text"), "\n\n")
+    // (rows, dup rows, dup chars) of an array of strings
+    def dupStats(a: Column): (Column, Column, Column) = (
+      size(a).cast("long"),
+      (size(a) - size(array_distinct(a))).cast("long"),
+      aggregate(array_distinct(a), lit(0L), (acc, d) =>
+        acc + (size(filter(a, x => x === d)) - 1).cast("long") * length(d)))
+    // when-guard, not greatest: sequence(1, 0) steps BACKWARD in Spark
+    def grams(n: Int): Column =
+      when(size(tokens) >= n,
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // count × length of the most frequent gram (ties → longest)
+    def topChars(g: Column): Column = {
+      val stats = transform(array_distinct(g), d =>
+        struct(size(filter(g, x => x === d)).as("c"), length(d).as("l")))
+      val maxC = array_max(transform(stats, s => s("c")))
+      val topL = array_max(transform(
+        filter(stats, s => s("c") === maxC), s => s("l")))
+      coalesce((maxC * topL).cast("long"), lit(0L))
+    }
+    val (nl, dl, dlc) = dupStats(lns)
+    val (np, dp, dpc) = dupStats(prs)
+    val m = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nl.as("n_lines"), dl.as("dup_lines"), dlc.as("dup_line_chars"),
+      np.as("n_paras"), dp.as("dup_paras"), dpc.as("dup_para_chars"),
+      topChars(grams(2)).as("top2_chars"),
+      topChars(grams(3)).as("top3_chars"),
+      topChars(grams(4)).as("top4_chars"))
+    val rules = Seq(
+      (lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines"))
+        .as("r_dup_line"),
+      (lit(10L) * col("dup_paras") <= lit(3L) * col("n_paras"))
+        .as("r_dup_para"),
+      (lit(5L) * col("dup_line_chars") <= col("n_chars"))
+        .as("r_dup_line_chars"),
+      (lit(5L) * col("dup_para_chars") <= col("n_chars"))
+        .as("r_dup_para_chars"),
+      (lit(5L) * col("top2_chars") <= col("n_chars")).as("r_top2"),
+      (lit(50L) * col("top3_chars") <= lit(9L) * col("n_chars")).as("r_top3"),
+      (lit(25L) * col("top4_chars") <= lit(4L) * col("n_chars")).as("r_top4"))
+    m.select(m.columns.map(col) ++ rules :+
       rules.map(r => r: Column).reduce(_ && _).as("pass"): _*)
   }
 
@@ -1345,16 +1528,23 @@ object TextOps {
     * the exact cumulative window — the bounded-window discipline of
     * [[packSequences]], never a per-source sort of the full corpus.
     */
+  /** `tokenCount` is the per-doc token expression the budget is charged
+    * in — default whitespace tokens (the oracle's convention); pass
+    * the trained-BPE count to budget in REAL tokens, e.g.
+    * `bpeTokenCounts`' in-row aggregate (spec-asserted composition).
+    */
   def tokenBudgetSample(docs: DataFrame, budget: Long = 600L,
-                        buckets: Int = 1024): DataFrame = {
+                        buckets: Int = 1024,
+                        tokenCount: Column = null): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    val nTok = Option(tokenCount).getOrElse(size(tokens).cast("long"))
     val bw = (P31 + buckets - 1) / buckets
     val hashed = docs.select(col("doc_id"), col("source"),
       finalizedHash("tbs|", col("doc_id").cast("string")).as("h"),
-      size(tokens).cast("long").as("n_tok"))
+      nTok.cast("long").as("n_tok"))
       .withColumn("b", expr(s"CAST(h DIV $bw AS INT)"))
     val hist = hashed.groupBy(col("source"), col("b"))
       .agg(sum(col("n_tok")).as("btok"))
@@ -1672,16 +1862,44 @@ object TextOps {
     * in corpus bigram volume. Hash collisions fold identically in both
     * engines (same family), so the scores stay hash-exact.
     */
-  def bigramLmQuality(docs: DataFrame): DataFrame = {
+  /** `minCount` prunes the MODEL tables (not the doc bigrams): bigram /
+    * prefix entries with count < minCount drop and score as unseen
+    * (count 1 → q = 1) — the standard LM min-count prune. With real
+    * counts c1 ≥ c2, so a surviving bigram always has a surviving prefix
+    * and the clamp below never fires on pruned tables either. The win is
+    * the model-table exchange: at corpus scale the bigram table is the
+    * largest text-tier relation, and pruning the long tail (most bigrams
+    * are hapax) shrinks it to the heavy head, which then BROADCASTS —
+    * the doc-bigram explode is never shuffled at all (vs two shuffle
+    * joins in the unpruned form). minCount = 1 keeps the exact unpruned
+    * semantics (inner joins, every bigram has a count).
+    *
+    * Each nll term is clamped at zero (ADVICE r4): with true counts the
+    * prefix count dominates its bigram count so every term is ≥ 0, but a
+    * poly_hash31 collision between bigrams could make c2 > c1, and a
+    * negative nll_sum would put Spark `div` vs DuckDB `//` rounding in
+    * play. The clamp (mirrored in the oracle) makes truncation-safety
+    * unconditional.
+    */
+  def bigramLmQuality(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val big = docs.select(col("doc_id"), explode(dsirBigrams).as("bg"))
       .select(col("doc_id"), poly_hash31(col("bg")).as("f2"),
         poly_hash31(substring_index(col("bg"), " ", 1)).as("f1"))
     val c2 = big.groupBy(col("f2")).agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy(col("f1")).agg(count(lit(1)).as("c1"))
-    big.join(c2, Seq("f2")).join(c1, Seq("f1"))
+    val scored =
+      if (minCount == 1L) big.join(c2, Seq("f2")).join(c1, Seq("f1"))
+      else big
+        .join(broadcast(c2.filter(col("c2") >= minCount)), Seq("f2"), "left")
+        .join(broadcast(c1.filter(col("c1") >= minCount)), Seq("f1"), "left")
+        .withColumn("c2", coalesce(col("c2"), lit(1L)))
+        .withColumn("c1", coalesce(col("c1"), lit(1L)))
+    scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bg"),
-        sum(length(bin(col("c1"))) - length(bin(col("c2"))))
+        sum(greatest(lit(0L),
+          length(bin(col("c1"))) - length(bin(col("c2")))))
           .cast("long").as("nll_sum"))
       .select(col("doc_id"), col("n_bg"), col("nll_sum"),
         expr("(100 * nll_sum) div n_bg").as("nll_x100"))

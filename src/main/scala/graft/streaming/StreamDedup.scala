@@ -298,6 +298,12 @@ object StreamDedup {
     * min(verified partner). Zero state, no watermark, composes anywhere
     * in a stream; verdicts match the batch op row-for-row
     * (StreamingSpec).
+    *
+    * Arrivals whose doc_id IS an eval doc (a key of `evalShingles`) are
+    * DROPPED, mirroring batch fuzzyDecon's output contract (eval docs
+    * are never verdicted) — without the guard an eval doc streamed in
+    * would self-match at Jaccard 1 and be reported contaminated_by
+    * itself (ADVICE r4).
     */
   def fuzzyVerdicts(spark: SparkSession, docs: DataFrame,
                     index: Map[(Int, Long), Seq[Long]],
@@ -310,8 +316,10 @@ object StreamDedup {
     docs.select(col("doc_id"),
         graft.functions.shingles3(split(col("text"), " ")).as("shs"))
       .as[(Long, Seq[String])]
-      .map { case (id, shs) =>
-        if (shs.isEmpty) FuzzyVerdict(id, is_contaminated = false, None)
+      .flatMap { case (id, shs) =>
+        if (bcSh.value.contains(id)) None
+        else if (shs.isEmpty)
+          Some(FuzzyVerdict(id, is_contaminated = false, None))
         else {
           val votes = scala.collection.mutable.Map.empty[Long, Int]
           bandBuckets(shs, k, bands).zipWithIndex.foreach { case (bucket, b) =>
@@ -328,7 +336,7 @@ object StreamDedup {
               val inter = shs.count(es.contains)
               inter * 10 >= (n1 + es.size - inter) * 5
             }
-          FuzzyVerdict(id, hit.isDefined, hit)
+          Some(FuzzyVerdict(id, hit.isDefined, hit))
         }
       }
   }

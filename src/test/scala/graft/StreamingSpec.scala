@@ -219,12 +219,17 @@ class StreamingSpec extends SparkSuite {
       .toDF().writeStream.format("memory").queryName("fuzzydecon")
       .outputMode("append").start()
     try {
-      ms.addData(train: _*)
+      // stream EVERYTHING, eval carve-out member included: the op must
+      // drop the eval doc (ADVICE r4 — it would otherwise self-match at
+      // Jaccard 1) so the output still equals batch fuzzyDecon's, which
+      // never verdicts eval docs
+      ms.addData(all: _*)
       q.processAllAvailable()
       val deadline = System.currentTimeMillis + 10000
       while (q.recentProgress.forall(_.numInputRows == 0) &&
         System.currentTimeMillis < deadline) Thread.sleep(50)
     } finally q.stop()
+    assert(train.nonEmpty) // silence unused-warning; batch parity is below
     val streamed = spark.sql("SELECT * FROM fuzzydecon").collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
         if (r.isNullAt(2)) -1L else r.getLong(2)))

@@ -1002,4 +1002,171 @@ class TextOpsSpec extends SparkSuite {
       !plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
       plan)
   }
+
+  // ----------------------------------------------- Gopher repetition (t27)
+
+  test("gopherRepetition: duplicate line/paragraph counts, duplicate chars, " +
+    "top-n-gram char shares and rules match hand-computed values") {
+    val clean = "alpha beta gamma delta epsilon"     // no repetition at all
+    // 4 lines, 'dup line' twice (7 chars each); paragraphs: the \n\n
+    // split yields [l1\ndup line, dup line\nend] — NO dup paragraphs
+    val liney = "l1\ndup line\n\ndup line\nend"
+    // 'spam spam' 2-gram occurs 5 times in a 6-token run
+    val spammy = "spam spam spam spam spam spam"
+    val out = TextOps.gopherRepetition(
+        docs(1L -> clean, 2L -> liney, 3L -> spammy, 4L -> base))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val c = out(1L)
+    assert(c.getAs[Long]("dup_lines") == 0L &&
+      c.getAs[Long]("dup_paras") == 0L &&
+      c.getAs[Long]("dup_line_chars") == 0L)
+    // top-2-gram of all-distinct text: every bigram count 1, longest wins:
+    // "delta epsilon" (13 chars)
+    assert(c.getAs[Long]("top2_chars") == 13L,
+      s"top2=${c.getAs[Long]("top2_chars")}")
+    // 13 of 30 chars = 43% > 20%: even a clean SHORT doc fails r_top2 —
+    // the Gopher thresholds presuppose document-length text
+    assert(!c.getAs[Boolean]("r_top2") && !c.getAs[Boolean]("pass"))
+    // a 60-token all-distinct doc passes every repetition rule
+    assert(out(4L).getAs[Boolean]("pass"))
+
+    val l = out(2L)
+    assert(l.getAs[Long]("n_lines") == 5L)      // l1, dup line, "", dup line, end
+    assert(l.getAs[Long]("dup_lines") == 1L)    // second 'dup line'
+    assert(l.getAs[Long]("dup_line_chars") == 8L) // "dup line".length
+    assert(l.getAs[Long]("n_paras") == 2L && l.getAs[Long]("dup_paras") == 0L)
+    // 1 dup of 5 lines = 0.2 ≤ 0.3 → rule holds (10*1 <= 3*5)
+    assert(l.getAs[Boolean]("r_dup_line"))
+
+    val s = out(3L)
+    // 6 'spam' tokens → 5 'spam spam' bigrams; share = 5*9=45 of 29 chars
+    assert(s.getAs[Long]("top2_chars") == 45L)
+    assert(!s.getAs[Boolean]("r_top2") && !s.getAs[Boolean]("pass"))
+    // 4 'spam spam spam' trigrams → 4*14=56; 4-grams: 3*19=57
+    assert(s.getAs[Long]("top3_chars") == 56L)
+    assert(s.getAs[Long]("top4_chars") == 57L)
+  }
+
+  test("gopherRepetition degenerate shapes: empty text and single token") {
+    val out = TextOps.gopherRepetition(docs(1L -> "", 2L -> "one"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val e = out(1L)
+    assert(e.getAs[Long]("n_chars") == 0L && e.getAs[Long]("n_lines") == 1L &&
+      e.getAs[Long]("top2_chars") == 0L && e.getAs[Boolean]("pass"))
+    val o = out(2L)
+    assert(o.getAs[Long]("top2_chars") == 0L &&
+      o.getAs[Long]("top3_chars") == 0L && o.getAs[Boolean]("pass"))
+  }
+
+  test("gopherRepetition plan is shuffle-free (pure per-row projection)") {
+    val plan = TextOps.gopherRepetition(docs(1L -> base))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ------------------------------------------------------- trained BPE
+
+  /** Reference BPE (Sennrich et al. 2016) in plain driver-side Scala:
+    * word counts → repeat (count adjacent pairs with multiplicity, merge
+    * the (count DESC, a, b)-best pair greedily left-to-right).
+    */
+  private def refBpe(texts: Seq[String], nMerges: Int)
+      : (Seq[(String, String)], Map[String, Int]) = {
+    val wordsOf = (t: String) => "[a-z0-9]+".r.findAllIn(t).toVector
+    val wc = texts.flatMap(wordsOf).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def mergeOne(syms: Vector[String], p: (String, String)): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+          out += (p._1 + p._2); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var reprs: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      reprs.foreach { case (w, syms) =>
+        val c = wc(w)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1)); pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        reprs = reprs.map { case (w, s) => w -> mergeOne(s, best) }
+      }
+    }
+    (merges.result(), reprs.map { case (w, s) => w -> s.length })
+  }
+
+  test("bpeTrainMerges matches the driver-side reference BPE merge-for-merge " +
+    "and bpeTokenCounts matches its per-doc symbol counts") {
+    // overlap + consecutive-merge shapes on purpose: 'lll' exercises the
+    // greedy left-to-right rule, 'abab' the back-to-back merge that a
+    // single-delimiter replace encoding gets wrong
+    val texts = Seq(
+      "the cat sat on the mat lll abab",
+      "the hat and the rat abab abab",
+      "cats eat rats lll ll catcat",
+      "no 12 overlap 345 here the end")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    for (n <- Seq(0, 3, 8, 15)) {
+      val (expMerges, expCounts) = refBpe(texts, n)
+      val gotMerges = TextOps.bpeTrainMerges(d, n)
+      assert(gotMerges == expMerges, s"nMerges=$n")
+      val wordsOf = (t: String) => "[a-z0-9]+".r.findAllIn(t).toVector
+      val expPerDoc = texts.zipWithIndex.map { case (t, i) =>
+        val ws = wordsOf(t)
+        (i.toLong, ws.length.toLong, ws.map(expCounts).sum.toLong)
+      }.toSet
+      val got = TextOps.bpeTokenCounts(d, gotMerges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expPerDoc, s"nMerges=$n")
+    }
+  }
+
+  test("BPE degenerate shapes: wordless docs count 0; single-char words " +
+    "survive unmerged; merges stop early when no pairs remain") {
+    val d = docs(1L -> "??? !!!", 2L -> "a b c a b")
+    // only pairs: (a,b)x2, (b,c), (c,a) -> merge1 ab; then no pair has
+    // count > ... still (ab merged) pairs (ab,c),(c,ab)? words are
+    // single tokens 'a','b','c' — each word is ONE char, no intra-word
+    // pairs at all, so training stops immediately
+    val merges = TextOps.bpeTrainMerges(d, 5)
+    assert(merges.isEmpty, s"single-char words have no pairs: $merges")
+    val got = TextOps.bpeTokenCounts(d, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 0L), (2L, 5L, 5L)))
+  }
+
+  test("trained-BPE counts compose into tokenBudgetSample as the charged " +
+    "token column") {
+    val texts = (1 to 20).map(i => s"pay$i " + ("tok " * (i % 5 + 1)).trim)
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val merges = TextOps.bpeTrainMerges(d, 6)
+    val applied = TextOps.bpeTokenCounts(d, merges)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("bpe_tokens"))
+    val withBpe = d.join(applied, Seq("doc_id"))
+    val sampled = TextOps.tokenBudgetSample(withBpe, budget = 30L,
+      tokenCount = org.apache.spark.sql.functions.col("bpe_tokens")).collect()
+    // the budget rule holds in BPE tokens: selected docs' bpe sum <= 30
+    // + the boundary doc, and at least one doc is selected
+    assert(sampled.nonEmpty)
+    val bpeOf = applied.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sampled.map(r => bpeOf(r.getAs[Long]("doc_id"))).sum
+    val maxDoc = bpeOf.values.max
+    assert(total <= 30L + maxDoc, s"total=$total")
+  }
 }
