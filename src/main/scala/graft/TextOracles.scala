@@ -758,15 +758,32 @@ FROM m"""
     * to integer comparisons at the paper's thresholds.
     */
   def gopherRepetitionSql: String = {
-    // top-n-gram char cover: maxcN carried from the previous CTE so the
-    // tie-break filter (count = max) stays one lambda deep
-    def top(g: String, mc: String) =
-      s"""CAST(COALESCE($mc * list_max(list_transform(
-      list_filter(list_distinct($g), x -> len(list_filter($g, y -> y = x)) = $mc),
-      x -> length(x))), 0) AS BIGINT)"""
+    // top-n-gram char cover RELATIONALLY (unnest → per-(doc, gram)
+    // count → argmax by (count DESC, length DESC) via row_number) — the
+    // idiomatic DuckDB form and O(L log L), mirroring the Spark op's
+    // sorted-scan; the O(L²) per-distinct list_filter form is minutes
+    // per long document in either engine
+    def topCte(n: Int) = {
+      val upper = if (n == 2) "len(t)" else s"len(t) - ${n - 2}"
+      s"""gr$n AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest($upper, 1)),
+    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+  FROM f),
+top$n AS (
+  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top${n}_chars
+  FROM (
+    SELECT doc_id, g, count(*) AS c,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY count(*) DESC, length(g) DESC) AS rn
+    FROM gr$n GROUP BY doc_id, g)
+  WHERE rn = 1)"""
+    }
+    // dup chars = Σ len(all) − Σ len(distinct) — O(L), identical to
+    // Σ_distinct (cnt−1)·len
     def dupChars(a: String) =
-      s"""CAST(COALESCE(list_sum(list_transform(list_distinct($a),
-      x -> (len(list_filter($a, y -> y = x)) - 1) * length(x))), 0) AS BIGINT)"""
+      s"""CAST(COALESCE(list_sum(list_transform($a, x -> length(x))), 0)
+      - COALESCE(list_sum(list_transform(list_distinct($a), x -> length(x))), 0)
+      AS BIGINT)"""
     s"""WITH aug AS (
   SELECT doc_id,
     text ||
@@ -780,33 +797,24 @@ f AS (
     string_split(text, chr(10) || chr(10)) AS prs,
     string_split(text, ' ') AS t
   FROM aug),
-g AS (
-  SELECT doc_id, n_chars, lns, prs,
-    list_transform(range(1, greatest(len(t), 1)),
-      i -> array_to_string(t[i:i+1], ' ')) AS g2,
-    list_transform(range(1, greatest(len(t) - 1, 1)),
-      i -> array_to_string(t[i:i+2], ' ')) AS g3,
-    list_transform(range(1, greatest(len(t) - 2, 1)),
-      i -> array_to_string(t[i:i+3], ' ')) AS g4
-  FROM f),
-c AS (
-  SELECT doc_id, n_chars, lns, prs, g2, g3, g4,
-    list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS mc2,
-    list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) AS mc3,
-    list_max(list_transform(list_distinct(g4), x -> len(list_filter(g4, y -> y = x)))) AS mc4
-  FROM g),
+${topCte(2)},
+${topCte(3)},
+${topCte(4)},
 d AS (
-  SELECT doc_id, n_chars,
+  SELECT f.doc_id, n_chars,
     CAST(len(lns) AS BIGINT) AS n_lines,
     CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS dup_lines,
     ${dupChars("lns")} AS dup_line_chars,
     CAST(len(prs) AS BIGINT) AS n_paras,
     CAST(len(prs) - len(list_distinct(prs)) AS BIGINT) AS dup_paras,
     ${dupChars("prs")} AS dup_para_chars,
-    ${top("g2", "mc2")} AS top2_chars,
-    ${top("g3", "mc3")} AS top3_chars,
-    ${top("g4", "mc4")} AS top4_chars
-  FROM c)
+    COALESCE(top2.top2_chars, 0) AS top2_chars,
+    COALESCE(top3.top3_chars, 0) AS top3_chars,
+    COALESCE(top4.top4_chars, 0) AS top4_chars
+  FROM f
+  LEFT JOIN top2 ON top2.doc_id = f.doc_id
+  LEFT JOIN top3 ON top3.doc_id = f.doc_id
+  LEFT JOIN top4 ON top4.doc_id = f.doc_id)
 SELECT doc_id, n_chars, n_lines, dup_lines, dup_line_chars,
   n_paras, dup_paras, dup_para_chars, top2_chars, top3_chars, top4_chars,
   (10 * dup_lines <= 3 * n_lines) AS r_dup_line,
