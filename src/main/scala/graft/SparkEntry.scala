@@ -555,6 +555,11 @@ object SparkEntry {
     // source 'src0' standing in for the high-quality reference corpus
     "t17_dsir_weights" -> ((s, dir) =>
       operators.TextOps.dsirWeights(t(s, dir, "documents"))),
+    // supervised NB quality classifier (fastText posture, t17's
+    // supervised sibling): src0/src1 stand in for the trusted slice;
+    // integer log₂ log-odds keep even the verdict hash-exact
+    "t28_nb_quality" -> ((s, dir) =>
+      operators.TextOps.nbQuality(t(s, dir, "documents"))),
     // C4-style segment-level dedup: corpus-wide keep-first on 10-token
     // segments (min-struct aggregate, no window), docs reassembled
     "t15_segment_dedup" -> ((s, dir) =>
@@ -1013,6 +1018,7 @@ object SparkEntry {
       "src1" -> 1700L, "src2" -> 500L, "src3" -> 0L)),
     "t14_unigram_quality" -> TextOracles.unigramQualitySql(),
     "t17_dsir_weights" -> TextOracles.dsirWeightsSql(),
+    "t28_nb_quality" -> TextOracles.nbQualitySql(),
     "t15_segment_dedup" -> TextOracles.segmentDedupSql(),
     "d10_source_overlap" -> TextOracles.sourceOverlapSql(),
     "t7_source_filter" -> TextOracles.sourceGateSql(),

@@ -1066,6 +1066,37 @@ scored AS (
 SELECT d.doc_id, COALESCE(s.n_big, 0) AS n_big, COALESCE(s.logw, 0) AS logw
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
 
+  /** t28: Naive-Bayes quality classifier — mirror of TextOps.nbQuality:
+    * hashed-bigram features with multiplicity, ONE conditional per-class
+    * count per feature (FILTER, matching Spark's count(when(…))),
+    * integer log₂ log-odds q(pc+1) − q(nc+1) summed per doc, verdict
+    * logodds > 0. Sum widens to HUGEINT in DuckDB → CAST back (t14
+    * discipline); docs with no bigrams score (0, 0, false) through the
+    * LEFT JOIN like the Spark op's coalesce.
+    */
+  def nbQualitySql(positiveSources: Seq[String] = Seq("src0", "src1"),
+                   buckets: Int = 256): String = {
+    val inList = positiveSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH big AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+    i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+feat AS (SELECT doc_id, ${ph("bg")} % $buckets AS f FROM big),
+cls AS (
+  SELECT feat.f,
+    count(*) FILTER (WHERE d.source IN ($inList)) AS pc,
+    count(*) FILTER (WHERE d.source NOT IN ($inList)) AS nc
+  FROM feat JOIN documents d USING (doc_id) GROUP BY feat.f),
+wt AS (SELECT f, length(bin(pc + 1)) - length(bin(nc + 1)) AS w FROM cls),
+scored AS (
+  SELECT doc_id, count(*) AS n_feat, CAST(sum(w) AS BIGINT) AS logodds
+  FROM feat JOIN wt USING (f) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_feat, 0) AS n_feat,
+  COALESCE(s.logodds, 0) AS logodds,
+  COALESCE(s.logodds, 0) > 0 AS is_high
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+  }
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

@@ -990,26 +990,40 @@ object TextOps {
   def gopherRepetition(docs: DataFrame): DataFrame = {
     val lns = split(col("text"), "\n")
     val prs = split(col("text"), "\n\n")
-    // (rows, dup rows, dup chars) of an array of strings
+    // (rows, dup rows, dup chars): dup chars = Σ len(all) − Σ len(distinct)
+    // — identical to Σ_distinct (cnt−1)·len but O(L), not the O(L²)
+    // count-each-distinct form (which at document length interprets to
+    // minutes per row — measured, not hypothetical)
+    def lenSum(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
     def dupStats(a: Column): (Column, Column, Column) = (
       size(a).cast("long"),
       (size(a) - size(array_distinct(a))).cast("long"),
-      aggregate(array_distinct(a), lit(0L), (acc, d) =>
-        acc + (size(filter(a, x => x === d)) - 1).cast("long") * length(d)))
+      lenSum(a) - lenSum(array_distinct(a)))
     // when-guard, not greatest: sequence(1, 0) steps BACKWARD in Spark
     def grams(n: Int): Column =
       when(size(tokens) >= n,
         transform(sequence(lit(1), size(tokens) - (n - 1)),
           i => concat_ws(" ", slice(tokens, i, lit(n)))))
         .otherwise(array().cast("array<string>"))
-    // count × length of the most frequent gram (ties → longest)
+    // count × length of the most frequent gram (count ties → longest):
+    // sort, then ONE linear scan with a struct accumulator tracking the
+    // current run and the best (count, length) seen — O(L log L) per row.
+    // A run that extends past the current max overwrites its own earlier
+    // tie-update, so intermediate prefixes of a long run are harmless.
     def topChars(g: Column): Column = {
-      val stats = transform(array_distinct(g), d =>
-        struct(size(filter(g, x => x === d)).as("c"), length(d).as("l")))
-      val maxC = array_max(transform(stats, s => s("c")))
-      val topL = array_max(transform(
-        filter(stats, s => s("c") === maxC), s => s("l")))
-      coalesce((maxC * topL).cast("long"), lit(0L))
+      val st = aggregate(array_sort(g),
+        struct(lit("").as("prev"), lit(0).as("run"),
+          lit(0).as("maxc"), lit(0).as("bestl")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(run, acc("maxc")).as("maxc"),
+            when(run > acc("maxc"), length(x))
+              .when(run === acc("maxc"), greatest(length(x), acc("bestl")))
+              .otherwise(acc("bestl")).as("bestl"))
+        })
+      (st("maxc").cast("long") * st("bestl").cast("long")).as("top")
     }
     val (nl, dl, dlc) = dupStats(lns)
     val (np, dp, dpc) = dupStats(prs)
@@ -2000,6 +2014,90 @@ object TextOps {
         acc + coalesce(element_at(wmap,
           (graft.functions.poly_hash31(s) % buckets).cast("int")), lit(0L)))
         .as("logw"))
+  }
+
+  // --------------------------------- Naive-Bayes quality classifier (t28)
+
+  /** The NB model relation — ≤ `buckets` rows of (feature, log-odds).
+    * Both class counts come out of ONE conditional aggregation over the
+    * feature explode (the dsirWt discipline — a per-class filter would
+    * scan the corpus-wide explode twice for the same hash-exact result).
+    */
+  private def nbWt(feats: DataFrame, positive: Column): DataFrame =
+    feats.groupBy(col("f"))
+      .agg(count(when(positive, lit(1))).as("pc"),
+        count(when(!positive, lit(1))).as("nc"))
+      .select(col("f"),
+        (length(bin(col("pc") + 1)) - length(bin(col("nc") + 1)))
+          .cast("long").as("w"))
+
+  /** t28 — supervised quality classifier (the fastText-classifier
+    * posture of CCNet/LLaMA-style curation: label a trusted slice,
+    * train a linear bag-of-features model, score the whole corpus —
+    * the SUPERVISED sibling of [[dsirWeights]]' likelihood ratio).
+    * Naive-Bayes per-feature log-odds over the same hashed-bigram
+    * family: w(f) = q(c_pos(f)+1) − q(c_neg(f)+1), q = length(bin(·))
+    * — the t14/t17 integer log₂ quantization, so every score is
+    * hash-exact cross-engine. Per doc: feature count, Σ w over feature
+    * OCCURRENCES (bag semantics, like fastText's mean-of-embeddings
+    * but unnormalized to stay integral), and the verdict logodds > 0.
+    * The per-doc class-prior term is omitted deliberately: it is
+    * constant across docs, so it shifts every score equally — the
+    * decision threshold absorbs it.
+    *
+    * Scale shape: identical to t17 — one corpus-linear explode, one
+    * conditional two-phase aggregate whose exchange is ≤ `buckets`
+    * rows, model broadcasts back, per-doc partial-agged groupBy. The
+    * corpus is never the shuffled side of a join.
+    */
+  def nbQuality(docs: DataFrame,
+                positiveSources: Seq[String] = Seq("src0", "src1"),
+                buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(positiveSources.nonEmpty, "nbQuality needs a labeled slice")
+    val feats = dsirFeats(docs, buckets)
+    val pos = col("source").isin(positiveSources: _*)
+    val perDoc = feats.join(broadcast(nbWt(feats, pos)), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("w")).as("logodds"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("logodds"), lit(0L)).as("logodds"))
+      .withColumn("is_high", col("logodds") > 0L)
+  }
+
+  /** The collected (f → w) NB model — KBs at any corpus size, the
+    * artifact a production classifier trains once and serves everywhere
+    * (the [[dsirWeightTable]] pattern).
+    */
+  def nbWeightTable(docs: DataFrame,
+                    positiveSources: Seq[String] = Seq("src0", "src1"),
+                    buckets: Int = 256): Map[Int, Long] =
+    nbWt(dsirFeats(docs, buckets),
+      col("source").isin(positiveSources: _*)).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+
+  /** Stateless in-row NB scorer against a FIXED model table — the
+    * streaming sibling of [[nbQuality]] (model broadcast as a literal,
+    * verdict per row, no state operators, append-mode safe). Exact
+    * batch parity when the table was trained on the same corpus
+    * (every observed feature is in the model — StreamingSpec); on a
+    * tailing stream unseen features score 0, the out-of-model
+    * convention.
+    */
+  def nbScoreInRow(docs: DataFrame, wt: Map[Int, Long],
+                   buckets: Int = 256): DataFrame = {
+    val wmap = typedLit(wt)
+    val bg = dsirBigrams
+    docs.select(col("doc_id"),
+      size(bg).cast("long").as("n_feat"),
+      aggregate(bg, lit(0L), (acc, s) =>
+        acc + coalesce(element_at(wmap,
+          (graft.functions.poly_hash31(s) % buckets).cast("int")), lit(0L)))
+        .as("logodds"))
+      .withColumn("is_high", col("logodds") > 0L)
   }
 
   // ------------------------------------------------------- BM25 retrieval

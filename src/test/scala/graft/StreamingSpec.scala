@@ -292,6 +292,9 @@ class StreamingSpec extends SparkSuite {
     // the model is a literal map, so the stream scores exactly like the
     // batch pass (the decontamination pattern)
     check("dsir", TextOps.dsirScoreInRow(_, TextOps.dsirWeightTable(batch)))
+    // NB classifier serving is the same fixed-model in-row pattern: the
+    // trained log-odds table scores a tailing stream exactly like batch
+    check("nb", TextOps.nbScoreInRow(_, TextOps.nbWeightTable(batch)))
     // the Gopher rule gate is a pure projection — a tailing ingest can
     // apply the same admission rules the batch tier does
     check("gopher", TextOps.gopherRules)

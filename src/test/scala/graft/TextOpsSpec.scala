@@ -1003,6 +1003,55 @@ class TextOpsSpec extends SparkSuite {
       plan)
   }
 
+  // ------------------------------------- NB quality classifier (t28)
+
+  private def labeledDocs(rows: (Long, String, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, t, src) =>
+      (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("nbQuality separates a vocabulary-disjoint corpus: positive-slice " +
+    "vocab scores high, negative scores low, scores are pure integers") {
+    val hi = "good clean prose flows well here"
+    val lo = "spamword junkword adword spamword junkword adword"
+    val d = labeledDocs(
+      (1L, hi, "src0"), (2L, hi, "src1"), (3L, hi, "src0"),
+      (4L, lo, "src9"), (5L, lo, "src9"),
+      (6L, hi, "src9")) // held-out-ish: positive vocab under a negative label
+    val out = TextOps.nbQuality(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 > 0 && out(1L)._2)
+    assert(out(4L)._1 < 0 && !out(4L)._2)
+    // doc 6 carries positive vocabulary: its features' pc (3 docs' worth)
+    // outweighs nc (its own), so the model generalizes past the label
+    assert(out(6L)._1 > 0, s"doc6 logodds = ${out(6L)._1}")
+  }
+
+  test("nbQuality: docs with no bigrams score (0, 0, false); n_feat is " +
+    "the bigram count") {
+    val d = labeledDocs((1L, "solo", "src0"), (2L, "a b c", "src9"))
+    val out = TextOps.nbQuality(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out(1L) == ((0L, 0L, false)))
+    assert(out(2L)._1 == 2L)
+  }
+
+  test("nbScoreInRow against the trained table reproduces nbQuality " +
+    "row-for-row (the serve-from-model path)") {
+    val d = labeledDocs(
+      (1L, "good clean prose flows", "src0"),
+      (2L, "spamword junkword adword", "src9"),
+      (3L, "good clean junkword prose", "src9"),
+      (4L, "x", "src0"))
+    val batch = TextOps.nbQuality(d).collect().map(_.toString).sorted.toSeq
+    val served = TextOps.nbScoreInRow(d, TextOps.nbWeightTable(d))
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == batch)
+  }
+
   // ----------------------------------------------- Gopher repetition (t27)
 
   test("gopherRepetition: duplicate line/paragraph counts, duplicate chars, " +
