@@ -656,22 +656,32 @@ object SparkEntry {
     }),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
+    // m-tier: REAL container bytes (PNG/WAV/animated GIF built and
+    // parsed by the pure-JVM MediaCodecs — CRCs, zlib, LZW and all;
+    // JDK-codec cross-validated in MediaCodecsSpec). The generator is
+    // deterministic in the doc row, so the oracle replays the
+    // size/dimension arithmetic while the engine round-trips the bytes.
     "m1_media_meta" -> ((s, dir) =>
       operators.Multimodal.decodeMeta(s,
-        operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
+        operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
+        .toDF()),
     "m2_media_resize" -> ((s, dir) =>
       operators.Multimodal.resizeDims(
         operators.Multimodal.decodeMeta(s,
-          operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF())),
+          operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents"))
+            .toDF()).toDF())),
     "m3_media_features" -> ((s, dir) =>
       operators.Multimodal.extractFeatures(s,
-        operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF()),
+        operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
+        .toDF()),
     // frame sampling: every ceil(n/4)th frame of each video row — the
-    // explode fan-out a frame-level extractor consumes
+    // explode fan-out a frame-level extractor consumes; n_frames comes
+    // from the actual GIF image-descriptor walk
     "m4_frame_sample" -> ((s, dir) =>
       operators.Multimodal.sampleFrames(
         operators.Multimodal.decodeMeta(s,
-          operators.Multimodal.withBinary(t(s, dir, "documents"))).toDF())),
+          operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents"))
+            .toDF()).toDF())),
   )
 
   /** DuckDB equivalents over the same parquet tables (events-derived
@@ -1134,12 +1144,56 @@ object SparkEntry {
     // values) while DuckDB's length()/ascii() are CHARACTER semantics —
     // identical only while every document is single-byte ASCII, which
     // holds at all three scale factors (verified: length == strlen).
-    "m2_media_resize" -> """
+    // the m-tier oracles replay synthesizeMedia's deterministic
+    // dimension/size arithmetic (PNG: stored-block zlib closed form;
+    // WAV: 44 + data + RIFF pad; GIF: 782 + 42 bytes per 4×4 frame —
+    // each closed form is spec-asserted against the actual encoder in
+    // MediaCodecsSpec) while Spark round-trips the REAL bytes
+    "m1_media_meta" -> """
       WITH m AS (
-        SELECT doc_id,
-          CAST(length(text) % 640 + 1 AS INT) AS width,
-          CAST((length(text) * 7) % 480 + 1 AS INT) AS height
-        FROM documents)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+          CAST(length(text) % 64 + 1 AS INT) AS w,
+          CAST(length(text) % 30 + 1 AS INT) AS f
+        FROM documents),
+      d AS (
+        SELECT doc_id, n, w, f,
+          CAST(greatest((n + w - 1) // w, 1) AS INT) AS h
+        FROM m),
+      z AS (
+        SELECT doc_id, n, w, f, h,
+          h * (w + 1) AS L
+        FROM d)
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+             ELSE 'gif' END AS format,
+        CAST(CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 63 + 5 * greatest((L + 65534) // 65535, 1) + L
+          WHEN 1 THEN 44 + n + n % 2
+          ELSE 782 + 42 * f END AS BIGINT) AS n_bytes,
+        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN w WHEN 1 THEN 0
+          ELSE 4 END AS INT) AS width,
+        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN h WHEN 1 THEN 0
+          ELSE 4 END AS INT) AS height,
+        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 0
+          ELSE f END AS INT) AS n_frames,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS INT)
+          AS sample_rate,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN n ELSE 0 END AS BIGINT)
+          AS n_samples,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN n // 8 ELSE 0 END AS BIGINT)
+          AS duration_ms
+      FROM z""",
+    "m2_media_resize" -> """
+      WITH b AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+          CAST(length(text) % 64 + 1 AS INT) AS w
+        FROM documents WHERE doc_id % 3 = 0),
+      m AS (
+        SELECT doc_id, w AS width,
+          CAST(greatest((n + w - 1) // w, 1) AS INT) AS height
+        FROM b)
       SELECT doc_id, width, height,
         CAST(greatest(width * 224 // greatest(width, height), 1) AS INT) AS out_w,
         CAST(greatest(height * 224 // greatest(width, height), 1) AS INT) AS out_h
@@ -1147,23 +1201,26 @@ object SparkEntry {
     "m3_media_features" -> """
       WITH s AS (
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+          CAST(length(text) % 64 + 1 AS BIGINT) AS w,
+          CAST(length(text) % 30 + 1 AS BIGINT) AS f,
           CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
-            j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), 0) AS BIGINT)
-            AS bsum
-        FROM documents)
+            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))), 0)
+            AS BIGINT) AS tsum
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN w * greatest((n + w - 1) // w, 1)
+            WHEN 1 THEN n
+            ELSE 16 * f END AS BIGINT) AS np,
+          CAST(CASE WHEN doc_id % 3 = 2
+            THEN COALESCE(list_sum(list_transform(range(0, f),
+              i -> 16 * ((doc_id + i) % 256))), 0)
+            ELSE tsum END AS BIGINT) AS bsum
+        FROM s)
       SELECT doc_id, CAST(k AS INT) AS feat_idx,
-        (n * (k + 1) + bsum * (k * k + 1)) % 100000 AS value
-      FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks""",
-    "m1_media_meta" -> """
-      SELECT doc_id,
-        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             ELSE 'video' END AS media_type,
-        CAST(length(text) AS INT) AS n_bytes,
-        CAST(length(text) % 640 + 1 AS INT) AS width,
-        CAST((length(text) * 7) % 480 + 1 AS INT) AS height,
-        CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END
-          AS INT) AS n_frames
-      FROM documents""",
+        (np * (k + 1) + bsum * (k * k + 1)) % 100000 AS value
+      FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks""",
     "m4_frame_sample" -> """
       WITH v AS (
         SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames

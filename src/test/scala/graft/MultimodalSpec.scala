@@ -1,13 +1,15 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.MediaCodecs
 import graft.operators.Multimodal
 
-/** Multimodal-column plumbing: binary attach, per-partition stub decode,
-  * resize planning, frame sampling, feature extraction. The decode/extract
-  * bodies are stubs (no codec libs in this container) — these specs pin the
-  * Spark-side contract: schemas, partition-batch shape, edge arithmetic,
-  * determinism.
+/** Multimodal tier: real-container generation, per-partition decode,
+  * resize planning, frame sampling, payload feature extraction. The
+  * codecs themselves are validated against the JDK's ImageIO /
+  * AudioSystem in MediaCodecsSpec; these specs pin the Spark-side
+  * contract — schemas, partition-batch shape, the generator↔decoder
+  * round-trip, edge arithmetic, determinism.
   */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
@@ -15,40 +17,68 @@ class MultimodalSpec extends SparkSuite {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
-  test("withBinary tags media_type by doc_id mod 3 and casts text to bytes") {
-    val out = Multimodal.withBinary(docs(0L -> "aa", 1L -> "bbb", 2L -> "c"))
-      .orderBy("doc_id").collect()
-    assert(out.map(_.getAs[String]("media_type")).toSeq ==
-      Seq("image", "audio", "video"))
-    assert(out(0).getAs[Array[Byte]]("media").toSeq == "aa".getBytes("UTF-8").toSeq)
-  }
-
-  test("decodeMeta matches StubDecoder row-for-row and keeps one decode per row") {
-    val src = docs(0L -> "hello", 1L -> "x", 2L -> ("y" * 700))
-    val metas = Multimodal.decodeMeta(spark, Multimodal.withBinary(src))
+  test("synthesizeMedia emits real containers tagged by doc_id mod 3") {
+    val out = Multimodal.synthesizeMedia(spark,
+        docs(0L -> "aa", 1L -> "bbb", 2L -> "c"))
       .collect().sortBy(_.doc_id)
-    assert(metas.map(m => (m.doc_id, m.media_type, m.n_bytes)).toSeq ==
-      Seq((0L, "image", 5), (1L, "audio", 1), (2L, "video", 700)))
-    // arithmetic parity with the stub, including the wraparound row (700 % 640)
-    val m2 = metas(2)
-    assert(m2.width == 700 % 640 + 1 && m2.height == (700 * 7) % 480 + 1 &&
-      m2.n_frames == 700 % 30 + 1)
+    assert(out.map(_.media_type).toSeq == Seq("image", "audio", "video"))
+    // image: a genuine PNG whose pixels are the text bytes
+    val png = MediaCodecs.decodePng(out(0).media)
+    assert(png.width == 3 && png.height == 1) // "aa": n=2, w=2%64+1=3, pad 1
+    assert(png.pixels.toSeq == "aa".getBytes("UTF-8").toSeq :+ 0.toByte)
+    // audio: a genuine WAV whose samples are the text bytes
+    val wav = MediaCodecs.decodeWav(out(1).media)
+    assert(wav.sampleRate == 8000 &&
+      wav.samples.toSeq == "bbb".getBytes("UTF-8").toSeq)
+    // video: a genuine animated GIF, n%30+1 = 2 frames of (id+f)%256
+    val gif = MediaCodecs.decodeGif(out(2).media)
+    assert(gif.width == 4 && gif.height == 4 && gif.frames.length == 2)
+    assert(gif.frames(0).forall(_ == 2.toByte) &&
+      gif.frames(1).forall(_ == 3.toByte))
   }
 
-  test("resizeDims preserves aspect: longest side hits target, other floors") {
+  test("decodeMeta parses the real containers back: dims, frames, samples") {
+    val src = docs(0L -> "hello", 1L -> "x", 2L -> ("y" * 700))
+    val metas = Multimodal.decodeMeta(spark,
+        Multimodal.synthesizeMedia(spark, src).toDF())
+      .collect().sortBy(_.doc_id)
+    val img = metas(0) // n=5: w=6, h=1
+    assert(img.format == "png" && img.width == 6 && img.height == 1 &&
+      img.n_frames == 1 && img.sample_rate == 0)
+    // PNG size closed-form: 8 + 25 + (12 + 2 + 5 + L + 4) + 12, L=h*(w+1)
+    assert(img.n_bytes == 8 + 25 + 12 + 2 + 5 + 1 * 7 + 4 + 12)
+    val aud = metas(1) // n=1 sample
+    assert(aud.format == "wav" && aud.sample_rate == 8000 &&
+      aud.n_samples == 1L && aud.duration_ms == 0L && aud.width == 0)
+    assert(aud.n_bytes == 44 + 1 + 1) // odd data → RIFF pad byte
+    val vid = metas(2) // n=700: 700%30+1 = 11 frames
+    assert(vid.format == "gif" && vid.width == 4 && vid.height == 4 &&
+      vid.n_frames == 11)
+    assert(vid.n_bytes == 782 + 42 * 11)
+  }
+
+  test("audio duration_ms is integer-exact n_samples*1000/rate") {
+    val meta = Multimodal.decodeMeta(spark,
+        Multimodal.synthesizeMedia(spark, docs(1L -> ("s" * 900))).toDF())
+      .collect().head
+    assert(meta.n_samples == 900L && meta.duration_ms == 900L * 1000 / 8000)
+  }
+
+  test("resizeDims keeps image rows only, preserves aspect, clamps to 1px") {
     val meta = Seq(
-      (1L, 640, 480), // landscape
-      (2L, 480, 640), // portrait
-      (3L, 100, 100), // square
-      (4L, 1, 480),   // extreme aspect: short side would floor to 0 — clamped to 1
-      (5L, 224, 224)  // already target
-    ).toDF("doc_id", "width", "height")
+      (1L, "image", 640, 480), // landscape
+      (2L, "image", 480, 640), // portrait
+      (3L, "image", 100, 100), // square
+      (4L, "image", 1, 480),   // extreme aspect: short side clamps to 1
+      (5L, "image", 224, 224), // already target
+      (6L, "audio", 0, 0)      // dropped (no dims to resize)
+    ).toDF("doc_id", "media_type", "width", "height")
     val out = Multimodal.resizeDims(meta).orderBy("doc_id")
       .select("out_w", "out_h").as[(Int, Int)].collect().toSeq
     assert(out == Seq((224, 168), (168, 224), (224, 224), (1, 224), (224, 224)))
   }
 
-  test("sampleFrames keeps only video rows, stride ceil-free max(n/4,1)") {
+  test("sampleFrames keeps only video rows, stride max(n/4,1)") {
     val meta = Seq(
       (1L, "video", 10), // stride 2 -> 0,2,4,6,8
       (2L, "video", 3),  // stride max(0,1)=1 -> 0,1,2
@@ -60,22 +90,43 @@ class MultimodalSpec extends SparkSuite {
     assert(out == Seq((1L, Seq(0, 2, 4, 6, 8)), (2L, Seq(0, 1, 2))))
   }
 
-  test("extractFeatures emits nFeatures long-format rows per doc, deterministic") {
-    val media = Multimodal.withBinary(docs(7L -> "abc"))
-    val feats = Multimodal.extractFeatures(spark, media, nFeatures = 4)
-      .collect().sortBy(_.feat_idx)
-    assert(feats.map(_.feat_idx).toSeq == Seq(0, 1, 2, 3))
-    // byteSum("abc") = 97+98+99 = 294, n = 3
-    val expected = (0 until 4).map(k => (3L * (k + 1) + 294L * (k.toLong * k + 1)) % 100000L)
-    assert(feats.map(_.value).toSeq == expected)
-    // empty payload is defined (all zero-derived), not a crash
-    val empty = Multimodal.extractFeatures(spark,
-      Multimodal.withBinary(docs(1L -> "")), nFeatures = 2).collect()
-    assert(empty.map(_.value).toSeq == Seq(0L, 0L))
+  test("extractFeatures computes over the DECODED payload per format") {
+    val media = Multimodal.synthesizeMedia(spark,
+      docs(0L -> "abc", 1L -> "abc", 2L -> "abc"))
+    val feats = Multimodal.extractFeatures(spark, media.toDF(), nFeatures = 2)
+      .collect().map(f => (f.doc_id, f.feat_idx) -> f.value).toMap
+    def expect(n: Long, bsum: Long, k: Int): Long =
+      (n * (k + 1) + bsum * (k.toLong * k + 1)) % 100000L
+    // image doc 0: "abc" n=3 → w=4, h=1 → 4 pixels incl 1 pad zero
+    val tsum = "abc".getBytes("UTF-8").map(_ & 0xff).sum.toLong
+    assert(feats((0L, 0)) == expect(4L, tsum, 0))
+    assert(feats((0L, 1)) == expect(4L, tsum, 1))
+    // audio doc 1: samples are exactly the text bytes
+    assert(feats((1L, 0)) == expect(3L, tsum, 0))
+    // video doc 2: 3%30+1=4 frames × 16 pixels of (2+f)%256
+    val vsum = (0 until 4).map(f => 16L * ((2 + f) % 256)).sum
+    assert(feats((2L, 0)) == expect(64L, vsum, 0))
+    assert(feats((2L, 1)) == expect(64L, vsum, 1))
   }
 
-  test("decode/extract stay partition-batched (single mapPartitions, no shuffle)") {
-    val media = Multimodal.withBinary(docs((1L to 20L).map(i => i -> s"doc$i"): _*))
+  test("empty text is a valid asset in every format") {
+    val metas = Multimodal.decodeMeta(spark,
+        Multimodal.synthesizeMedia(spark,
+          docs(0L -> "", 1L -> "", 2L -> "")).toDF())
+      .collect().sortBy(_.doc_id)
+    assert(metas(0).width == 1 && metas(0).height == 1) // 1 pad pixel
+    assert(metas(1).n_samples == 0L)
+    assert(metas(2).n_frames == 1)
+    val feats = Multimodal.extractFeatures(spark,
+        Multimodal.synthesizeMedia(spark, docs(1L -> "")).toDF(),
+        nFeatures = 2)
+      .collect().map(_.value).toSeq
+    assert(feats == Seq(0L, 0L)) // empty payload → all-zero features
+  }
+
+  test("generate/decode/extract stay partition-batched (no shuffle)") {
+    val media = Multimodal.synthesizeMedia(spark,
+      docs((1L to 20L).map(i => i -> s"doc$i"): _*)).toDF()
     for (plan <- Seq(
       Multimodal.decodeMeta(spark, media).queryExecution.executedPlan,
       Multimodal.extractFeatures(spark, media).queryExecution.executedPlan)) {
