@@ -346,6 +346,50 @@ object ExplainAudit {
       Seq("ObjectHashAggregate", "partial_minkaggregator"),
       forbid = Seq("Window", "CartesianProduct"))
 
+    // t26 trained BPE: training runs eagerly while the query closure
+    // builds (vocab-sized pair-count aggregates + a 1-row collect per
+    // merge round — separate jobs, not part of the served plan); what's
+    // LEFT is the whole point: the merge chain is applied in-row as
+    // literals, so the serving plan is a pure projection — ZERO
+    // exchanges, zero joins. The strongest claim in the audit suite:
+    // tokenize-and-count is stream-transparent and shuffle-free.
+    audit("t26_bpe_tokens",
+      SparkEntry.queries("t26_bpe_tokens")(spark, sfDir),
+      Seq("Project"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
+    // t27 Gopher repetition suite: dup-line/paragraph fractions and
+    // top-n-gram char shares are per-row higher-order-function math —
+    // O(doc²) bounded by ONE document, never the corpus. Same
+    // exchange-free contract as t26.
+    audit("t27_gopher_repetition",
+      SparkEntry.queries("t27_gopher_repetition")(spark, sfDir),
+      Seq("Project"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
+    // t28 NB quality classifier: the KB-sized per-feature log-odds model
+    // comes back onto the feature explode as a BROADCAST join (a shuffle
+    // join here would mean the corpus got shuffled for a KB model —
+    // the t17 prohibition); per-doc sums two-phase; the verdict join-back
+    // is a legitimate doc_id equi-join — only rank windows and product
+    // joins are banned
+    audit("t28_nb_quality",
+      SparkEntry.queries("t28_nb_quality")(spark, sfDir),
+      Seq("BroadcastHashJoin", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // t29 min-count-pruned bigram LM: vs t25, the pruned model tables
+    // must come back as BROADCAST joins — the doc-bigram explode is
+    // never shuffled for the lookup (the model aggregates themselves
+    // still two-phase, hence partial_count). No SortMergeJoin anywhere:
+    // at corpus scale that would be the unpruned t25 exchange this
+    // variant exists to delete.
+    audit("t29_bigram_pruned",
+      SparkEntry.queries("t29_bigram_pruned")(spark, sfDir),
+      Seq("BroadcastHashJoin", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"))
+
     spark.stop()
   }
 }
