@@ -98,10 +98,15 @@ object ExplainAudit {
     // plan (the model only replaces where centroids/codebooks came from),
     // so the same prohibitions apply — and auditing it here also proves
     // no training aggregate sneaks into the served plan
+    // e17/e18: SQ8's bounds come from one aggregate (no Lloyd's) and the
+    // 8-bit round trip is a literal-bounds pure projection on the corpus
+    // side, so the served plan is e1's broadcast-queries single pass —
+    // the same heap-merge ban applies
     Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
       "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall",
       "e13_knn_ivfpq", "e14_ivfpq_recall", "e15_knn_ivfpq_model",
-      "e16_ivfpq_model_recall").foreach { q =>
+      "e16_ivfpq_model_recall", "e17_knn_sq8",
+      "e18_sq8_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

@@ -493,6 +493,46 @@ sddup AS (
 SELECT s.vec_id, s.cell, d.dup_of, d.dup_of IS NULL AS keep
 FROM sdassigned s LEFT JOIN sddup d ON s.vec_id = d.vec_id"""
 
+  /** SQ8 chain ending in a `sqtop` CTE (qid,nid,dot,rnk) — per-dimension
+    * min/max bounds in one aggregate, in-row 8-bit encode/decode round
+    * trip, ADC scoring of exact queries against reconstructions (mirrors
+    * Similarity.knnSq8). All `//` numerators are ≥ 0, so DuckDB's
+    * integer division agrees with Spark's `div` unconditionally.
+    */
+  private def sq8Chain(nQueries: Int, dim: Int): String = s""",
+sqbounds AS (
+  SELECT d, min(q[d]) AS mn, max(q[d]) AS mx
+  FROM eq CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS d) ds
+  GROUP BY d),
+sqbl AS (
+  SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM sqbounds),
+sqrecon AS (
+  SELECT vec_id, list_transform(range(1, $dim + 1), i ->
+    CASE WHEN mx[i] = mn[i] THEN mn[i]
+    ELSE mn[i] + ((((q[i] - mn[i]) * 255) // (mx[i] - mn[i]))
+      * (mx[i] - mn[i])) // 255 END) AS re
+  FROM eq CROSS JOIN sqbl),
+sqscored AS (
+  SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.re")} AS dot
+  FROM sqrecon c CROSS JOIN eq p
+  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id),
+sqtop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM sqscored)"""
+
+  /** e17: SQ8 scalar-quantized ANN top-k. */
+  def knnSq8Sql(nQueries: Int = 10, k: Int = 5, dim: Int = 64): String =
+    s"WITH $eqCte ${sq8Chain(nQueries, dim)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM sqtop WHERE rnk <= $k"
+
+  /** e18: recall@k of SQ8 vs exact brute force. */
+  def sq8RecallSql(nQueries: Int = 10, k: Int = 5, dim: Int = 64): String =
+    s"""WITH $eqCte ${sq8Chain(nQueries, dim)}${bruteCte(nQueries, k)},
+sqk AS (SELECT qid, nid FROM sqtop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN sqk l ON b.qid = l.qid AND b.nid = l.nid"""
+
   /** d8: embedding near-dup ladder — banded-LSH candidates, exact
     * quantized-dot verify (mirrors Similarity.embeddingNearDupLadder).
     */

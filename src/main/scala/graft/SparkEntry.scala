@@ -654,6 +654,14 @@ object SparkEntry {
       operators.Similarity.ivfPqModelRecall(emb,
         operators.Similarity.annModelFor(emb, AnnModelDir))
     }),
+    // SQ8 scalar quantization (FAISS QT_8bit): the compression rung
+    // between exact float (e1) and PQ (e9) — 1 byte/dim, bounds trained
+    // in ONE aggregate (no Lloyd's), encode/decode a pure in-row
+    // projection. e18 measures the recall the 8-bit rung keeps.
+    "e17_knn_sq8" -> ((s, dir) =>
+      operators.Similarity.knnSq8(t(s, dir, "embeddings"))),
+    "e18_sq8_recall" -> ((s, dir) =>
+      operators.Similarity.sq8Recall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     // m-tier: REAL container bytes (PNG/WAV/animated GIF built and
@@ -1063,6 +1071,8 @@ object SparkEntry {
     // artifact file
     "e15_knn_ivfpq_model" -> SimOracles.knnIvfPqModelSql(),
     "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
+    "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
+    "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -769,6 +769,98 @@ object Similarity {
     recallVsBrute(emb, knnIvfPqModel(emb, model, nQueries, k, nProbe, refine),
       nQueries, k)
 
+  // ———————————————————— e17/e18: SQ8 scalar quantization ————————————————————
+
+  /** Per-dimension [min, max] of the quantized corpus — SQ8 "training"
+    * (FAISS ScalarQuantizer QT_8bit posture): ONE full-corpus aggregate
+    * with no groupBy (partial min/max per partition, a 2·dim-long final
+    * row to the driver — KB-sized at any corpus scale, zero iteration).
+    * Contrast with the PQ tier's Lloyd's loops: SQ has no codebook to
+    * converge, which is why it's the default first rung of the FAISS
+    * compression ladder.
+    */
+  def sq8Bounds(emb: DataFrame, dim: Int = 64): (Array[Long], Array[Long]) = {
+    val q = emb.select(quantized(col("embedding")).as("qe"))
+    val row = q.agg(
+      array((1 to dim).map(i => min(element_at(col("qe"), i))): _*).as("mn"),
+      array((1 to dim).map(i => max(element_at(col("qe"), i))): _*).as("mx"))
+      .head()
+    (row.getSeq[Long](0).toArray, row.getSeq[Long](1).toArray)
+  }
+
+  /** SQL for the in-row SQ8 round trip (encode to a uint8 level, decode
+    * to the level's reconstruction) over a quantized-vector column —
+    * integer-exact, bounds baked in as literal arrays so it's a pure
+    * projection (stream-transparent, broadcast-free):
+    *   code_i = ((q_i − mn_i)·255) div (mx_i − mn_i)   ∈ [0, 255]
+    *   recon_i = mn_i + (code_i·(mx_i − mn_i)) div 255
+    * Every numerator is ≥ 0, so Spark's truncate-toward-zero `div` and
+    * DuckDB's `//` agree unconditionally (the t29 clamp lesson, solved
+    * here by construction). Constant dims (mx = mn) encode as level 0 and
+    * reconstruct to mn. Max operand (2·10⁴)·255 ≈ 5.1e6 « 2⁶³.
+    */
+  private[graft] def sq8ReconSql(qCol: String, mn: Array[Long],
+                                 mx: Array[Long]): String = {
+    val mnA = mn.mkString("array(", ",", ")")
+    val rgA = mn.indices.map(i => mx(i) - mn(i)).mkString("array(", ",", ")")
+    s"""transform($qCol, (x, i) -> CASE
+      WHEN element_at($rgA, i + 1) = 0 THEN CAST(element_at($mnA, i + 1) AS BIGINT)
+      ELSE CAST(element_at($mnA, i + 1)
+        + ((((x - element_at($mnA, i + 1)) * 255) div element_at($rgA, i + 1))
+           * element_at($rgA, i + 1)) div 255 AS BIGINT) END)"""
+  }
+
+  /** The per-dimension SQ8 codes themselves (array<long>, each ∈ [0,255])
+    * — the 1-byte-per-dim representation a 10⁹-vector store persists
+    * (16× smaller than float32; SimilaritySpec bounds the levels and the
+    * reconstruction error). Same literal-bounds pure projection as
+    * [[sq8ReconSql]].
+    */
+  def sq8Codes(emb: DataFrame, mn: Array[Long], mx: Array[Long]): DataFrame = {
+    val mnA = mn.mkString("array(", ",", ")")
+    val rgA = mn.indices.map(i => mx(i) - mn(i)).mkString("array(", ",", ")")
+    emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("codes", expr(
+        s"""transform(qe, (x, i) -> CASE
+          WHEN element_at($rgA, i + 1) = 0 THEN 0L
+          ELSE CAST(((x - element_at($mnA, i + 1)) * 255)
+            div element_at($rgA, i + 1) AS BIGINT) END)"""))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** e17 — SQ8 scalar-quantized ANN: full-scan asymmetric distance (exact
+    * query vector against each neighbor's 8-bit reconstruction — the ADC
+    * convention), heap-merge top-k. The serving shape at 10⁹ vectors: the
+    * scan reads dim BYTES per vector instead of dim floats, bounds come
+    * from a persisted KB-sized artifact (here re-derived in one aggregate
+    * — no Lloyd's), and the reconstruction is a pure in-row projection, so
+    * the plan is exactly e1's broadcast-queries single pass with a 16×
+    * lighter corpus side. Recall sits far above PQ's at the same scan
+    * fraction (e18 vs e10: 8 bits/dim vs 4 bits/block-of-8-dims) — the
+    * standard accuracy/compression rung between exact float and PQ.
+    */
+  def knnSq8(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             dim: Int = 64): DataFrame = {
+    val (mn, mx) = sq8Bounds(emb, dim)
+    val corpus = emb.select(col("vec_id").as("nid"),
+      quantized(col("embedding")).as("qe"))
+      .withColumn("re", expr(sq8ReconSql("qe", mn, mx)))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
+    topKByDot(corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("re")).as("dot")), k)
+  }
+
+  /** e18 — recall@k of SQ8 vs exact brute force (hits/total, integer-
+    * exact): quantifies what the 8-bit rung costs vs e10/e14's coarser
+    * rungs at full scan fraction.
+    */
+  def sq8Recall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                dim: Int = 64): DataFrame =
+    recallVsBrute(emb, knnSq8(emb, nQueries, k, dim), nQueries, k)
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the learned k-means coarse
     * quantizer ([[kmeansCentroids]]), then prune within-cluster semantic

@@ -218,6 +218,54 @@ class SimilaritySpec extends SparkSuite {
     assert(res.count(!_._4) > 0, "corpus has within-cluster dups by construction")
   }
 
+  test("SQ8: codes are 8-bit, reconstruction under-approximates within the " +
+    "level width, and cluster structure survives") {
+    val (mn, mx) = Similarity.sq8Bounds(emb, dim = 4)
+    assert(mn.length == 4 && mx.length == 4)
+    mn.indices.foreach(i => assert(mn(i) <= mx(i)))
+    // codes all in [0, 255]
+    val codes = Similarity.sq8Codes(emb, mn, mx).collect()
+    codes.foreach { r =>
+      r.getSeq[Long](1).foreach(c => assert(c >= 0L && c <= 255L, s"code $c"))
+    }
+    // double-floor encode/decode never exceeds the source and errs by at
+    // most one level width (+2 covers both integer-div floors)
+    import org.apache.spark.sql.functions._
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000)" +
+        " AS BIGINT))").as("qe"))
+    val re = q.withColumn("re", expr(
+      Similarity.sq8ReconSql("qe", mn, mx))).collect()
+    re.foreach { r =>
+      val qe = r.getSeq[Long](1); val rec = r.getSeq[Long](2)
+      qe.indices.foreach { i =>
+        val err = qe(i) - rec(i)
+        val width = (mx(i) - mn(i)) / 255 + 2
+        assert(err >= 0L && err <= width,
+          s"dim $i: q=${qe(i)} recon=${rec(i)} err=$err width=$width")
+      }
+    }
+    // ranking through the 8-bit round trip stays in-cluster
+    val res = Similarity.knnSq8(emb, nQueries = 2, k = 3, dim = 4).collect()
+    assert(res.length == 6)
+    res.foreach { r =>
+      assert(r.getLong(0) % 2 == r.getLong(1) % 2,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+  }
+
+  test("SQ8 recall@5 on the real corpus: 8 bits/dim keeps near-exact " +
+    "ranking (>= 0.9) and beats PQ's 4-bit blocks (sf0.01)") {
+    val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val r = Similarity.sq8Recall(embReal).collect()(0)
+    val (hits, total) = (r.getLong(0), r.getLong(1))
+    assert(total == 50L)
+    assert(hits * 10 >= total * 9, s"sq8 recall=$hits/$total")
+    val pq = Similarity.pqRecall(embReal).collect()(0)
+    assert(hits > pq.getLong(0),
+      s"sq8 $hits should beat pq-adc ${pq.getLong(0)}")
+  }
+
   test("AnnModel: save/load round-trips bit-exactly and the loaded model " +
     "serves identically to the in-memory one") {
     val dir = java.nio.file.Files.createTempDirectory("annmodel").toString
