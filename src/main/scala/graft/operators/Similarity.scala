@@ -769,6 +769,24 @@ object Similarity {
     recallVsBrute(emb, knnIvfPqModel(emb, model, nQueries, k, nProbe, refine),
       nQueries, k)
 
+  /** INGEST-side IVF-PQ encode from a persisted [[AnnModel]]:
+    * (vec_id, cell, codes) per arriving vector — cell assignment and
+    * per-block code assignment run in-row against LITERAL centroids and
+    * codebooks (no join, no aggregate, no state), so the stage is
+    * stream-transparent: exactly what a 10⁹-vector store runs on arrival,
+    * persisting a cell id + m small codes (4 bytes here) instead of the
+    * float vector, with the serving path ([[knnIvfPqModel]]) reading the
+    * codes back. Batch/stream row-identical is spec-asserted
+    * (StreamingSpec), the same contract as the t17/t28 in-row scorers —
+    * train-once/serve-many now covers the WRITE path too.
+    */
+  def encodeIvfPq(emb: DataFrame, model: AnnModel): DataFrame =
+    emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("dists", cellDists(model.centroids))
+      .select(col("vec_id"),
+        array_min(col("dists")).getField("cell").as("cell"),
+        pqCodes(model.books, model.dim / model.m).as("codes"))
+
   // ———————————————————— e17/e18: SQ8 scalar quantization ————————————————————
 
   /** Per-dimension [min, max] of the quantized corpus — SQ8 "training"
