@@ -105,8 +105,8 @@ object ExplainAudit {
     Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
       "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall",
       "e13_knn_ivfpq", "e14_ivfpq_recall", "e15_knn_ivfpq_model",
-      "e16_ivfpq_model_recall", "e17_knn_sq8",
-      "e18_sq8_recall").foreach { q =>
+      "e16_ivfpq_model_recall", "e17_knn_sq8", "e18_sq8_recall",
+      "e19_knn_ivfsq8", "e20_ivfsq8_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

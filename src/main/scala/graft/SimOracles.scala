@@ -499,7 +499,7 @@ FROM sdassigned s LEFT JOIN sddup d ON s.vec_id = d.vec_id"""
     * Similarity.knnSq8). All `//` numerators are ≥ 0, so DuckDB's
     * integer division agrees with Spark's `div` unconditionally.
     */
-  private def sq8Chain(nQueries: Int, dim: Int): String = s""",
+  private def sq8ReconCtes(dim: Int): String = s""",
 sqbounds AS (
   SELECT d, min(q[d]) AS mn, max(q[d]) AS mx
   FROM eq CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS d) ds
@@ -511,7 +511,10 @@ sqrecon AS (
     CASE WHEN mx[i] = mn[i] THEN mn[i]
     ELSE mn[i] + ((((q[i] - mn[i]) * 255) // (mx[i] - mn[i]))
       * (mx[i] - mn[i])) // 255 END) AS re
-  FROM eq CROSS JOIN sqbl),
+  FROM eq CROSS JOIN sqbl)"""
+
+  private def sq8Chain(nQueries: Int, dim: Int): String =
+    sq8ReconCtes(dim) + s""",
 sqscored AS (
   SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.re")} AS dot
   FROM sqrecon c CROSS JOIN eq p
@@ -532,6 +535,52 @@ sqtop AS (
 sqk AS (SELECT qid, nid FROM sqtop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN sqk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** IVF-SQ8 chain ending in a `kstop` CTE (qid,nid,dot,rnk) — e6's
+    * learned cells + e17's 8-bit reconstructions on the candidate side
+    * (mirrors Similarity.knnIvfSq8).
+    */
+  private def ivfSq8Chain(nQueries: Int, nCells: Int, nProbe: Int,
+                          iters: Int, dim: Int): String =
+    kmeansCtes(nCells, iters, dim) + sq8ReconCtes(dim) + s""",
+ksassigned AS (
+  SELECT nid, cell, re FROM (
+    SELECT e.vec_id AS nid, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$iters c) a
+  JOIN sqrecon r ON r.vec_id = a.nid
+  WHERE rn = 1),
+ksprobes AS (
+  SELECT vec_id AS qid, q AS qq, cell FROM (
+    SELECT e.vec_id, e.q, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$iters c
+    WHERE e.vec_id < $nQueries)
+  WHERE rn <= $nProbe),
+ksscored AS (
+  SELECT qid, nid, ${dotSql("qq", "re")} AS dot
+  FROM ksassigned JOIN ksprobes USING (cell)
+  WHERE nid != qid),
+kstop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM ksscored)"""
+
+  /** e19: IVF-SQ8 ANN top-k. */
+  def knnIvfSq8Sql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                   nProbe: Int = 3, iters: Int = 4, dim: Int = 64): String =
+    s"WITH $eqCte ${ivfSq8Chain(nQueries, nCells, nProbe, iters, dim)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM kstop WHERE rnk <= $k"
+
+  /** e20: recall@k of IVF-SQ8 vs exact brute force. */
+  def ivfSq8RecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                      nProbe: Int = 3, iters: Int = 4, dim: Int = 64): String =
+    s"""WITH $eqCte ${ivfSq8Chain(nQueries, nCells, nProbe, iters, dim)}${bruteCte(nQueries, k)},
+ksk AS (SELECT qid, nid FROM kstop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN ksk l ON b.qid = l.qid AND b.nid = l.nid"""
 
   /** d8: embedding near-dup ladder — banded-LSH candidates, exact
     * quantized-dot verify (mirrors Similarity.embeddingNearDupLadder).

@@ -662,6 +662,13 @@ object SparkEntry {
       operators.Similarity.knnSq8(t(s, dir, "embeddings"))),
     "e18_sq8_recall" -> ((s, dir) =>
       operators.Similarity.sq8Recall(t(s, dir, "embeddings"))),
+    // IVF-SQ8 (FAISS IndexIVFScalarQuantizer): cell restriction
+    // compounding with the 8-bit rung — e20 vs e7 isolates what the
+    // bytes cost on top of the cells at the same scan fraction
+    "e19_knn_ivfsq8" -> ((s, dir) =>
+      operators.Similarity.knnIvfSq8(t(s, dir, "embeddings"))),
+    "e20_ivfsq8_recall" -> ((s, dir) =>
+      operators.Similarity.ivfSq8Recall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     // m-tier: REAL container bytes (PNG/WAV/animated GIF built and
@@ -1073,6 +1080,8 @@ object SparkEntry {
     "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
     "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
+    "e19_knn_ivfsq8" -> SimOracles.knnIvfSq8Sql(),
+    "e20_ivfsq8_recall" -> SimOracles.ivfSq8RecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -879,6 +879,47 @@ object Similarity {
                 dim: Int = 64): DataFrame =
     recallVsBrute(emb, knnSq8(emb, nQueries, k, dim), nQueries, k)
 
+  /** e19 — IVF-SQ8 (FAISS IndexIVFScalarQuantizer): learned k-means
+    * cells restrict the scan to nProbe/nCells of the corpus (e6's coarse
+    * quantizer), SQ8 reconstructions score the candidates (e17's 8-bit
+    * rung) — the composition an operator picks when cell restriction
+    * must compound with byte-width compression but PQ's 4-bit recall
+    * loss is too steep. Same plan skeleton as e13 minus the ADC/refine
+    * tiers: in-row assignment against literal centroids, broadcast
+    * exploded probes, heap-merge top-k; the candidate side carries dim
+    * BYTES per row. Recall ≈ e7's at the same scan fraction (e20): the
+    * 8-bit rung costs almost nothing on top of cell restriction.
+    */
+  def knnIvfSq8(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 3, cIters: Int = 4,
+                dim: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, cIters)
+    val (mn, mx) = sq8Bounds(emb, dim)
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("dists", cellDists(cents))
+    val corpus = q.select(col("vec_id").as("nid"),
+      expr(sq8ReconSql("qe", mn, mx)).as("re"),
+      array_min(col("dists")).getField("cell").as("cell"))
+    val probes = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qe").as("qe_q"),
+        explode(transform(slice(array_sort(col("dists")), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    topKByDot(corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("re")).as("dot")), k)
+  }
+
+  /** e20 — recall@k of IVF-SQ8 vs exact brute force: isolates what the
+    * 8-bit rung costs ON TOP of cell restriction (vs e7's exact dots in
+    * the same probed cells).
+    */
+  def ivfSq8Recall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                   nCells: Int = 16, nProbe: Int = 3, cIters: Int = 4,
+                   dim: Int = 64): DataFrame =
+    recallVsBrute(emb, knnIvfSq8(emb, nQueries, k, nCells, nProbe, cIters,
+      dim), nQueries, k)
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the learned k-means coarse
     * quantizer ([[kmeansCentroids]]), then prune within-cluster semantic

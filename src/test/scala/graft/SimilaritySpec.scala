@@ -266,6 +266,29 @@ class SimilaritySpec extends SparkSuite {
       s"sq8 $hits should beat pq-adc ${pq.getLong(0)}")
   }
 
+  test("IVF-SQ8: in-cluster on constructed data; real-corpus recall stays " +
+    "within a few hits of exact-dot IVF at the same probed cells (sf0.01)") {
+    // constructed clusters: probing the query's own cells through 8-bit
+    // reconstructions must stay in-cluster
+    val res = Similarity.knnIvfSq8(emb, nQueries = 2, k = 3, nCells = 4,
+      nProbe = 2, cIters = 2, dim = 4).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(0) % 2 == r.getLong(1) % 2,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+    // real corpus: same cells as e7, so the recall gap isolates the
+    // 8-bit rung — a few hits of 50 at most (measured: identical)
+    val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val sq = Similarity.ivfSq8Recall(embReal).collect()(0)
+    val ex = Similarity.ivfKmeansRecall(embReal).collect()(0)
+    assert(sq.getLong(1) == 50L)
+    assert(sq.getLong(0) >= ex.getLong(0) - 5,
+      s"ivf-sq8 ${sq.getLong(0)} fell too far under exact-ivf ${ex.getLong(0)}")
+    assert(sq.getLong(0) * 10 >= sq.getLong(1) * 7,
+      s"ivf-sq8 recall=${sq.getLong(0)}/${sq.getLong(1)}")
+  }
+
   test("AnnModel: save/load round-trips bit-exactly and the loaded model " +
     "serves identically to the in-memory one") {
     val dir = java.nio.file.Files.createTempDirectory("annmodel").toString
