@@ -383,6 +383,11 @@ object SparkEntry {
       operators.Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"))),
     "d7_neardup_ladder" -> ((s, dir) =>
       operators.TextOps.nearDupLadder(t(s, dir, "documents"))),
+    // character-level verify rung: same banded candidates, bounded
+    // Levenshtein instead of shingle Jaccard — catches typo/OCR-noise
+    // boilerplate whose every overlapping 3-gram differs
+    "d16_editdist_pairs" -> ((s, dir) =>
+      operators.TextOps.editDistancePairs(t(s, dir, "documents"))),
     // transitive dup clusters: iterative hash-to-min connected components
     // over the ladder's verified pairs — DuckDB checks the fixpoint with
     // an independent recursive-CTE transitive closure
@@ -1052,6 +1057,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> TextOracles.simhashPairsSql(),
     "d5_fingerprint" -> TextOracles.fingerprintSql,
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
+    "d16_editdist_pairs" -> TextOracles.editDistancePairsSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     // identical label contract (cluster_id = component min over the same
     // verified pairs), so the same independent transitive-closure oracle

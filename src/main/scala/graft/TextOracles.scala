@@ -97,6 +97,22 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** d16: edit-distance-verified near-dup pairs — same banded candidate
+    * CTEs as d7, verified by DuckDB's `levenshtein` (unit-cost
+    * Wagner-Fischer, agrees integer-exactly with Spark's; the Spark side
+    * merely short-circuits past `maxDist`, which the `<=` filter makes
+    * observationally identical).
+    */
+  def editDistancePairsSql(k: Int = 32, bands: Int = 8,
+                           minBandHits: Int = 2, maxDist: Int = 24): String =
+    s"""WITH ${shingleCtes()} ${minhashCtes(k, bands)},
+cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits)
+SELECT doc1, doc2, CAST(levenshtein(a.text, b.text) AS INT) AS lev
+FROM cand
+JOIN documents a ON a.doc_id = doc1
+JOIN documents b ON b.doc_id = doc2
+WHERE levenshtein(a.text, b.text) <= $maxDist"""
+
   /** d12: incremental dedup — mirror of TextOps.incrementalDedup over a
     * deterministic doc_id-modulus corpus/batch split: batch docs pair
     * with ANY colliding corpus doc (no id order) and with LOWER-id batch

@@ -211,6 +211,44 @@ object TextOps {
       .select(col("doc1"), col("doc2"), col("inter"), col("n1"), col("n2"))
   }
 
+  /** d16 — edit-distance-verified near-dup pairs: the CHARACTER-level
+    * verify rung under [[nearDupLadder]]'s shingle-Jaccard tier. Shingle
+    * Jaccard is blind to intra-token edits (typo variants, OCR noise,
+    * template fills change every overlapping 3-gram), so curation
+    * pipelines that chase boilerplate-with-typos pair the same banded
+    * MinHash candidate generator with a bounded Levenshtein verify
+    * instead. Candidates stay LINEAR in the corpus (same ≥`minBandHits`
+    * band vote as d7); the exact tier touches candidate pairs only, and
+    * uses Spark's THRESHOLDED `levenshtein(l, r, maxDist)` — the DP
+    * short-circuits outside the |maxDist| diagonal band, O(maxDist·len)
+    * per pair instead of O(len²), and returns -1 past the bound so no
+    * full distance is ever computed for far pairs. Candidate texts are
+    * fetched via an ids-only semi-join restriction (the d7 cost-cliff
+    * lesson: never equi-join the full corpus text relation against a
+    * tiny candidate set). Output: (doc1, doc2, lev) for verified pairs,
+    * lev ≤ maxDist. Oracle: same banded CTEs + DuckDB `levenshtein`
+    * (both engines implement unit-cost Wagner-Fischer, integer-exact).
+    *
+    * 100 TB shape: candidates ~O(corpus) band collisions, each verify
+    * O(maxDist·len) on exactly two short strings — no shuffle beyond
+    * the candidate join; the text relation crosses the exchange once,
+    * restricted to candidate ids.
+    */
+  def editDistancePairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                        minBandHits: Int = 2, maxDist: Int = 24): DataFrame = {
+    val cand = minhashCandidatesVoted(docs, k, bands, minBandHits)
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2").as("doc_id"))).distinct()
+    val txt = docs.select(col("doc_id"), col("text"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    cand
+      .join(txt.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
+      .join(txt.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("t1"), col("t2"), maxDist).as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
   /** Transitive duplicate CLUSTERS over the ladder's verified pairs —
     * connected components by iterative hash-to-min label propagation
     * (Rastogi et al. 2013's Hash-to-Min shape on DataFrames). Pairwise

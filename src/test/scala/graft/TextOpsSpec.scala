@@ -53,6 +53,22 @@ class TextOpsSpec extends SparkSuite {
     assert(ladder.subsetOf(exact))
   }
 
+  test("editDistancePairs: bounded Levenshtein verifies the typo pair, " +
+    "threshold excludes, distance value is exact") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val got = TextOps.editDistancePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // one word swap: "w30" -> "CHANGED" = unbounded levenshtein of the
+    // full strings; verify the reported distance against the exact value
+    assert(got.keySet == Set((1L, 2L)))
+    val exact = d.sparkSession.sql(
+      s"SELECT levenshtein('$base', '$nearDup')").collect()(0).getInt(0)
+    assert(got((1L, 2L)) == exact && exact > 0 && exact <= 24)
+    // a threshold under the true distance drops the pair (the -1
+    // short-circuit path)
+    assert(TextOps.editDistancePairs(d, maxDist = exact - 1).collect().isEmpty)
+  }
+
   test("simhashPairs: hamming-close pair found; fingerprints behave") {
     val pairs = TextOps.simhashPairs(
         docs(1L -> base, 2L -> nearDup, 3L -> unrelated), maxHamming = 16)
