@@ -507,6 +507,12 @@ object SparkEntry {
     // fully-kept and the boundary path carry rows at driver scale
     "t18_token_budget" -> ((s, dir) =>
       operators.TextOps.tokenBudgetSample(t(s, dir, "documents"))),
+    // t18's budget measured in TRAINED-tokenizer tokens (the t26
+    // artifact consumed downstream): budget 3000 ≈ the same kept
+    // fraction as t18's 600 whitespace tokens, since 12-merge BPE
+    // splits each word into ~4-5 surviving symbols
+    "t30_bpe_budget" -> ((s, dir) =>
+      operators.TextOps.bpeBudgetSample(t(s, dir, "documents"))),
     // Gopher rule filter over a synthetically-structured corpus (t6
     // pattern): deterministic bullet/ellipsis/symbol augmentations keyed
     // on doc_id make every rule non-vacuous (the %97 docs are bullet-
@@ -1040,6 +1046,7 @@ object SparkEntry {
     // the oracle states the per-source cumulative-window semantics
     // directly; the operator reaches the same row set bucket-wise
     "t18_token_budget" -> TextOracles.tokenBudgetSql(),
+    "t30_bpe_budget" -> TextOracles.bpeBudgetSql(),
     "t19_gopher_rules" -> TextOracles.gopherRulesSql,
     "t27_gopher_repetition" -> TextOracles.gopherRepetitionSql,
     "t20_global_shuffle" -> TextOracles.globalShuffleSql,

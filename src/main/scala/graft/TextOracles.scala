@@ -961,8 +961,13 @@ FROM bscored"""
     * Final: per-doc symbol counts joined back through the word explode
     * (LEFT JOIN so wordless docs score 0, like the in-row aggregate).
     */
-  def bpeSql(nMerges: Int = 12): String = {
-    val sb = new StringBuilder(s"""WITH bw AS (
+  /** The trained-BPE CTE chain (bw word explode, wc vocab counts, r0
+    * char representations, then per-merge-round pair-count/argmax/replace
+    * CTEs up to r`nMerges`) — shared by t26's count dump and t30's
+    * budget consumer.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder(s"""bw AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
   FROM documents),
 wc AS (SELECT w, count(*) AS cnt FROM bw GROUP BY w),
@@ -985,15 +990,43 @@ r$t AS (
     replace(repr, '|' || a || '||' || b || '|', '|' || a || b || '|') AS repr
   FROM $prev CROSS JOIN m$t)""")
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  def bpeSql(nMerges: Int = 12): String =
+    s"""WITH ${bpeCtes(nMerges)}
 SELECT d.doc_id, COALESCE(t.n_words, 0) AS n_words,
   COALESCE(t.bpe_tokens, 0) AS bpe_tokens
 FROM documents d LEFT JOIN (
   SELECT doc_id, count(*) AS n_words,
     CAST(sum((length(repr) - length(replace(repr, '|', ''))) // 2)
       AS BIGINT) AS bpe_tokens
-  FROM bw JOIN r$nMerges USING (w) GROUP BY doc_id) t USING (doc_id)""")
-    sb.toString
+  FROM bw JOIN r$nMerges USING (w) GROUP BY doc_id) t USING (doc_id)"""
+
+  /** t30: per-source token-budget sampling under the trained tokenizer —
+    * t18's hash/window chain with the count column swapped for the
+    * replayed-merge BPE token count (mirror of TextOps.bpeBudgetSample).
+    */
+  def bpeBudgetSql(nMerges: Int = 12, budget: Long = 3000L): String = {
+    val mul = graft.functions.VectorOps.HashMul
+    s"""WITH ${bpeCtes(nMerges)},
+bt AS (
+  SELECT d.doc_id, d.source, COALESCE(t.bpe_tokens, 0) AS n_tok
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+      CAST(sum((length(repr) - length(replace(repr, '|', ''))) // 2)
+        AS BIGINT) AS bpe_tokens
+    FROM bw JOIN r$nMerges USING (w) GROUP BY doc_id) t USING (doc_id)),
+h AS (
+  SELECT doc_id, source, n_tok,
+    (${ph("'tbs|' || CAST(doc_id AS VARCHAR)")} * $mul) % $P31 AS h
+  FROM bt),
+s AS (
+  SELECT doc_id, source, n_tok,
+    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM h)
+SELECT doc_id, source, n_tok FROM s WHERE cb < $budget"""
   }
 
   /** t21: CCNet head/middle/tail quality buckets — the t14 chain with

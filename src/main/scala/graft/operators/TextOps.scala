@@ -768,17 +768,45 @@ object TextOps {
     * consume token counts (t18's tokenBudgetSample, t10's packSequences)
     * can swap this column in wherever they take a count.
     */
-  def bpeTokenCounts(docs: DataFrame,
-                     merges: Seq[(String, String)]): DataFrame = {
+  /** The trained-BPE token count as a pure COLUMN over `text` — the
+    * pluggable form every count consumer takes ([[tokenBudgetSample]]'s
+    * `tokenCount`, [[packSequences]]-style budgets): wrap each word,
+    * replay the merges as a literal chain, sum surviving symbol counts.
+    * No join, no shuffle, stream-transparent.
+    */
+  def bpeTokenCountCol(merges: Seq[(String, String)]): Column = {
     val applied = (w: Column) => merges.foldLeft(bpeWrap(w)) {
       case (r, (a, b)) =>
         call_function("replace", r, lit(s"|$a||$b|"), lit(s"|${a + b}|"))
     }
     val words = regexp_extract_all(col("text"), lit(BpeWordPat), lit(0))
+    aggregate(words, lit(0L), (acc, w) => acc + bpeSymCount(applied(w)))
+  }
+
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit(BpeWordPat), lit(0))
     docs.select(col("doc_id"),
       size(words).cast("long").as("n_words"),
-      aggregate(words, lit(0L),
-        (acc, w) => acc + bpeSymCount(applied(w))).as("bpe_tokens"))
+      bpeTokenCountCol(merges).as("bpe_tokens"))
+  }
+
+  /** t30 — per-source token-budget sampling under the TRAINED tokenizer:
+    * the composition the t26 artifact exists for. [[bpeTrainMerges]]
+    * learns the merge table (vocab-sized work, corpus-independent per
+    * round), then [[tokenBudgetSample]] consumes [[bpeTokenCountCol]] as
+    * its count column — so the budget is measured in the tokens the
+    * MODEL will actually see, not the whitespace approximation (the two
+    * counts diverge hardest exactly where it matters: non-English and
+    * code-like text whose words explode into many subword units).
+    * Scale/plan shape is t18's unchanged: KB-sized histogram collect,
+    * boundary-bucket-only window; the BPE replay rides the same per-row
+    * projection that already scans `text`.
+    */
+  def bpeBudgetSample(docs: DataFrame, nMerges: Int = 12,
+                      budget: Long = 3000L): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges)
+    tokenBudgetSample(docs, budget, tokenCount = bpeTokenCountCol(merges))
   }
 
   // RE2-safe common dialect (no backreferences/lookaround) shared verbatim

@@ -706,6 +706,44 @@ class TextOpsSpec extends SparkSuite {
       !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bpeBudgetSample: admission is the hash-order prefix under " +
+    "TRAINED-BPE counts, and the count column matches bpeTokenCounts") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import graft.functions.TextHashes.P31
+    val d = docs((1L to 60L).map(i =>
+        i -> (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")): _*)
+      .withColumn("source",
+        when(col("doc_id") <= 40L, "srcA").otherwise("srcB"))
+    val nMerges = 4
+    val budget = 90L
+    val merges = TextOps.bpeTrainMerges(d, nMerges)
+    val bpe = TextOps.bpeTokenCounts(d, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute force: same salt/finalizer hash order, admit while the
+    // PRECEDING per-source BPE-token total is under budget
+    val rows = d.select(col("doc_id"), col("source"),
+        (graft.functions.poly_hash31(
+          concat(lit("tbs|"), col("doc_id").cast("string")))
+          * graft.functions.VectorOps.HashMul % P31).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).values.flatMap { rs =>
+      var cum = 0L
+      rs.sortBy(r => (r._3, r._1)).flatMap { r =>
+        val keep = cum < budget; cum += bpe(r._1)
+        if (keep) Some((r._1, r._2, bpe(r._1))) else None
+      }
+    }.toSet
+    val got = TextOps.bpeBudgetSample(d, nMerges, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty && got.size < 60) // budget genuinely bites
+    // the swap matters: BPE totals diverge from the whitespace counts
+    // t18 budgets against (4 merges leave some multi-symbol words)
+    val wsSum = (1L to 60L).map(i => i % 7 + 1).sum
+    assert(bpe.values.sum != wsSum,
+      s"BPE total ${bpe.values.sum} degenerate-equal to whitespace $wsSum")
+  }
+
   test("segmentDedup: corpus-wide keep-first on segments, docs reassembled in order") {
     // w=10: doc 1 has segments A(t1..t10) B(t11..t20); doc 2 = B then C —
     // its copy of B must vanish, C survives; doc 3 is an exact copy of
