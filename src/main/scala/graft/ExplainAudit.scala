@@ -106,11 +106,22 @@ object ExplainAudit {
       "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall",
       "e13_knn_ivfpq", "e14_ivfpq_recall", "e15_knn_ivfpq_model",
       "e16_ivfpq_model_recall", "e17_knn_sq8", "e18_sq8_recall",
-      "e19_knn_ivfsq8", "e20_ivfsq8_recall").foreach { q =>
+      "e19_knn_ivfsq8", "e20_ivfsq8_recall", "e21_knn_filtered",
+      "e23_filtered_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))
     }
+
+    // e22 filtered IVF: the attribute predicate must reach the parquet
+    // scan (pre-filter strategy — at selectivity s the scan reads s·N
+    // rows before any cell-assignment work), candidates still join
+    // probes by cell equi-join, top-k still heap-merges
+    audit("e22_knn_ivf_filtered",
+      SparkEntry.queries("e22_knn_ivf_filtered")(spark, sfDir),
+      Seq("EqualTo(label,3)", "BroadcastHashJoin",
+        "ObjectHashAggregate", "partial_topkaggregator"),
+      forbid = Seq("CartesianProduct", "Window"))
 
     // e8 SemDeDup: cell assignment is in-row against literal centroids
     // (no centroid join), the within-cell pair join is an equi-join on

@@ -69,7 +69,8 @@ lshtop AS (
     * in-row cell dots, rank-0 assignment, nProbe probing, exact re-rank
     * (mirrors Similarity.knnIvf).
     */
-  private def ivfChain(nQueries: Int, nCells: Int, nProbe: Int): String =
+  private def ivfChain(nQueries: Int, nCells: Int, nProbe: Int,
+                       candCond: String = ""): String =
     s""",
 cells AS (
   SELECT vec_id, q,
@@ -96,7 +97,7 @@ probes AS (
 ivfscored AS (
   SELECT qid, nid, ${dotSql("qq", "qn")} AS dot
   FROM assigned JOIN probes USING (cell)
-  WHERE nid != qid),
+  WHERE nid != qid$candCond),
 ivftop AS (
   SELECT qid, nid, dot,
     row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
@@ -233,6 +234,51 @@ FROM brute b LEFT JOIN lshk l ON b.qid = l.qid AND b.nid = l.nid"""
 ivfk AS (SELECT qid, nid FROM ivftop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN ivfk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** Filtered exact-k-NN chain ending in `fbtop` (qid,nid,dot,rnk):
+    * candidates restricted to `label = lbl`, queries unrestricted
+    * (mirrors Similarity.knnBruteFiltered).
+    */
+  private def filteredBruteChain(nQueries: Int, lbl: Int): String = s""",
+fscored AS (
+  SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.q")} AS dot
+  FROM eq c CROSS JOIN eq p
+  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id
+    AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $lbl)),
+fbtop AS (
+  SELECT qid, nid, dot,
+    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+  FROM fscored)"""
+
+  private def labelCond(lbl: Int): String =
+    s" AND nid IN (SELECT vec_id FROM embeddings WHERE label = $lbl)"
+
+  /** e21: filtered exact k-NN (attribute-constrained search). */
+  def knnBruteFilteredSql(nQueries: Int = 10, k: Int = 5,
+                          lbl: Int = 3): String =
+    s"WITH $eqCte ${filteredBruteChain(nQueries, lbl)}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM fbtop WHERE rnk <= $k"
+
+  /** e22: filtered IVF — the ivf chain with the candidate side label-
+    * restricted (assignment is per-row against static anchors, so
+    * filter-before-assignment ≡ restrict-after-join).
+    */
+  def knnIvfFilteredSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                        nProbe: Int = 6, lbl: Int = 3): String =
+    s"WITH $eqCte ${ivfChain(nQueries, nCells, nProbe, labelCond(lbl))}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM ivftop WHERE rnk <= $k"
+
+  /** e23: recall@k of filtered IVF vs filtered exact (the truth set is
+    * the FILTERED brute top-k — recall vs global brute would conflate
+    * predicate loss with probe loss).
+    */
+  def filteredRecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+                        nProbe: Int = 6, lbl: Int = 3): String =
+    s"""WITH $eqCte ${ivfChain(nQueries, nCells, nProbe, labelCond(lbl))}${filteredBruteChain(nQueries, lbl)},
+fk AS (SELECT qid, nid FROM ivftop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM (SELECT qid, nid FROM fbtop WHERE rnk <= $k) b
+LEFT JOIN fk l ON b.qid = l.qid AND b.nid = l.nid"""
 
   /** e9/e10: PQ chain — per block b: the quantized-slice relation
     * eqb$b, its unrolled per-block Lloyd's (pq${b}c0…), the in-row

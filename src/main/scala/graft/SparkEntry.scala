@@ -680,6 +680,15 @@ object SparkEntry {
       operators.Similarity.knnIvfSq8(t(s, dir, "embeddings"))),
     "e20_ivfsq8_recall" -> ((s, dir) =>
       operators.Similarity.ivfSq8Recall(t(s, dir, "embeddings"))),
+    // filtered (attribute-constrained) search — the vector-DB metadata-
+    // filter capability: predicate selectivity compounds with the IVF
+    // scan fraction; e23's truth set is the FILTERED exact top-k
+    "e21_knn_filtered" -> ((s, dir) =>
+      operators.Similarity.knnBruteFiltered(t(s, dir, "embeddings"))),
+    "e22_knn_ivf_filtered" -> ((s, dir) =>
+      operators.Similarity.knnIvfFiltered(t(s, dir, "embeddings"))),
+    "e23_filtered_recall" -> ((s, dir) =>
+      operators.Similarity.filteredRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     // m-tier: REAL container bytes (PNG/WAV/animated GIF built and
@@ -1095,6 +1104,9 @@ object SparkEntry {
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
     "e19_knn_ivfsq8" -> SimOracles.knnIvfSq8Sql(),
     "e20_ivfsq8_recall" -> SimOracles.ivfSq8RecallSql(),
+    "e21_knn_filtered" -> SimOracles.knnBruteFilteredSql(),
+    "e22_knn_ivf_filtered" -> SimOracles.knnIvfFilteredSql(),
+    "e23_filtered_recall" -> SimOracles.filteredRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -192,26 +192,40 @@ object Similarity {
     * nearest cells; exact quantized dot re-ranks within probed cells.
     * Probe cost ≈ nProbe/nCells of the corpus per query.
     */
-  def knnIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 3): DataFrame = {
-    val cellSeq = sequence(lit(0), lit(nCells - 1))
-    val base = emb.select(col("vec_id").as("vid"),
+  /** (vid, qv, cdots): quantized vector + its dot against each of the
+    * nCells fixed sign-anchors. Shared by the corpus-assignment and
+    * probe sides of [[knnIvf]]/[[knnIvfFiltered]].
+    */
+  private def ivfBase(emb: DataFrame, nCells: Int): DataFrame =
+    emb.select(col("vec_id").as("vid"),
         quantized(col("embedding")).as("qv"))
       .withColumn("cdots",
         graft.functions.sign_projections(col("qv"), nCells, AnchorSalt))
-    // corpus rows need only the ARGMAX cell (ties by smaller index):
-    // array_max over (dot, -cell) structs — literal-indexed, fully
-    // codegen'd, O(nCells)/row. The O(nCells²) interpreted rank-array
-    // HOF below runs on the nQueries probe rows ONLY (r4: it previously
-    // ran per corpus row — the file's own interpreted-HOF tax, measured
-    // on the 4.1M-vector bench as the e3 hot path).
+
+  /** Corpus side: each row with only its ARGMAX cell (ties by smaller
+    * index) — array_max over (dot, -cell) structs, literal-indexed,
+    * fully codegen'd, O(nCells)/row. The O(nCells²) interpreted
+    * rank-array HOF lives in [[ivfProbes]] and runs on the nQueries
+    * probe rows ONLY (r4: it previously ran per corpus row — the file's
+    * own interpreted-HOF tax, measured on the 4.1M-vector bench as the
+    * e3 hot path).
+    */
+  private def ivfAssigned(emb: DataFrame, nCells: Int): DataFrame = {
     val cellStructs = array((0 until nCells).map(c =>
       struct(element_at(col("cdots"), c + 1).as("d"),
         lit(-c).as("nc"))): _*)
-    val assigned = base.select(col("vid").as("nid"), col("qv").as("qe_n"),
+    ivfBase(emb, nCells).select(col("vid").as("nid"), col("qv").as("qe_n"),
       (-array_max(cellStructs).getField("nc")).cast("int").as("cell"))
-    // rank of each cell among the dots (0 = nearest), ties by cell index
-    val probes = base.filter(col("vid") < nQueries)
+  }
+
+  /** Probe side: (qid, qe_q, cell) exploded to the nProbe nearest cells
+    * per query — rank of each cell among the dots (0 = nearest), ties by
+    * cell index.
+    */
+  private def ivfProbes(emb: DataFrame, nQueries: Int, nCells: Int,
+                        nProbe: Int): DataFrame = {
+    val cellSeq = sequence(lit(0), lit(nCells - 1))
+    ivfBase(emb, nCells).filter(col("vid") < nQueries)
       .withColumn("rnks", transform(cellSeq, c =>
         size(filter(cellSeq, c2 =>
           element_at(col("cdots"), c2 + 1) > element_at(col("cdots"), c + 1) ||
@@ -220,10 +234,76 @@ object Similarity {
       .select(col("vid").as("qid"), col("qv").as("qe_q"),
         explode(filter(cellSeq, c =>
           element_at(col("rnks"), c + 1) < nProbe)).as("cell"))
-    topKByDot(assigned.join(broadcast(probes), Seq("cell"))
+  }
+
+  def knnIvf(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 3): DataFrame =
+    topKByDot(ivfAssigned(emb, nCells)
+      .join(broadcast(ivfProbes(emb, nQueries, nCells, nProbe)), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
+
+  // ------------------------------------------------ filtered (attribute-
+  // constrained) search — the vector-DB "metadata filter" capability
+
+  /** e21 — filtered exact k-NN (the PRE-filter strategy): top-k among
+    * corpus vectors satisfying an attribute predicate (`label = lbl`),
+    * queries drawn from the full corpus. The predicate lands in the
+    * parquet scan as a pushed filter (ExplainAudit asserts PushedFilters
+    * on e21), so at selectivity s the scan reads s·N rows — the reason
+    * pre-filtering beats post-filtering top-k' > k results whenever the
+    * predicate is selective (post-filtering an ANN result can return
+    * FEWER than k valid hits; the pre-filter form never does unless the
+    * matching population itself is < k). Exact tier = the ground truth
+    * for [[knnIvfFiltered]]'s compounding claim.
+    */
+  def knnBruteFiltered(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                       lbl: Int = 3): DataFrame = {
+    val corpus = emb.filter(col("label") === lbl)
+      .select(col("vec_id").as("nid"), quantized(col("embedding")).as("qe_n"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
+    topKByDot(corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
+  }
+
+  /** e22 — filtered IVF: attribute predicate compounding with cell
+    * restriction — the scan touches ~(nProbe/nCells)·s·N rows (both
+    * cuts multiply; at 10⁹ vectors with s=0.1 and 3/16 probing that is
+    * ~2% of the corpus). Probes come from the FULL corpus (a query need
+    * not satisfy the predicate it filters by); only the candidate side
+    * is restricted, BEFORE cell assignment, so the filter reaches the
+    * scan and the per-row argmax work is never spent on non-matching
+    * rows.
+    */
+  def knnIvfFiltered(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                     nCells: Int = 16, nProbe: Int = 6,
+                     lbl: Int = 3): DataFrame =
+    topKByDot(ivfAssigned(emb.filter(col("label") === lbl), nCells)
+      .join(broadcast(ivfProbes(emb, nQueries, nCells, nProbe)), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
+
+  /** e23 — recall@k of filtered IVF vs filtered exact: the truth set is
+    * [[knnBruteFiltered]] (recall against GLOBAL brute would conflate
+    * predicate loss with probe loss — a filtered result can never
+    * contain out-of-predicate neighbors).
+    */
+  def filteredRecall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                     nCells: Int = 16, nProbe: Int = 6,
+                     lbl: Int = 3): DataFrame = {
+    val truth = knnBruteFiltered(emb, nQueries, k, lbl)
+      .select(col("qid"), col("nid"))
+    val a = knnIvfFiltered(emb, nQueries, k, nCells, nProbe, lbl)
+      .select(col("qid").as("q2"), col("nid").as("n2"))
+    truth.join(a, col("qid") === col("q2") && col("nid") === col("n2"),
+        "left")
+      .agg(count(lit(1)).as("total"), count(col("q2")).as("hits"))
+      .select(col("hits"), col("total"))
   }
 
   // ------------------------------------------------ learned IVF (k-means)
