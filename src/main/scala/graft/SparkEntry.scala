@@ -388,6 +388,11 @@ object SparkEntry {
     // boilerplate whose every overlapping 3-gram differs
     "d16_editdist_pairs" -> ((s, dir) =>
       operators.TextOps.editDistancePairs(t(s, dir, "documents"))),
+    // governance attribution: verified near-dup pair counts per
+    // unordered source pair — the exact-count sibling of d10's KMV
+    // containment estimates
+    "d17_source_dup_matrix" -> ((s, dir) =>
+      operators.TextOps.sourceDupMatrix(t(s, dir, "documents"))),
     // transitive dup clusters: iterative hash-to-min connected components
     // over the ladder's verified pairs — DuckDB checks the fixpoint with
     // an independent recursive-CTE transitive closure
@@ -1074,6 +1079,7 @@ object SparkEntry {
     "d5_fingerprint" -> TextOracles.fingerprintSql,
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
     "d16_editdist_pairs" -> TextOracles.editDistancePairsSql(),
+    "d17_source_dup_matrix" -> TextOracles.sourceDupMatrixSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     // identical label contract (cluster_id = component min over the same
     // verified pairs), so the same independent transitive-closure oracle

@@ -97,6 +97,34 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** d17: cross-source dup attribution — the d7 ladder chain, pairs
+    * joined to their sources, counted per unordered source pair.
+    */
+  def sourceDupMatrixSql(k: Int = 32, bands: Int = 8,
+                         minBandHits: Int = 2): String =
+    s"""WITH ${shingleCtes()} ${minhashCtes(k, bands)},
+cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc1, doc2, count(*) AS inter
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = doc1
+  JOIN sh s2 ON s2.doc_id = doc2 AND s2.shingle = s1.shingle
+  GROUP BY doc1, doc2),
+verified AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes z1 ON z1.doc_id = doc1
+  JOIN sizes z2 ON z2.doc_id = doc2
+  WHERE inter * 10 >= (z1.n_sh + z2.n_sh - inter) * 7)
+SELECT least(a.source, b.source) AS source_a,
+  greatest(a.source, b.source) AS source_b,
+  count(*) AS dup_pairs
+FROM verified
+JOIN documents a ON a.doc_id = doc1
+JOIN documents b ON b.doc_id = doc2
+GROUP BY 1, 2"""
+
   /** d16: edit-distance-verified near-dup pairs — same banded candidate
     * CTEs as d7, verified by DuckDB's `levenshtein` (unit-cost
     * Wagner-Fischer, agrees integer-exactly with Spark's; the Spark side

@@ -211,6 +211,37 @@ object TextOps {
       .select(col("doc1"), col("doc2"), col("inter"), col("n1"), col("n2"))
   }
 
+  /** d17 — cross-source duplication ATTRIBUTION: the governance matrix
+    * "how much of source A is (near-)duplicated in source B", counted
+    * over [[nearDupLadder]]'s VERIFIED pairs — the exact-count sibling
+    * of d10's KMV containment estimates (d10 answers the same question
+    * from sketches without pairing; this one names the pairs, so it
+    * feeds takedown/licensing audits where an estimate isn't evidence).
+    * Output: (source_a, source_b, dup_pairs) with a ≤ b lexicographically
+    * (the pair relation is symmetric; same-source boilerplate shows up
+    * on the diagonal).
+    *
+    * Scale shape: the verified pair set is SPARSE (ladder output, linear
+    * in corpus); the id→source map joins against it twice and AQE
+    * broadcasts the pair side, so the corpus-sized map is never
+    * shuffled; the final aggregate is |sources|²-bounded.
+    */
+  def sourceDupMatrix(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                      minBandHits: Int = 2): DataFrame = {
+    val pairs = nearDupLadder(docs, k, bands, minBandHits)
+      .select(col("doc1"), col("doc2"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")),
+        "doc1")
+      .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")),
+        "doc2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("dup_pairs"))
+  }
+
   /** d16 — edit-distance-verified near-dup pairs: the CHARACTER-level
     * verify rung under [[nearDupLadder]]'s shingle-Jaccard tier. Shingle
     * Jaccard is blind to intra-token edits (typo variants, OCR noise,

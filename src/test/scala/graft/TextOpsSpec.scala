@@ -53,6 +53,23 @@ class TextOpsSpec extends SparkSuite {
     assert(ladder.subsetOf(exact))
   }
 
+  test("sourceDupMatrix: verified pairs attribute to unordered source " +
+    "pairs; diagonal = within-source boilerplate") {
+    import spark.implicits._
+    val base2 = (1 to 60).map(i => s"v$i").mkString(" ")
+    val nearDup2 = (1 to 60).map(i => if (i == 10) "X" else s"v$i").mkString(" ")
+    val d = Seq(
+      (1L, base, "en", "srcA", base.length.toLong),
+      (2L, nearDup, "en", "srcB", nearDup.length.toLong),   // cross-source pair
+      (3L, unrelated, "en", "srcA", unrelated.length.toLong),
+      (4L, base2, "en", "srcB", base2.length.toLong),
+      (5L, nearDup2, "en", "srcB", nearDup2.length.toLong)  // within-srcB pair
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.sourceDupMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L), got)
+  }
+
   test("editDistancePairs: bounded Levenshtein verifies the typo pair, " +
     "threshold excludes, distance value is exact") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
