@@ -478,6 +478,10 @@ object SparkEntry {
     // nll under the corpus bigram model — bigrams shuffle as longs
     "t25_bigram_lm" -> ((s, dir) =>
       operators.TextOps.bigramLmQuality(t(s, dir, "documents"))),
+    // CCNet terciles under the BIGRAM LM (perplexity, not unigram
+    // rarity): head = LOW-nll tercile — flipped comparisons vs t21
+    "t31_perplexity_buckets" -> ((s, dir) =>
+      operators.TextOps.perplexityBuckets(t(s, dir, "documents"))),
     // min-count-pruned bigram LM: the model tables keep only the heavy
     // head (count >= 3) and BROADCAST — the doc-bigram explode is never
     // shuffled (vs t25's two shuffle joins); pruned entries score as
@@ -1043,6 +1047,7 @@ object SparkEntry {
     "d15_dup_run" -> TextOracles.dupRunSql(),
     "t24_cluster_split" -> TextOracles.clusterSplitSql(),
     "t25_bigram_lm" -> TextOracles.bigramLmSql(),
+    "t31_perplexity_buckets" -> TextOracles.perplexityBucketsSql(),
     "t29_bigram_pruned" -> TextOracles.bigramLmSql(minCount = 3L),
     "t26_bpe_tokens" -> TextOracles.bpeSql(),
     "q25_gap_fill" -> """

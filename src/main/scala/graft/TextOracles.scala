@@ -951,7 +951,11 @@ FROM scored"""
     * tables and scores pruned entries as unseen (count 1), matching the
     * Spark op's broadcast-pruned form.
     */
-  def bigramLmSql(minCount: Long = 1L): String = {
+  /** The bigram-LM CTE chain ending in `bscored` (doc_id, n_bg,
+    * nll_sum) — shared by t25/t29's score dump and t31's tercile
+    * consumer.
+    */
+  private def bigramCtes(minCount: Long): String = {
     val (joins, c2e, c1e) =
       if (minCount == 1L)
         ("JOIN bc2 USING (f2) JOIN bc1 USING (f1)", "c2", "c1")
@@ -959,7 +963,7 @@ FROM scored"""
         (s"""LEFT JOIN (SELECT * FROM bc2 WHERE c2 >= $minCount) p2 USING (f2)
   LEFT JOIN (SELECT * FROM bc1 WHERE c1 >= $minCount) p1 USING (f1)""",
           "COALESCE(c2, 1)", "COALESCE(c1, 1)")
-    s"""WITH big AS (
+    s"""big AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
     i -> t[i] || ' ' || t[i+1])) AS bg
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
@@ -974,10 +978,38 @@ bscored AS (
     CAST(sum(greatest(0, length(bin($c1e)) - length(bin($c2e))))
       AS BIGINT) AS nll_sum
   FROM bf $joins
-  GROUP BY doc_id)
+  GROUP BY doc_id)"""
+  }
+
+  def bigramLmSql(minCount: Long = 1L): String =
+    s"""WITH ${bigramCtes(minCount)}
 SELECT doc_id, n_bg, nll_sum, (100 * nll_sum) // n_bg AS nll_x100
 FROM bscored"""
-  }
+
+  /** t31: CCNet terciles under the bigram LM — per-language thresholds
+    * from a rank window over the nll (ASC: lower nll = more fluent =
+    * head; the comparisons are flipped vs t21's score ordering).
+    */
+  def perplexityBucketsSql(minCount: Long = 1L): String =
+    s"""WITH ${bigramCtes(minCount)},
+lmscored AS (
+  SELECT d.doc_id, d.lang, (100 * b.nll_sum) // b.n_bg AS nll_x100
+  FROM documents d JOIN bscored b ON b.doc_id = d.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY nll_x100 ASC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM lmscored),
+th AS (
+  SELECT lang,
+    max(CASE WHEN rn = (n + 2) // 3 THEN nll_x100 END) AS t_head,
+    max(CASE WHEN rn = (2 * n + 2) // 3 THEN nll_x100 END) AS t_mid
+  FROM ranked GROUP BY lang)
+SELECT doc_id, s.lang, nll_x100,
+  CASE WHEN nll_x100 <= t_head THEN 'head'
+       WHEN nll_x100 <= t_mid THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM lmscored s JOIN th ON s.lang = th.lang"""
 
   /** t26: trained-BPE token counts — the unrolled mirror of
     * TextOps.bpeTrainMerges + bpeTokenCounts. Round t: pair counts over

@@ -2016,6 +2016,47 @@ object TextOps {
         expr("(100 * nll_sum) div n_bg").as("nll_x100"))
   }
 
+  /** t31 — CCNet buckets under the BIGRAM LM (the composition CCNet
+    * actually ships: Wenzek et al. 2020 bucket by KenLM *perplexity*,
+    * not unigram rarity — t21 is the unigram stand-in, this is the
+    * 2-gram upgrade): per-language terciles over [[bigramLmQuality]]'s
+    * integer nll_x100, LOWER = more fluent, so `head` is the LOW-nll
+    * tercile (note the flipped comparisons vs t21, where high score =
+    * head). Same scale shape as t21: a (lang × distinct-score) histogram
+    * collects to the driver (KBs — nll_x100 is bounded by 100·64), a
+    * driver cumsum finds the two discrete thresholds, and they broadcast
+    * back as a per-row CASE — no ntile/rank window over the corpus.
+    * Docs with <2 tokens have no bigrams and are absent, mirroring t25.
+    */
+  def perplexityBuckets(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = bigramLmQuality(docs, minCount)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("nll_x100"))
+    val hist = scored.groupBy(col("lang"), col("nll_x100"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val th = hist.groupBy(_._1).map { case (lang, rows) =>
+      val asc = rows.sortBy(_._2)
+      val n = asc.map(_._3).sum
+      val (rHead, rMid) = ((n + 2) / 3, (2 * n + 2) / 3)
+      var cum = 0L
+      var tHead = Long.MaxValue; var tMid = Long.MaxValue
+      asc.foreach { case (_, s, c) =>
+        val lo = cum; cum += c
+        if (lo < rHead && rHead <= cum) tHead = s
+        if (lo < rMid && rMid <= cum) tMid = s
+      }
+      (lang, tHead, tMid)
+    }.toSeq
+    scored.join(broadcast(th.toDF("lang", "t_head", "t_mid")), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nll_x100"),
+        when(col("nll_x100") <= col("t_head"), "head")
+          .when(col("nll_x100") <= col("t_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ----------------------------------------------- DSIR importance weights
 
   /** DSIR-style importance weights for target-matched data selection

@@ -53,6 +53,29 @@ class TextOpsSpec extends SparkSuite {
     assert(ladder.subsetOf(exact))
   }
 
+  test("perplexityBuckets: per-lang terciles with FLIPPED ordering — " +
+    "head is the low-nll tercile and buckets are balanced") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextOps.perplexityBuckets(d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val by = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      val n = rs.size
+      // discrete-threshold terciles: each bucket within ±(ties) of n/3 —
+      // loose band, but head can never dominate
+      assert(by.getOrElse("head", 0) >= 1 && by.getOrElse("tail", 0) >= 1)
+      assert(by.values.max <= n) // sanity
+      // ordering: every head nll <= every tail nll (threshold semantics)
+      val maxHead = rs.filter(_._3 == "head").map(_._2).maxOption
+      val minTail = rs.filter(_._3 == "tail").map(_._2).minOption
+      (maxHead, minTail) match {
+        case (Some(h), Some(t)) => assert(h <= t, s"head $h > tail $t")
+        case _ => ()
+      }
+    }
+  }
+
   test("sourceDupMatrix: verified pairs attribute to unordered source " +
     "pairs; diagonal = within-source boilerplate") {
     import spark.implicits._
