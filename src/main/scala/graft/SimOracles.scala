@@ -280,6 +280,54 @@ SELECT count(l.qid) AS hits, count(*) AS total
 FROM (SELECT qid, nid FROM fbtop WHERE rnk <= $k) b
 LEFT JOIN fk l ON b.qid = l.qid AND b.nid = l.nid"""
 
+  /** NN-descent k-NN graph chain (mirrors Similarity.knnGraph):
+    * deterministic hash init g0, then per round r the candidate UNION
+    * (current ∪ 2-hop ∪ reverse), scored relation s_r, ranked t_r and
+    * pruned graph g_r — unrolled like the Lloyd's CTEs.
+    */
+  private def knnGraphCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(s""",
+nn AS (SELECT count(*) AS n FROM embeddings),
+g0 AS (
+  SELECT DISTINCT u, w FROM (
+    SELECT e.vec_id AS u,
+      (e.vec_id * 131 + j.j * 97) % (SELECT n FROM nn) AS w
+    FROM eq e CROSS JOIN (SELECT unnest(range(0, $k)) AS j) j)
+  WHERE w != u)""")
+    for (r <- 1 to rounds) {
+      val prev = s"g${r - 1}"
+      sb.append(s""",
+c$r AS (
+  SELECT u, w FROM $prev
+  UNION
+  SELECT a.u, b.w FROM $prev a JOIN $prev b ON a.w = b.u WHERE b.w != a.u
+  UNION
+  SELECT w AS u, u AS w FROM $prev),
+s$r AS (
+  SELECT c.u, c.w, ${dotSql("p.q", "q.q")} AS dot
+  FROM c$r c JOIN eq p ON p.vec_id = c.u JOIN eq q ON q.vec_id = c.w),
+t$r AS (
+  SELECT u, w, dot,
+    row_number() OVER (PARTITION BY u ORDER BY dot DESC, w) AS rnk
+  FROM s$r),
+g$r AS (SELECT u, w FROM t$r WHERE rnk <= $k)""")
+    }
+    sb.toString
+  }
+
+  /** e24: the NN-descent k-NN graph adjacency after `rounds` rounds. */
+  def knnGraphSql(k: Int = 8, rounds: Int = 2): String =
+    s"WITH $eqCte ${knnGraphCtes(k, rounds)}\n" +
+      s"SELECT u, w, dot, CAST(rnk AS INT) AS rnk FROM t$rounds WHERE rnk <= $k"
+
+  /** e25: graph recall vs the true k-NN graph on nodes < nSample. */
+  def knnGraphRecallSql(k: Int = 8, rounds: Int = 2,
+                        nSample: Int = 50): String =
+    s"""WITH $eqCte ${knnGraphCtes(k, rounds)}${bruteCte(nSample, k)},
+gk AS (SELECT u, w FROM t$rounds WHERE rnk <= $k AND u < $nSample)
+SELECT count(l.u) AS hits, count(*) AS total
+FROM brute b LEFT JOIN gk l ON b.qid = l.u AND b.nid = l.w"""
+
   /** e9/e10: PQ chain — per block b: the quantized-slice relation
     * eqb$b, its unrolled per-block Lloyd's (pq${b}c0…), the in-row
     * argmin code assignment, and the per-block ADC contribution

@@ -698,6 +698,13 @@ object SparkEntry {
       operators.Similarity.knnIvfFiltered(t(s, dir, "embeddings"))),
     "e23_filtered_recall" -> ((s, dir) =>
       operators.Similarity.filteredRecall(t(s, dir, "embeddings"))),
+    // distributed k-NN GRAPH construction (NN-descent posture): the
+    // offline primitive graph-ANN indexes are built from at 10^9
+    // vectors — ids-only edges, linear candidate volume per round
+    "e24_knn_graph" -> ((s, dir) =>
+      operators.Similarity.knnGraph(t(s, dir, "embeddings"))),
+    "e25_knn_graph_recall" -> ((s, dir) =>
+      operators.Similarity.knnGraphRecall(t(s, dir, "embeddings"))),
     "d8_embedding_ladder" -> ((s, dir) =>
       operators.Similarity.embeddingNearDupLadder(t(s, dir, "embeddings"))),
     // m-tier: REAL container bytes (PNG/WAV/animated GIF built and
@@ -1118,6 +1125,8 @@ object SparkEntry {
     "e21_knn_filtered" -> SimOracles.knnBruteFilteredSql(),
     "e22_knn_ivf_filtered" -> SimOracles.knnIvfFilteredSql(),
     "e23_filtered_recall" -> SimOracles.filteredRecallSql(),
+    "e24_knn_graph" -> SimOracles.knnGraphSql(),
+    "e25_knn_graph_recall" -> SimOracles.knnGraphRecallSql(),
     "d8_embedding_ladder" -> SimOracles.embeddingLadderSql(),
     "d1_dedup_exact" -> """
       SELECT doc_id, sha256(text) AS fingerprint,

@@ -1000,6 +1000,81 @@ object Similarity {
     recallVsBrute(emb, knnIvfSq8(emb, nQueries, k, nCells, nProbe, cIters,
       dim), nQueries, k)
 
+  // ------------------------------------------------ k-NN graph (NN-descent)
+
+  /** e24 — distributed k-NN GRAPH construction, NN-descent posture
+    * (Dong et al. 2011, "Efficient k-nearest neighbor graph construction
+    * for generic similarity measures"): the offline primitive behind
+    * every graph ANN index (HNSW/NSG base layers are refined k-NN
+    * graphs, and at 10⁹ vectors the graph is built exactly like this —
+    * iterative candidate expansion on a cluster, not per-point search).
+    * Start from a DETERMINISTIC pseudo-random graph (hash formula, no
+    * RNG — the oracle replays it digit-for-digit), then each round
+    * expands every node's candidates to current ∪ reverse ∪ 2-hop
+    * neighbors ("a neighbor of my neighbor is likely my neighbor" — the
+    * NN-descent local-join insight) and keeps the top-k by quantized
+    * dot. Converges in O(log n)-ish rounds on clustered data; 2 rounds
+    * already lift recall well above the random start (e25 measures it).
+    *
+    * Scale shape: edges are (id, id) pairs — ids ONLY ever shuffle; the
+    * per-round candidate set is ≤ n·k(k+2) rows (k² two-hop + k reverse
+    * + k current per node), LINEAR in n for fixed k — never n². Scoring
+    * joins the candidate list to the quantized-vector relation twice
+    * (keyed equi-joins on a cached relation); per-node top-k is the
+    * heap-merge aggregator (≤ k rows per (node, partition) across the
+    * exchange — the e1 argument); each round localCheckpoints so plan
+    * lineage stays flat (the d11 lesson). Output: (u, w, dot, rnk) for
+    * every node — the adjacency a downstream HNSW/NSG builder consumes.
+    */
+  def knnGraph(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k,rounds >= 1, got $k,$rounds")
+    val n = emb.count()
+    val eq = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .localCheckpoint()
+    // deterministic init: node u proposes (u*131 + j*97) mod n for
+    // j < k — self-loops dropped, collisions dedup'd (a node may start
+    // with < k neighbors; expansion refills)
+    var g = eq.select(col("vec_id").as("u"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("u"), ((col("u") * 131 + col("j") * 97) % n).as("w"))
+      .filter(col("w") =!= col("u")).distinct()
+      .localCheckpoint()
+    var top: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val twoHop = g.as("a").join(g.as("b"), col("a.w") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.w").as("w"))
+        .filter(col("w") =!= col("u"))
+      val rev = g.select(col("w").as("u"), col("u").as("w"))
+      val cand = g.unionByName(twoHop).unionByName(rev).distinct()
+      val scored = cand
+        .join(eq.select(col("vec_id").as("u"), col("qe").as("qu")), Seq("u"))
+        .join(eq.select(col("vec_id").as("w"), col("qe").as("qw")), Seq("w"))
+        .select(col("u").as("qid"), col("w").as("nid"),
+          dotCols(col("qu"), col("qw")).as("dot"))
+      top = topKByDot(scored, k)
+      g = top.select(col("qid").as("u"), col("nid").as("w")).localCheckpoint()
+    }
+    top.select(col("qid").as("u"), col("nid").as("w"), col("dot"),
+      col("rnk"))
+  }
+
+  /** e25 — recall of the NN-descent graph vs the TRUE k-NN graph on a
+    * node sample: edges of [[knnGraph]] hit in [[knnBruteAgg]]'s exact
+    * top-k for nodes < nSample. The metric an offline graph build is
+    * accepted/rejected on before the (expensive) index refinement
+    * consumes it.
+    */
+  def knnGraphRecall(emb: DataFrame, k: Int = 8, rounds: Int = 2,
+                     nSample: Int = 50): DataFrame = {
+    val truth = knnBruteAgg(emb, nSample, k).select(col("qid"), col("nid"))
+    val g = knnGraph(emb, k, rounds).filter(col("u") < nSample)
+      .select(col("u").as("q2"), col("w").as("n2"))
+    truth.join(g, col("qid") === col("q2") && col("nid") === col("n2"),
+        "left")
+      .agg(count(lit(1)).as("total"), count(col("q2")).as("hits"))
+      .select(col("hits"), col("total"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the learned k-means coarse
     * quantizer ([[kmeansCentroids]]), then prune within-cluster semantic

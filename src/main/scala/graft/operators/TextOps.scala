@@ -2031,9 +2031,14 @@ object TextOps {
   def perplexityBuckets(docs: DataFrame, minCount: Long = 1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // scored feeds TWO actions (the threshold histogram and the final
+    // bucket join): localCheckpoint so the bigram-LM chain — two corpus
+    // count tables + the doc join — runs ONCE, not once per action
+    // (measured: 14.9 s → ~8 s at sf0.1)
     val scored = bigramLmQuality(docs, minCount)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("nll_x100"))
+      .localCheckpoint()
     val hist = scored.groupBy(col("lang"), col("nll_x100"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -313,6 +313,34 @@ class SimilaritySpec extends SparkSuite {
       s"filtered recall ${rec.getLong(0)}/${rec.getLong(1)} below 0.5")
   }
 
+  test("knnGraph (NN-descent): descends — recall strictly improves with " +
+    "rounds, edges are well-formed, clusters lock in on constructed data") {
+    // constructed clusters: with enough rounds the graph edges settle
+    // in-cluster (in-cluster dots ~1e8, cross ~1e6·eps)
+    val g = Similarity.knnGraph(emb, k = 3, rounds = 4).collect()
+    assert(g.nonEmpty)
+    val inCluster = g.count(r => r.getLong(0) % 2 == r.getLong(1) % 2)
+    assert(inCluster * 10 >= g.length * 8,
+      s"only $inCluster/${g.length} edges in-cluster after 4 rounds")
+    // well-formed: no self loops, rnk within 1..k, <= k edges per node
+    g.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+    assert(g.groupBy(_.getLong(0)).values.map(_.size).max <= 3)
+    // real corpus: the descent property — more rounds, strictly more
+    // true-k-NN edges recovered (this is the paper's convergence claim
+    // at benchmark scale), and round-2 recall far above the random init
+    val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val r1 = Similarity.knnGraphRecall(embReal, rounds = 1).collect()(0)
+    val r2 = Similarity.knnGraphRecall(embReal, rounds = 2).collect()(0)
+    assert(r2.getLong(1) == 400L)
+    assert(r2.getLong(0) > r1.getLong(0),
+      s"round 2 recall ${r2.getLong(0)} not above round 1 ${r1.getLong(0)}")
+    assert(r2.getLong(0) * 10 >= r2.getLong(1) * 3,
+      s"graph recall ${r2.getLong(0)}/${r2.getLong(1)} below 0.3")
+  }
+
   test("AnnModel: save/load round-trips bit-exactly and the loaded model " +
     "serves identically to the in-memory one") {
     val dir = java.nio.file.Files.createTempDirectory("annmodel").toString
