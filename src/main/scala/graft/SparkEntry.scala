@@ -725,6 +725,14 @@ object SparkEntry {
       operators.Multimodal.extractFeatures(s,
         operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
         .toDF()),
+    // perceptual fingerprints over DECODED pixels: 8x8 average-hash +
+    // 64-segment stream hash, exact-integer comparisons — the engine
+    // round-trips real PNG bytes, the oracle replays the generator's
+    // pixel arithmetic bit-for-bit
+    "m5_perceptual_hash" -> ((s, dir) =>
+      operators.Multimodal.perceptualHash(s,
+        operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
+        .toDF()),
     // frame sampling: every ceil(n/4)th frame of each video row — the
     // explode fan-out a frame-level extractor consumes; n_frames comes
     // from the actual GIF image-descriptor walk
@@ -1285,6 +1293,58 @@ object SparkEntry {
       SELECT doc_id, CAST(k AS INT) AS feat_idx,
         (np * (k + 1) + bsum * (k * k + 1)) % 100000 AS value
       FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks""",
+    "m5_perceptual_hash" -> """
+      WITH imgs AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n0,
+          CAST(length(text) % 64 + 1 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 0),
+      gs AS (
+        SELECT doc_id, text, n0, w,
+          greatest((n0 + w - 1) // w, 1) AS h,
+          w * greatest((n0 + w - 1) // w, 1) AS np,
+          CAST(COALESCE(list_sum(list_transform(range(1, CAST(n0 AS INT) + 1),
+            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))), 0)
+            AS BIGINT) AS gsum
+        FROM imgs),
+      blocks AS (
+        SELECT doc_id, np, gsum, bi.b AS bi, bj.b AS bj,
+          CAST(COALESCE(list_sum(flatten(
+            list_transform(range(bi.b * h // 8, (bi.b + 1) * h // 8), r ->
+              list_transform(range(bj.b * w // 8, (bj.b + 1) * w // 8), c ->
+                CASE WHEN r * w + c < n0
+                  THEN CAST(ascii(substr(text, CAST(r * w + c + 1 AS INT), 1))
+                    AS BIGINT)
+                  ELSE 0 END)))), 0) AS BIGINT) AS bs,
+          ((bi.b + 1) * h // 8 - bi.b * h // 8)
+            * ((bj.b + 1) * w // 8 - bj.b * w // 8) AS bc
+        FROM gs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bi
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bj),
+      ah AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN bs * np > gsum * bc
+            THEN CASE WHEN bi * 8 + bj = 63 THEN -9223372036854775808
+              ELSE 1::BIGINT << CAST(bi * 8 + bj AS INT) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM blocks GROUP BY doc_id),
+      segs AS (
+        SELECT doc_id, np, gsum, s.s AS s,
+          CAST(COALESCE(list_sum(
+            list_transform(range(s.s * np // 64, (s.s + 1) * np // 64), k ->
+              CASE WHEN k < n0
+                THEN CAST(ascii(substr(text, CAST(k + 1 AS INT), 1)) AS BIGINT)
+                ELSE 0 END)), 0) AS BIGINT) AS ss,
+          ((s.s + 1) * np // 64 - s.s * np // 64) AS sc
+        FROM gs CROSS JOIN (SELECT unnest(range(0, 64)) AS s) s),
+      sh AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN ss * np > gsum * sc
+            THEN CASE WHEN s = 63 THEN -9223372036854775808
+              ELSE 1::BIGINT << CAST(s AS INT) END
+            ELSE 0 END) AS BIGINT) AS shash
+        FROM segs GROUP BY doc_id)
+      SELECT g.doc_id, CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+        ahash, shash
+      FROM gs g JOIN ah USING (doc_id) JOIN sh USING (doc_id)""",
     "m4_frame_sample" -> """
       WITH v AS (
         SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames

@@ -178,4 +178,100 @@ object Multimodal {
         }
       }
   }
+
+  case class MediaFingerprint(doc_id: Long, width: Int, height: Int,
+                              ahash: Long, shash: Long)
+
+  /** m5 — perceptual fingerprints over DECODED image pixels (the media
+    * arm of the dedup ladder): `ahash` is the classic average-hash on an
+    * 8×8 block grid over the image's own dimensions (bit = block mean >
+    * global mean — resize-robust, the pHash-family screen every image
+    * dedup pipeline runs first), `shash` is its 1D sibling over the raw
+    * pixel STREAM in 64 equal segments (reflow-robust: two images whose
+    * byte streams are near-identical but whose widths differ — re-wrapped
+    * scans, row-major re-encodes — keep close shash where ahash
+    * diverges). All comparisons are exact-integer cross-multiplied
+    * (blockSum·N > globalSum·blockCount), so the DuckDB oracle replays
+    * both hashes bit-for-bit from the generator's pixel arithmetic while
+    * the engine round-trips REAL container bytes through the full PNG
+    * decode (zlib, CRCs).
+    *
+    * Scale shape: per-row mapPartitions over the decoded payload —
+    * embarrassingly parallel, media bytes never cross an exchange; what
+    * shuffles downstream ([[mediaNearDupPairs]]) is two longs per image.
+    */
+  def perceptualHash(spark: SparkSession,
+                     media: DataFrame): Dataset[MediaFingerprint] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = MediaCodecs.decodePng(bytes)
+          val w = img.width; val h = img.height
+          val px = img.pixels
+          val n = w.toLong * h
+          var gs = 0L
+          var i = 0
+          while (i < px.length) { gs += px(i) & 0xff; i += 1 }
+          var ah = 0L
+          var bi = 0
+          while (bi < 8) {
+            val r0 = bi * h / 8; val r1 = (bi + 1) * h / 8
+            var bj = 0
+            while (bj < 8) {
+              val c0 = bj * w / 8; val c1 = (bj + 1) * w / 8
+              var bs = 0L
+              var r = r0
+              while (r < r1) {
+                var c = c0
+                while (c < c1) { bs += px(r * w + c) & 0xff; c += 1 }
+                r += 1
+              }
+              val bc = (r1 - r0).toLong * (c1 - c0)
+              if (bs * n > gs * bc) ah |= 1L << (bi * 8 + bj)
+              bj += 1
+            }
+            bi += 1
+          }
+          var sh = 0L
+          var s = 0
+          while (s < 64) {
+            val p0 = s * px.length / 64; val p1 = (s + 1) * px.length / 64
+            var ss = 0L
+            var p = p0
+            while (p < p1) { ss += px(p) & 0xff; p += 1 }
+            if (ss * n > gs * (p1 - p0).toLong) sh |= 1L << s
+            s += 1
+          }
+          MediaFingerprint(id, w, h, ah, sh)
+        }
+      }
+  }
+
+  /** Media near-dup pairs over the stream fingerprint: d3's SimHash
+    * screen transplanted to decoded pixels — 4×16-bit bands of `shash`
+    * bucket-join (ids + one long only), exact 64-bit hamming verify on
+    * collisions. A pair survives iff ≥1 band matches exactly AND total
+    * hamming ≤ maxHamming — linear candidate volume, never n² images.
+    */
+  def mediaNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 8): DataFrame = {
+    val fp = perceptualHash(spark, media).toDF()
+    val banded = fp.select(col("doc_id"), col("shash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("shash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.shash").as("h1"), col("b.shash").as("h2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+  }
 }

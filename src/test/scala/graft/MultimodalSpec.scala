@@ -124,6 +124,36 @@ class MultimodalSpec extends SparkSuite {
     assert(feats == Seq(0L, 0L)) // empty payload → all-zero features
   }
 
+  test("perceptualHash: identical pixels → identical prints; a 1-pixel " +
+    "edit stays hamming-close; near-dup pairs verify through the bands") {
+    // content whose global mean lands BETWEEN the two letter values
+    // (mostly-'z' with an 'a' minority): mean ≈ 116 ∈ ('a'=97, 'z'=122),
+    // so segment bits actually track WHERE the 'a' run sits — a
+    // balanced half/half profile is degenerate (zero padding drags the
+    // mean below every letter and all content bits read 1)
+    val base = "a" * 41 + "z" * 150              // n=191 ⇒ w=64, 1 pad px
+    val onePx = base.updated(100, 'y')           // same length ⇒ same layout
+    val unrelated = "z" * 150 + "a" * 41         // 'a' run at the far end
+    val media = Multimodal.synthesizeMedia(spark,
+      docs(3L -> base, 6L -> base, 9L -> onePx, 12L -> unrelated)).toDF()
+    val fp = Multimodal.perceptualHash(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(fp.keySet == Set(3L, 6L, 9L, 12L))
+    // identical pixel streams → bit-identical prints
+    assert(fp(3L).ahash == fp(6L).ahash && fp(3L).shash == fp(6L).shash)
+    // one substituted pixel flips at most a couple of mean comparisons
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(3L).shash, fp(9L).shash) <= 4)
+    assert(ham(fp(3L).ahash, fp(9L).ahash) <= 4)
+    // unrelated content is far in the stream hash
+    assert(ham(fp(3L).shash, fp(12L).shash) > 8)
+    // the banded pair op finds exactly the dup + near-dup family
+    val pairs = Multimodal.mediaNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 6L)) && pairs.contains((3L, 9L)), pairs)
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L), pairs)
+  }
+
   test("generate/decode/extract stay partition-batched (no shuffle)") {
     val media = Multimodal.synthesizeMedia(spark,
       docs((1L to 20L).map(i => i -> s"doc$i"): _*)).toDF()
