@@ -393,6 +393,10 @@ object SparkEntry {
     // containment estimates
     "d17_source_dup_matrix" -> ((s, dir) =>
       operators.TextOps.sourceDupMatrix(t(s, dir, "documents"))),
+    // typo-family clusters: the d11 components engine over d16's
+    // character-level verified relation
+    "d18_editdist_clusters" -> ((s, dir) =>
+      operators.TextOps.editDistClusters(t(s, dir, "documents"))),
     // transitive dup clusters: iterative hash-to-min connected components
     // over the ladder's verified pairs — DuckDB checks the fixpoint with
     // an independent recursive-CTE transitive closure
@@ -1100,6 +1104,7 @@ object SparkEntry {
     "d7_neardup_ladder" -> TextOracles.nearDupLadderSql(),
     "d16_editdist_pairs" -> TextOracles.editDistancePairsSql(),
     "d17_source_dup_matrix" -> TextOracles.sourceDupMatrixSql(),
+    "d18_editdist_clusters" -> TextOracles.editDistClustersSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     // identical label contract (cluster_id = component min over the same
     // verified pairs), so the same independent transitive-closure oracle

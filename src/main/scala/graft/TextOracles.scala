@@ -97,6 +97,32 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** d18: typo-family clusters — recursive-CTE transitive closure over
+    * the d16 edit-distance-verified pairs (same label contract as d11's
+    * oracle, different verify rung).
+    */
+  def editDistClustersSql(k: Int = 32, bands: Int = 8,
+                          minBandHits: Int = 2, maxDist: Int = 24): String =
+    s"""WITH RECURSIVE ${shingleCtes()} ${minhashCtes(k, bands)},
+cand AS (SELECT doc1, doc2 FROM voted WHERE band_hits >= $minBandHits),
+verified AS (
+  SELECT doc1, doc2 FROM cand
+  JOIN documents a ON a.doc_id = doc1
+  JOIN documents b ON b.doc_id = doc2
+  WHERE levenshtein(a.text, b.text) <= $maxDist),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM verified
+  UNION
+  SELECT doc2 AS src, doc1 AS dst FROM verified),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+labels AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id"""
+
   /** d17: cross-source dup attribution — the d7 ladder chain, pairs
     * joined to their sources, counted per unordered source pair.
     */

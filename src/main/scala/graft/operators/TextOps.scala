@@ -280,6 +280,31 @@ object TextOps {
       .filter(col("lev") >= 0)
   }
 
+  /** d18 — typo-family CLUSTERS: the components engine composed over
+    * [[editDistancePairs]]' character-level relation instead of the
+    * shingle-Jaccard one (the same swap d16 makes under d7). OCR/typo
+    * boilerplate forms transitive families exactly like shingle
+    * near-dups do (A~B, B~C with A,C two edits apart), and downstream
+    * policy is cluster-level (keep one per family, count family mass
+    * per source) — so the edit-distance rung needs the same
+    * cluster closure d11 gives the Jaccard rung. Identical label
+    * contract (cluster_id = min reachable doc_id, singletons
+    * self-label); [[componentsAuto]] routes chain-shaped graphs to
+    * star contraction. The oracle cross-checks with an independent
+    * recursive-CTE transitive closure over the SAME verified pairs.
+    */
+  def editDistClusters(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                       minBandHits: Int = 2, maxDist: Int = 24,
+                       maxIters: Int = 25): DataFrame = {
+    val pairs = editDistancePairs(docs, k, bands, minBandHits, maxDist)
+      .select(col("doc1"), col("doc2"))
+    val labels = componentsAuto(pairs, maxIters)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Transitive duplicate CLUSTERS over the ladder's verified pairs —
     * connected components by iterative hash-to-min label propagation
     * (Rastogi et al. 2013's Hash-to-Min shape on DataFrames). Pairwise

@@ -93,6 +93,25 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L), got)
   }
 
+  test("editDistClusters: transitive typo families close through the " +
+    "middle doc even when the endpoints exceed the edit bound") {
+    // d(A,B)=20, d(B,C)=20 — both within 24; d(A,C)=40 — outside. The
+    // cluster must still unite all three THROUGH B (the transitivity
+    // d16's pairwise output cannot express), while unrelated self-labels.
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val b = (1 to 60).map(i => if (i == 10) "Q" * 20 else s"w$i").mkString(" ")
+    val c = (1 to 60).map(i =>
+      if (i == 10) "Q" * 20 else if (i == 40) "R" * 20 else s"w$i").mkString(" ")
+    val d = docs(1L -> a, 2L -> b, 3L -> c, 4L -> unrelated)
+    // preconditions: the pair tier sees exactly (A,B) and (B,C)
+    val pairs = TextOps.editDistancePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), pairs)
+    val got = TextOps.editDistClusters(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), got)
+  }
+
   test("editDistancePairs: bounded Levenshtein verifies the typo pair, " +
     "threshold excludes, distance value is exact") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
