@@ -397,6 +397,11 @@ object SparkEntry {
     // character-level verified relation
     "d18_editdist_clusters" -> ((s, dir) =>
       operators.TextOps.editDistClusters(t(s, dir, "documents"))),
+    // the THIRD blocking strategy (after LSH and SimHash bands):
+    // sorted-neighborhood — global rank with no global sort (t20's
+    // machinery), rank-adjacency window, bounded-Levenshtein verify
+    "d19_sorted_neighbors" -> ((s, dir) =>
+      operators.TextOps.sortedNeighborPairs(t(s, dir, "documents"))),
     // transitive dup clusters: iterative hash-to-min connected components
     // over the ladder's verified pairs — DuckDB checks the fixpoint with
     // an independent recursive-CTE transitive closure
@@ -1105,6 +1110,7 @@ object SparkEntry {
     "d16_editdist_pairs" -> TextOracles.editDistancePairsSql(),
     "d17_source_dup_matrix" -> TextOracles.sourceDupMatrixSql(),
     "d18_editdist_clusters" -> TextOracles.editDistClustersSql(),
+    "d19_sorted_neighbors" -> TextOracles.sortedNeighborSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     // identical label contract (cluster_id = component min over the same
     // verified pairs), so the same independent transitive-closure oracle

@@ -97,6 +97,29 @@ JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
 WHERE inter * 10 >= (s1.n_sh + s2.n_sh - inter) * 7"""
 
+  /** d19: sorted-neighborhood pairs — a plain global rank window over
+    * the same order-preserving prefix key (the oracle may sort
+    * globally; the Spark op must not), rank-adjacency pairing, bounded
+    * Levenshtein verify.
+    */
+  def sortedNeighborSql(window: Int = 4, maxDist: Int = 24): String = {
+    val key8 = (0 until 8).map(i =>
+      s"(CASE WHEN length(text) > $i THEN CAST(ascii(substr(text, ${i + 1}, 1)) AS BIGINT) ELSE 0 END * (1::BIGINT << ${8 * (7 - i)}))")
+      .mkString(" + ")
+    s"""WITH keyed AS (
+  SELECT doc_id, text, $key8 AS key8 FROM documents),
+ranked AS (
+  SELECT doc_id, text,
+    row_number() OVER (ORDER BY key8, doc_id) - 1 AS pos
+  FROM keyed),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.text AS t1, b.text AS t2
+  FROM ranked a JOIN ranked b
+    ON b.pos > a.pos AND b.pos <= a.pos + $window)
+SELECT doc1, doc2, CAST(levenshtein(t1, t2) AS INT) AS lev
+FROM pairs WHERE levenshtein(t1, t2) <= $maxDist"""
+  }
+
   /** d18: typo-family clusters — recursive-CTE transitive closure over
     * the d16 edit-distance-verified pairs (same label contract as d11's
     * oracle, different verify rung).

@@ -280,6 +280,68 @@ object TextOps {
       .filter(col("lev") >= 0)
   }
 
+  /** The order-preserving 8-byte prefix key: Σ byte_i · 256^(7−i) over
+    * the first 8 characters (0-padded when shorter) — for ASCII text,
+    * ordering by this long IS ordering by the truncated lexicographic
+    * key, computable identically in both engines.
+    */
+  private def prefixKey8(text: Column): Column =
+    (0 until 8).map { i =>
+      when(length(text) > i,
+        ascii(substring(text, i + 1, 1)).cast("long")).otherwise(0L) *
+        (1L << (8 * (7 - i)))
+    }.reduce(_ + _)
+
+  /** d19 — SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1995, the
+    * merge/purge method): the third blocking strategy next to LSH bands
+    * (d7/d16) and SimHash bands (d3) — sort the corpus by a truncated
+    * key and compare each record only to its `window` successors in the
+    * sort order. Classic record-linkage; catches near-dups whose edits
+    * are DENSE (many shingles changed — band recall collapses) but whose
+    * prefix is stable, the template-with-rewritten-tail shape. Key =
+    * the 8-byte text prefix as an order-preserving long.
+    *
+    * Scale shape — the t20 machinery in a new role: a GLOBAL rank with
+    * NO global sort. Top-2-byte range buckets tile the keyspace in
+    * order (≤ 65k histogram rows to the driver regardless of corpus
+    * size), a driver cumsum assigns per-bucket base offsets, and the
+    * within-bucket window is bounded by a bucket's population (prefix
+    * skew — every doc starting "the " — is the method's classic
+    * weakness; widen the bucket byte-depth or pre-salt hot prefixes at
+    * corpus scale). Neighborhood pairing is rank-adjacency as an
+    * EQUI-join: each doc explodes its `window` successor ranks — n·w
+    * rows, linear — and the verify is d16's bounded Levenshtein on
+    * exactly those pairs. Output (doc1, doc2, lev), doc1 = lower rank.
+    */
+  def sortedNeighborPairs(docs: DataFrame, window: Int = 4,
+                          maxDist: Int = 24): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"), col("text"),
+        prefixKey8(col("text")).as("key8"))
+      .withColumn("b", shiftright(col("key8"), 48).cast("int"))
+    val hist = keyed.groupBy(col("b")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    var cum = 0L
+    val offs = hist.sortBy(_._1).map { case (b, n) =>
+      val o = (b, cum); cum += n; o
+    }
+    val w = Window.partitionBy(col("b")).orderBy(col("key8"), col("doc_id"))
+    val ranked = keyed
+      .join(broadcast(offs.toSeq.toDF("b", "off")), Seq("b"))
+      .withColumn("pos", col("off") + row_number().over(w) - 1)
+      .select(col("doc_id"), col("text"), col("pos"))
+    val probes = ranked.select(col("doc_id").as("doc1"),
+      col("text").as("t1"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("pos"))
+    probes.join(ranked.select(col("doc_id").as("doc2"),
+        col("text").as("t2"), col("pos")), Seq("pos"))
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("t1"), col("t2"), maxDist).as("lev"))
+      .filter(col("lev") >= 0)
+  }
+
   /** d18 — typo-family CLUSTERS: the components engine composed over
     * [[editDistancePairs]]' character-level relation instead of the
     * shingle-Jaccard one (the same swap d16 makes under d7). OCR/typo

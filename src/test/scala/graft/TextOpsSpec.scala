@@ -93,6 +93,56 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L), got)
   }
 
+  test("sortedNeighborPairs: bucketed no-global-sort rank reproduces the " +
+    "true sorted-window pairs (differential vs a driver-side sort)") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    // varied prefixes incl. shared ones (same first-8 bucket) and a
+    // doc shorter than the key width
+    val texts = Seq(
+      1L -> ((1 to 60).map(i => s"alpha w$i").mkString(" ")),
+      2L -> ((1 to 60).map(i => if (i == 30) "alpha X" else s"alpha w$i").mkString(" ")),
+      3L -> ((1 to 60).map(i => s"beta w$i").mkString(" ")),
+      4L -> ((1 to 60).map(i => if (i == 10) "beta Y" else s"beta w$i").mkString(" ")),
+      5L -> "tiny",
+      6L -> ((1 to 60).map(i => s"zeta w$i").mkString(" ")))
+    val d = docs(texts: _*)
+    val window = 3; val maxDist = 24
+    val got = TextOps.sortedNeighborPairs(d, window, maxDist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver reference: true global sort by (key8, doc_id), all pairs
+    // within `window` ranks, unbounded levenshtein ≤ maxDist
+    def key8(t: String): Long =
+      (0 until 8).map(i =>
+        (if (i < t.length) t.charAt(i).toLong else 0L) << (8 * (7 - i))).sum
+    val order = texts.sortBy { case (id, t) => (key8(t), id) }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      i <- order.indices
+      j <- (i + 1) until math.min(i + 1 + window, order.size)
+      dist = lev(order(i)._2, order(j)._2) if dist <= maxDist
+    } yield (order(i)._1, order(j)._1, dist)).toSet
+    assert(got == want, s"got $got want $want")
+    // the shared-prefix near-dup pairs are IN (adjacency found them)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L || p._1 == 2L && p._2 == 1L))
+    // sanity vs Spark's own levenshtein for one pair
+    val sparkLev = d.sparkSession.sql(
+      s"SELECT levenshtein('${texts(0)._2}', '${texts(1)._2}')")
+      .collect()(0).getInt(0)
+    assert(want.exists(_._3 == sparkLev))
+  }
+
   test("editDistClusters: transitive typo families close through the " +
     "middle doc even when the endpoints exceed the edit bound") {
     // d(A,B)=20, d(B,C)=20 — both within 24; d(A,C)=40 — outside. The
