@@ -407,6 +407,58 @@ object ExplainAudit {
       forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"))
 
+    // d16 edit-distance rung: same candidate shape as d7 (band buckets,
+    // ids-only semi restriction) with the bounded-Levenshtein verify a
+    // pure projection on the joined pair rows — no product join, no
+    // rank window; the verify-tier joins broadcast (candidate set ≪
+    // corpus at sf; at scale AQE decides)
+    audit("d16_editdist_pairs",
+      SparkEntry.queries("d16_editdist_pairs")(spark, sfDir),
+      Seq("partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // d17 attribution matrix: the sparse verified-pair relation joins
+    // the id→source map as equi-joins; final aggregate two-phase. No
+    // product joins, no windows.
+    audit("d17_source_dup_matrix",
+      SparkEntry.queries("d17_source_dup_matrix")(spark, sfDir),
+      Seq("partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // d19 sorted-neighborhood: the rank stage's Window is BOUNDED by a
+    // prefix bucket (never the corpus — the t20 contract), offsets come
+    // back broadcast, rank-adjacency pairing is an EQUI-join of the
+    // exploded successor ranks; no product join anywhere
+    audit("d19_sorted_neighbors",
+      SparkEntry.queries("d19_sorted_neighbors")(spark, sfDir),
+      Seq("BroadcastHashJoin"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+    // t30 BPE-budget: t18's plan contract under the trained count
+    // column — verdict tables broadcast back, the corpus is never
+    // sort-merge-joined (the in-row BPE replay adds no join at all)
+    audit("t30_bpe_budget",
+      SparkEntry.queries("t30_bpe_budget")(spark, sfDir),
+      Seq("BroadcastHashJoin"),
+      forbid = Seq("CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin"))
+
+    // t31 perplexity terciles: downstream of the localCheckpointed LM
+    // scores, the threshold table must come back BROADCAST as a per-row
+    // CASE — no ntile/rank window over the corpus
+    audit("t31_perplexity_buckets",
+      SparkEntry.queries("t31_perplexity_buckets")(spark, sfDir),
+      Seq("BroadcastHashJoin"),
+      forbid = Seq("Window", "CartesianProduct", "SortMergeJoin"))
+
+    // m5 perceptual fingerprints: the m-tier contract — media bytes
+    // stay inside the partition-batched decode boundary; hashing is a
+    // pure per-row pass, ZERO exchanges
+    audit("m5_perceptual_hash",
+      SparkEntry.queries("m5_perceptual_hash")(spark, sfDir),
+      Seq("MapPartitions"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
     spark.stop()
   }
 }
