@@ -285,7 +285,7 @@ object TextOps {
     * ordering by this long IS ordering by the truncated lexicographic
     * key, computable identically in both engines.
     */
-  private def prefixKey8(text: Column): Column =
+  private[graft] def prefixKey8(text: Column): Column =
     (0 until 8).map { i =>
       when(length(text) > i,
         ascii(substring(text, i + 1, 1)).cast("long")).otherwise(0L) *

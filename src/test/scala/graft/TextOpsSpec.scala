@@ -93,6 +93,58 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L), got)
   }
 
+  test("prefixKey8 law: ordering by the packed long IS ordering by the " +
+    "8-char truncated string, on seeded random ASCII strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val strs = (0 until 300).map { _ =>
+      val len = rnd.nextInt(14)
+      (1 to len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }.distinct
+    val keys = strs.toDF("text")
+      .select(col("text"), TextOps.prefixKey8(col("text")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (a <- strs; b <- strs) {
+      val (ta, tb) = (a.take(8), b.take(8))
+      val cmpStr = ta.compareTo(tb).sign
+      val cmpKey = keys(a).compareTo(keys(b)).sign
+      assert(cmpStr == cmpKey,
+        s"'$a' vs '$b': string cmp $cmpStr, key cmp $cmpKey")
+    }
+  }
+
+  test("Spark levenshtein law: agrees with an independent Wagner-Fischer " +
+    "DP on seeded random pairs, thresholded form consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    def dp(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 150).map { _ =>
+      def s() = (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      (s(), s())
+    }
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), levenshtein(col("a"), col("b")).as("l"),
+        levenshtein(col("a"), col("b"), 3).as("lt"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2), r.getInt(3)))
+    got.foreach { case (a, b, l, lt) =>
+      val want = dp(a, b)
+      assert(l == want, s"lev('$a','$b') = $l, DP says $want")
+      assert(lt == (if (want <= 3) want else -1),
+        s"thresholded lev('$a','$b') = $lt, want ${if (want <= 3) want else -1}")
+    }
+  }
+
   test("sortedNeighborPairs: bucketed no-global-sort rank reproduces the " +
     "true sorted-window pairs (differential vs a driver-side sort)") {
     import org.apache.spark.sql.functions.{col, levenshtein}
