@@ -462,6 +462,10 @@ object SparkEntry {
     // the shuffled side
     "t12_decontaminate" -> ((s, dir) =>
       operators.TextOps.decontaminate(t(s, dir, "documents"))),
+    // production decon: N suites, one corpus pass, per-suite
+    // attribution in a dense (doc x suite) grid
+    "t33_multisuite_decon" -> ((s, dir) =>
+      operators.TextOps.multiSuiteDecon(t(s, dir, "documents"))),
     // FUZZY decontamination: MinHash-banded train-vs-eval collisions,
     // exact-Jaccard ≥ 1/2 verified on candidates only — length-robust
     // (fraction verdict, not t12's absolute hit count) and attributing
@@ -1066,6 +1070,7 @@ object SparkEntry {
     "t9_data_mix" -> TextOracles.mixSql,
     "t10_seq_pack" -> TextOracles.seqPackSql(),
     "t12_decontaminate" -> TextOracles.decontaminateSql(),
+    "t33_multisuite_decon" -> TextOracles.multiSuiteDeconSql(),
     "d14_fuzzy_decon" -> TextOracles.fuzzyDeconSql(),
     "t23_ngram_coverage" -> TextOracles.ngramCoverageSql(),
     "d15_dup_run" -> TextOracles.dupRunSql(),

@@ -582,6 +582,33 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN st USING (doc_id)
 WHERE d.doc_id % 29 <> 3"""
 
+  /** t33: multi-suite decontamination — t12's chain with a suite tag on
+    * the eval shingles and a dense (train doc × suite) output grid.
+    */
+  def multiSuiteDeconSql(nSuites: Int = 3, minHits: Int = 3): String =
+    s"""WITH ${shingleCtes()},
+phs AS (SELECT doc_id, ${ph("shingle")} AS ph FROM sh),
+ev AS (
+  SELECT DISTINCT CAST(doc_id % 29 - 3 AS INT) AS suite, ph
+  FROM phs WHERE doc_id % 29 >= 3 AND doc_id % 29 < ${3 + nSuites}),
+tr AS (
+  SELECT doc_id, ph FROM phs
+  WHERE NOT (doc_id % 29 >= 3 AND doc_id % 29 < ${3 + nSuites})),
+hits AS (
+  SELECT tr.doc_id, ev.suite, count(*) AS n_hits
+  FROM tr JOIN ev USING (ph) GROUP BY tr.doc_id, ev.suite),
+nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+grid AS (
+  SELECT d.doc_id, CAST(s.s AS INT) AS suite, COALESCE(nsh.n_sh, 0) AS n_sh
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, $nSuites)) AS s) s
+  LEFT JOIN nsh USING (doc_id)
+  WHERE NOT (d.doc_id % 29 >= 3 AND d.doc_id % 29 < ${3 + nSuites}))
+SELECT g.doc_id, g.suite, g.n_sh,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  COALESCE(h.n_hits, 0) >= $minHits AS contaminated
+FROM grid g LEFT JOIN hits h ON h.doc_id = g.doc_id AND h.suite = g.suite"""
+
   /** t23: repeated-n-gram coverage — mirror of TextOps.ngramCoverage:
     * distinct 3-gram shingles hashed to longs, shingle document
     * frequency, per-doc duplicated share, integer-crossed flag. CASTs

@@ -1385,6 +1385,53 @@ object TextOps {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** t33 — MULTI-SUITE decontamination with per-suite attribution: the
+    * production form of t12. A real pipeline screens against MANY eval
+    * suites at once (MMLU, GSM8K, HumanEval, …) and needs to know WHICH
+    * suite a document leaks — both for the drop decision (suite-specific
+    * thresholds) and for the contamination report the eval card cites.
+    * One corpus pass: eval shingles carry a suite tag through the
+    * broadcast-able distinct relation, the train-side shingle explode
+    * joins it ONCE, and hit counts group by (doc, suite). Output is the
+    * DENSE (train doc × suite) grid — n_sh, per-suite n_hits, per-suite
+    * verdict — so downstream per-suite gates are column filters, not
+    * joins. Suites here are deterministic carve-outs (doc_id % 29 ∈
+    * {3..3+nSuites}) mirroring t12's oracle posture; the API shape is
+    * what matters — at scale a caller passes real suite tables and the
+    * tagged relation broadcasts because eval suites are MB-sized
+    * regardless of corpus size (the t12 argument, per suite).
+    *
+    * Scale shape: the corpus pays ONE shingle explode (longs, never
+    * strings), one join against the |suites|·|eval-shingles| tagged
+    * relation, one (doc, suite)-keyed two-phase count; the dense grid is
+    * an in-row sequence explode (|suites| per doc), not a cross join.
+    */
+  def multiSuiteDecon(docs: DataFrame, nSuites: Int = 3,
+                      minHits: Int = 3): DataFrame = {
+    require(nSuites >= 1 && nSuites <= 26, s"bad nSuites $nSuites")
+    val m = col("doc_id") % 29
+    val isEval = m >= 3 && m < 3 + nSuites
+    val train = docs.filter(!isEval)
+    val evalTagged = docs.filter(isEval)
+      .select((m - 3).cast("int").as("suite"),
+        explode(shingles3(tokens)).as("shingle"))
+      .select(col("suite"), poly_hash31(col("shingle")).as("ph"))
+      .distinct()
+    val trainSh = train
+      .select(col("doc_id"), explode(shingles3(tokens)).as("shingle"))
+      .select(col("doc_id"), poly_hash31(col("shingle")).as("ph"))
+    val hits = trainSh.join(evalTagged, Seq("ph"))
+      .groupBy(col("doc_id"), col("suite"))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col("doc_id"), size(shingles3(tokens)).cast("long").as("n_sh"),
+        explode(sequence(lit(0), lit(nSuites - 1))).as("suite"))
+      .join(hits, Seq("doc_id", "suite"), "left")
+      .select(col("doc_id"), col("suite"), col("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** t23 — repeated-n-gram coverage (the n-gram-granularity form of
     * exact-substring dedup, Lee et al. 2021 "Deduplicating Training Data
     * Makes Language Models Better"): for each doc, the fraction of its

@@ -93,6 +93,32 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map(("srcA", "srcB") -> 1L, ("srcB", "srcB") -> 1L), got)
   }
 
+  test("multiSuiteDecon: contamination attributes to the RIGHT suite, " +
+    "and the nSuites=1 slice is exactly t12's verdict set") {
+    val sA = (1 to 15).map(i => s"qa$i").mkString(" ")
+    val sB = (1 to 15).map(i => s"qb$i").mkString(" ")
+    val sC = (1 to 15).map(i => s"qc$i").mkString(" ")
+    // ids 3/4/5 are the three suite carve-outs (id % 29 = 3,4,5);
+    // train docs: 1 leaks suite 0, 2 leaks suite 2, 6 is clean
+    val d = docs(3L -> sA, 4L -> sB, 5L -> sC,
+      1L -> sA, 2L -> sC, 6L -> unrelated)
+    val got = TextOps.multiSuiteDecon(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(4)).toMap
+    assert(got.size == 9) // 3 train docs x 3 suites
+    assert(got((1L, 0)) && !got((1L, 1)) && !got((1L, 2)))
+    assert(!got((2L, 0)) && !got((2L, 1)) && got((2L, 2)))
+    assert(!got((6L, 0)) && !got((6L, 1)) && !got((6L, 2)))
+    // parity: with one suite the grid collapses to t12's verdicts
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val one = TextOps.multiSuiteDecon(real, nSuites = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    val t12 = TextOps.decontaminate(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(one == t12, s"${one.size} vs ${t12.size}")
+  }
+
   test("prefixKey8 law: ordering by the packed long IS ordering by the " +
     "8-char truncated string, on seeded random ASCII strings") {
     import spark.implicits._
