@@ -407,6 +407,16 @@ object ExplainAudit {
       forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"))
 
+    // p17 composed pipeline rollup: the dim enrich must be a BROADCAST
+    // join (never a shuffle of the fact side), the session window is
+    // BOUNDED by one conversation (the p12/p14 contract), the rollup is
+    // a two-phase hash aggregate; no product joins anywhere
+    audit("p17_pipeline_rollup",
+      SparkEntry.queries("p17_pipeline_rollup")(spark, sfDir),
+      Seq("BroadcastHashJoin", "HashAggregate"),
+      forbid = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"))
+
     // d16 edit-distance rung: same candidate shape as d7 (band buckets,
     // ids-only semi restriction) with the bounded-Levenshtein verify a
     // pure projection on the joined pair rows — no product join, no

@@ -75,6 +75,30 @@ object SparkEntry {
         .groupBy(col("op")).agg(count(lit(1)).as("n"))),
     "p14_sessionize" -> ((s, dir) =>
       Pipeline.sessionize(Transcripts.transcripts(s, dir))),
+    // the p-tier composed flagship (t11's role on the pipeline side):
+    // parse -> filter -> broadcast enrich -> route -> sessionize ->
+    // per-sink rollup, ONE query with a chained-CTE oracle. Session
+    // boundaries are computed over the routed relation (post-filter,
+    // post-enrich) so the rollup counts sessions each sink touches.
+    "p17_pipeline_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val routed = Pipeline.route(
+        Pipeline.enrich(valid(s, dir), Transcripts.toolDim(s)))
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val gap = unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(w))
+      routed
+        .withColumn("boundary", when(gap.isNull || gap > 1800, 1)
+          .otherwise(0))
+        .withColumn("session_id", sum(col("boundary"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("sink"))
+        .agg(count(lit(1)).as("n_turns"),
+          countDistinct(col("conv_id")).as("n_convs"),
+          countDistinct(col("tool")).as("n_tools"),
+          countDistinct(col("conv_id"), col("session_id"))
+            .as("n_sessions"))
+    }),
     "p15_resume_filter" -> ((s, dir) =>
       valid(s, dir)
         .filter(col("ts") > lit("2024-01-16 00:00:00").cast("timestamp"))
@@ -884,6 +908,27 @@ object SparkEntry {
       SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
              count(*) AS n_turns, max(turn_idx) AS last_turn
       FROM s GROUP BY conv_id, session_id"""),
+    "p17_pipeline_rollup" -> (Oracles.withAll + """
+      , rt AS (
+        SELECT v.conv_id, v.turn_idx, v.ts, v.tool,
+          (CASE op WHEN 'INS' THEN 'ins' WHEN 'UPD' THEN 'upd' ELSE 'del' END)
+            || '_' || tool_kind AS sink
+        FROM valid v JOIN tool_dim USING (tool)),
+      g AS (
+        SELECT *, epoch_us(ts) // 1000000
+          - lag(epoch_us(ts) // 1000000)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+        FROM rt),
+      s AS (
+        SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+      SELECT sink, count(*) AS n_turns,
+        count(DISTINCT conv_id) AS n_convs,
+        count(DISTINCT tool) AS n_tools,
+        count(DISTINCT (conv_id, session_id)) AS n_sessions
+      FROM s GROUP BY sink"""),
     "p15_resume_filter" -> (Oracles.withAll + """
       SELECT op, count(*) AS n, max(ts) AS max_ts, min(ts) AS min_ts
       FROM valid WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
