@@ -107,8 +107,8 @@ object ExplainAudit {
       "e13_knn_ivfpq", "e14_ivfpq_recall", "e15_knn_ivfpq_model",
       "e16_ivfpq_model_recall", "e17_knn_sq8", "e18_sq8_recall",
       "e19_knn_ivfsq8", "e20_ivfsq8_recall", "e21_knn_filtered",
-      "e23_filtered_recall", "e24_knn_graph",
-      "e25_knn_graph_recall").foreach { q =>
+      "e23_filtered_recall", "e24_knn_graph", "e25_knn_graph_recall",
+      "e26_knn_sq8_model", "e27_sq8_model_recall").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

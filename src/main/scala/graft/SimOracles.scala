@@ -593,22 +593,39 @@ FROM sdassigned s LEFT JOIN sddup d ON s.vec_id = d.vec_id"""
     * Similarity.knnSq8). All `//` numerators are ≥ 0, so DuckDB's
     * integer division agrees with Spark's `div` unconditionally.
     */
-  private def sq8ReconCtes(dim: Int): String = s""",
+  // `sampleEvery` = Some(S): bounds from the deterministic training
+  // slice (vec_id % S = 0 — re-iding is irrelevant to min/max) with the
+  // CLAMPED code (corpus values may fall outside slice bounds; the
+  // greatest(·,0) clamp also erases the one Spark-div-vs-DuckDB-floor
+  // divergence, which only occurs below zero). None: full-corpus bounds,
+  // where every numerator is ≥ 0 by construction and no clamp is needed.
+  private def sq8ReconCtes(dim: Int,
+                           sampleEvery: Option[Int] = None): String = {
+    val where = sampleEvery.map(s => s"\n  WHERE vec_id % $s = 0")
+      .getOrElse("")
+    val code = sampleEvery match {
+      case Some(_) =>
+        "least(greatest(((q[i] - mn[i]) * 255) // (mx[i] - mn[i]), 0), 255)"
+      case None => "(((q[i] - mn[i]) * 255) // (mx[i] - mn[i]))"
+    }
+    s""",
 sqbounds AS (
   SELECT d, min(q[d]) AS mn, max(q[d]) AS mx
-  FROM eq CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS d) ds
+  FROM eq CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS d) ds$where
   GROUP BY d),
 sqbl AS (
   SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM sqbounds),
 sqrecon AS (
   SELECT vec_id, list_transform(range(1, $dim + 1), i ->
     CASE WHEN mx[i] = mn[i] THEN mn[i]
-    ELSE mn[i] + ((((q[i] - mn[i]) * 255) // (mx[i] - mn[i]))
+    ELSE mn[i] + ($code
       * (mx[i] - mn[i])) // 255 END) AS re
   FROM eq CROSS JOIN sqbl)"""
+  }
 
-  private def sq8Chain(nQueries: Int, dim: Int): String =
-    sq8ReconCtes(dim) + s""",
+  private def sq8Chain(nQueries: Int, dim: Int,
+                       sampleEvery: Option[Int] = None): String =
+    sq8ReconCtes(dim, sampleEvery) + s""",
 sqscored AS (
   SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.re")} AS dot
   FROM sqrecon c CROSS JOIN eq p
@@ -626,6 +643,22 @@ sqtop AS (
   /** e18: recall@k of SQ8 vs exact brute force. */
   def sq8RecallSql(nQueries: Int = 10, k: Int = 5, dim: Int = 64): String =
     s"""WITH $eqCte ${sq8Chain(nQueries, dim)}${bruteCte(nQueries, k)},
+sqk AS (SELECT qid, nid FROM sqtop WHERE rnk <= $k)
+SELECT count(l.qid) AS hits, count(*) AS total
+FROM brute b LEFT JOIN sqk l ON b.qid = l.qid AND b.nid = l.nid"""
+
+  /** e26: SQ8 served from the persisted model — slice-trained bounds,
+    * clamped codes (mirror of Similarity.knnSq8Model).
+    */
+  def knnSq8ModelSql(nQueries: Int = 10, k: Int = 5, sampleEvery: Int = 4,
+                     dim: Int = 64): String =
+    s"WITH $eqCte ${sq8Chain(nQueries, dim, Some(sampleEvery))}\n" +
+      s"SELECT qid, nid, dot, CAST(rnk AS INT) AS rnk FROM sqtop WHERE rnk <= $k"
+
+  /** e27: recall@k of model-served SQ8 vs exact brute force. */
+  def sq8ModelRecallSql(nQueries: Int = 10, k: Int = 5, sampleEvery: Int = 4,
+                        dim: Int = 64): String =
+    s"""WITH $eqCte ${sq8Chain(nQueries, dim, Some(sampleEvery))}${bruteCte(nQueries, k)},
 sqk AS (SELECT qid, nid FROM sqtop WHERE rnk <= $k)
 SELECT count(l.qid) AS hits, count(*) AS total
 FROM brute b LEFT JOIN sqk l ON b.qid = l.qid AND b.nid = l.nid"""

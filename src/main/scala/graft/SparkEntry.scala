@@ -711,6 +711,19 @@ object SparkEntry {
       operators.Similarity.ivfPqModelRecall(emb,
         operators.Similarity.annModelFor(emb, AnnModelDir))
     }),
+    // SQ8 served from the SAME persisted artifact (v2 carries the
+    // slice-trained bounds): zero aggregates at serve time — the
+    // train-once story now covers every quantization rung
+    "e26_knn_sq8_model" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.knnSq8Model(emb,
+        operators.Similarity.annModelFor(emb, AnnModelDir))
+    }),
+    "e27_sq8_model_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.sq8ModelRecall(emb,
+        operators.Similarity.annModelFor(emb, AnnModelDir))
+    }),
     // SQ8 scalar quantization (FAISS QT_8bit): the compression rung
     // between exact float (e1) and PQ (e9) — 1 byte/dim, bounds trained
     // in ONE aggregate (no Lloyd's), encode/decode a pure in-row
@@ -1187,6 +1200,8 @@ object SparkEntry {
     // artifact file
     "e15_knn_ivfpq_model" -> SimOracles.knnIvfPqModelSql(),
     "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
+    "e26_knn_sq8_model" -> SimOracles.knnSq8ModelSql(),
+    "e27_sq8_model_recall" -> SimOracles.sq8ModelRecallSql(),
     "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
     "e19_knn_ivfsq8" -> SimOracles.knnIvfSq8Sql(),

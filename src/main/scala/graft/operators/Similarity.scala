@@ -711,7 +711,8 @@ object Similarity {
   case class AnnModel(nCells: Int, cIters: Int, m: Int, kCb: Int,
                       pqIters: Int, dim: Int, sampleEvery: Int,
                       centroids: Array[Array[Long]],
-                      books: Array[Array[Array[Long]]])
+                      books: Array[Array[Array[Long]]],
+                      sq8Mn: Array[Long], sq8Mx: Array[Long])
 
   /** The deterministic training slice: every `sampleEvery`-th vector,
     * re-id'd contiguously (vec_id div sampleEvery) so the Lloyd's seed
@@ -735,11 +736,13 @@ object Similarity {
                     pqIters: Int = 2, dim: Int = 64): AnnModel = {
     require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
     val slice = trainingSlice(emb, sampleEvery).cache()
-    val (cents, books) =
+    val (cents, books, (mn, mx)) =
       try (kmeansCentroidsQ(slice, nCells, cIters),
-        pqCodebooksQ(slice, m, kCb, pqIters, dim))
+        pqCodebooksQ(slice, m, kCb, pqIters, dim),
+        sq8BoundsQ(slice, dim))
       finally { slice.unpersist(): Unit }
-    AnnModel(nCells, cIters, m, kCb, pqIters, dim, sampleEvery, cents, books)
+    AnnModel(nCells, cIters, m, kCb, pqIters, dim, sampleEvery, cents, books,
+      mn, mx)
   }
 
   /** Persist the model as a long-format parquet table
@@ -763,7 +766,10 @@ object Similarity {
       (cv, c) <- bk.toSeq.zipWithIndex
       (v, i) <- cv.toSeq.zipWithIndex
     } yield ("book", b, c, i, v)
-    (params ++ cents ++ books).toDF("kind", "blk", "cell", "i", "v")
+    val sq8 = model.sq8Mn.toSeq.zipWithIndex.map { case (v, i) =>
+      ("sq8mn", 0, 0, i, v) } ++
+      model.sq8Mx.toSeq.zipWithIndex.map { case (v, i) => ("sq8mx", 0, 0, i, v) }
+    (params ++ cents ++ books ++ sq8).toDF("kind", "blk", "cell", "i", "v")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -790,7 +796,8 @@ object Similarity {
     }
     AnnModel(nCells, cIters, m, kCb, pqIters, dim, sampleEvery,
       grid("cent", 0, nCells, dim),
-      Array.tabulate(m)(b => grid("book", b, kCb, bd)))
+      Array.tabulate(m)(b => grid("book", b, kCb, bd)),
+      grid("sq8mn", 0, 1, dim)(0), grid("sq8mx", 0, 1, dim)(0))
   }
 
   /** Train-if-absent / load-if-present: the driver-facing composition.
@@ -809,7 +816,7 @@ object Similarity {
     val contentSig = emb
       .agg(coalesce(sum(hash(col("vec_id"), col("embedding"))), lit(0L)))
       .collect()(0).getLong(0)
-    val key = s"annmodel-v1|$contentSig|$sampleEvery|$nCells|$cIters" +
+    val key = s"annmodel-v2|$contentSig|$sampleEvery|$nCells|$cIters" +
       s"|$m|$kCb|$pqIters|$dim"
     val fp = java.security.MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -877,8 +884,16 @@ object Similarity {
     * converge, which is why it's the default first rung of the FAISS
     * compression ladder.
     */
-  def sq8Bounds(emb: DataFrame, dim: Int = 64): (Array[Long], Array[Long]) = {
-    val q = emb.select(quantized(col("embedding")).as("qe"))
+  def sq8Bounds(emb: DataFrame, dim: Int = 64): (Array[Long], Array[Long]) =
+    sq8BoundsQ(emb.select(quantized(col("embedding")).as("qe")), dim)
+
+  /** Bounds over an ALREADY-QUANTIZED (…, qe) relation — shared by the
+    * full-corpus oracle tier ([[sq8Bounds]]) and the model trainer
+    * ([[trainAnnModel]]), which computes them on the cached training
+    * slice so the persisted artifact is wholly subsample-derived.
+    */
+  private def sq8BoundsQ(q: DataFrame,
+                         dim: Int): (Array[Long], Array[Long]) = {
     val row = q.agg(
       array((1 to dim).map(i => min(element_at(col("qe"), i))): _*).as("mn"),
       array((1 to dim).map(i => max(element_at(col("qe"), i))): _*).as("mx"))
@@ -958,6 +973,58 @@ object Similarity {
   def sq8Recall(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                 dim: Int = 64): DataFrame =
     recallVsBrute(emb, knnSq8(emb, nQueries, k, dim), nQueries, k)
+
+  /** Clamped SQ8 round trip for MODEL-trained bounds: a subsample's
+    * [mn, mx] may not cover the full corpus, so the code clamps to
+    * [0, 255] before reconstruction — exactly FAISS's QT_8bit behavior
+    * when `train()` saw a slice. Cross-engine note: for x < mn the
+    * pre-clamp quotient is negative, where Spark `div` truncates toward
+    * zero and DuckDB `//` floors — they differ by at most 1, but BOTH
+    * land below 0, so greatest(·, 0) erases the divergence and the
+    * clamped code is engine-exact by construction.
+    */
+  private[graft] def sq8ReconClampedSql(qCol: String, mn: Array[Long],
+                                        mx: Array[Long]): String = {
+    val mnA = mn.mkString("array(", ",", ")")
+    val rgA = mn.indices.map(i => mx(i) - mn(i)).mkString("array(", ",", ")")
+    s"""transform($qCol, (x, i) -> CASE
+      WHEN element_at($rgA, i + 1) = 0 THEN CAST(element_at($mnA, i + 1) AS BIGINT)
+      ELSE CAST(element_at($mnA, i + 1)
+        + (least(greatest(
+            ((x - element_at($mnA, i + 1)) * 255) div element_at($rgA, i + 1),
+            0L), 255L)
+           * element_at($rgA, i + 1)) div 255 AS BIGINT) END)"""
+  }
+
+  /** e26 — SQ8 ANN served from the persisted [[AnnModel]]: the bounds
+    * were trained ONCE on the model's subsample (zero training
+    * aggregates at serve time — not even e17's one bounds pass), baked
+    * in as literals, with the clamped round trip guarding corpus values
+    * outside the slice's range. Completes the train-once story across
+    * every quantization rung: IVF-PQ serves from the model (e15), and
+    * now so does the 8-bit scalar rung.
+    */
+  def knnSq8Model(emb: DataFrame, model: AnnModel, nQueries: Int = 10,
+                  k: Int = 5): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("nid"),
+      quantized(col("embedding")).as("qe"))
+      .withColumn("re", expr(sq8ReconClampedSql("qe", model.sq8Mn,
+        model.sq8Mx)))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
+    topKByDot(corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qe_q"), col("re")).as("dot")), k)
+  }
+
+  /** e27 — recall@k of model-served SQ8 vs exact brute force: what the
+    * subsample-trained bounds cost vs e18's full-corpus bounds at the
+    * same 8 bits/dim.
+    */
+  def sq8ModelRecall(emb: DataFrame, model: AnnModel, nQueries: Int = 10,
+                     k: Int = 5): DataFrame =
+    recallVsBrute(emb, knnSq8Model(emb, model, nQueries, k), nQueries, k)
 
   /** e19 — IVF-SQ8 (FAISS IndexIVFScalarQuantizer): learned k-means
     * cells restrict the scan to nProbe/nCells of the corpus (e6's coarse

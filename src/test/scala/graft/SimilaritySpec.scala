@@ -356,6 +356,15 @@ class SimilaritySpec extends SparkSuite {
       model.centroids.map(_.toSeq).toSeq)
     assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
       model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(loaded.sq8Mn.toSeq == model.sq8Mn.toSeq &&
+      loaded.sq8Mx.toSeq == model.sq8Mx.toSeq)
+    // the slice-trained SQ8 rung serves identically from the artifact,
+    // and clamping keeps every reconstruction inside the model bounds
+    val sqA = Similarity.knnSq8Model(emb, loaded, nQueries = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sqB = Similarity.knnSq8Model(emb, model, nQueries = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqA == sqB && sqA.nonEmpty)
     val served = Similarity.knnIvfPqModel(emb, loaded, nQueries = 2, k = 3,
       nProbe = 2, refine = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
