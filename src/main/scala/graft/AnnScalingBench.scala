@@ -104,7 +104,8 @@ object AnnScalingBench {
     s
   }
 
-  val jobOrder: Seq[String] = Seq("e1_brute_agg", "e3_ivf", "e15_ivfpq_model")
+  val jobOrder: Seq[String] =
+    Seq("e1_brute_agg", "e3_ivf", "e15_ivfpq_model", "e26_sq8_model")
 
   /** Aggregates over the ops' OUTPUT columns pin every stage into the
     * executed plan (the DocsScalingBench count()-pruning lesson); fresh
@@ -129,6 +130,13 @@ object AnnScalingBench {
     // could never expose: serving-only, like a 10⁹-vector deployment.
     "e15_ivfpq_model" -> (() =>
       operators.Similarity.knnIvfPqModel(vecs, mdl)
+        .agg(sum(col("dot")), count(lit(1))).collect())
+  } ++ model.map { mdl =>
+    // the 8-bit rung served from the SAME artifact (v2 bounds): e1's
+    // broadcast-queries full-scan shape with the corpus side carrying
+    // clamped reconstructions — zero aggregates at serve time
+    "e26_sq8_model" -> (() =>
+      operators.Similarity.knnSq8Model(vecs, mdl)
         .agg(sum(col("dot")), count(lit(1))).collect())
   }
 
@@ -176,7 +184,7 @@ object AnnScalingBench {
         // training stays ~50k vectors at ANY mult, the fixed-cost-train
         // posture of SCALE.md. annModelFor persists + round-trips the
         // artifact, so N and 4N serve from the SAME persisted model.
-        val mdl = if (only.contains("e15_ivfpq_model")) {
+        val mdl = if (only.exists(Set("e15_ivfpq_model", "e26_sq8_model"))) {
           val se = math.max(4, (count / 50000L).toInt)
           Some(operators.Similarity.annModelFor(prep.read.parquet(path),
             "target/ann_model", sampleEvery = se))
