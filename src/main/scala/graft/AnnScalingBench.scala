@@ -105,14 +105,16 @@ object AnnScalingBench {
   }
 
   val jobOrder: Seq[String] =
-    Seq("e1_brute_agg", "e3_ivf", "e15_ivfpq_model", "e26_sq8_model")
+    Seq("e1_brute_agg", "e3_ivf", "e15_ivfpq_model", "e26_sq8_model",
+      "e28_ivfpq_codes")
 
   /** Aggregates over the ops' OUTPUT columns pin every stage into the
     * executed plan (the DocsScalingBench count()-pruning lesson); fresh
     * DataFrames per rep so shuffle outputs are never reused across reps.
     */
   def jobs(vecs: DataFrame,
-           model: Option[operators.Similarity.AnnModel]): Seq[(String, () => Any)] = Seq(
+           model: Option[operators.Similarity.AnnModel],
+           codes: Option[DataFrame] = None): Seq[(String, () => Any)] = Seq(
     // one corpus pass, heap-merge top-k: the broadcast-queries × corpus
     // scoring shape every exact tier shares — scales with corpus volume
     "e1_brute_agg" -> (() => operators.Similarity.knnBruteAgg(vecs)
@@ -138,15 +140,28 @@ object AnnScalingBench {
     "e26_sq8_model" -> (() =>
       operators.Similarity.knnSq8Model(vecs, mdl)
         .agg(sum(col("dot")), count(lit(1))).collect())
-  }
+  } ++ (for (mdl <- model; cds <- codes) yield
+    // the INGEST-ENCODED serving lane (the production IVF-PQ read path):
+    // codes materialize once in prep (untimed, like the corpus and the
+    // model), the timed job is ONE pass over 4-byte codes + cell ints
+    // (ADC inside probed cells, heap-merge) + a late-materialized exact
+    // re-rank that quantizes only candidate rows — vs e15's three heavy
+    // corpus passes (per-query re-encode, ADC over it, quantize-all
+    // re-rank). This is the lane that isolates serving bandwidth from
+    // re-encode compute.
+    "e28_ivfpq_codes" -> (() =>
+      operators.Similarity.knnIvfPqCodes(cds, vecs, mdl)
+        .agg(sum(col("dot")), count(lit(1))).collect()))
 
   private def measure(cpus: Int, path: String, reps: Int, only: Set[String],
-                      model: Option[operators.Similarity.AnnModel])
+                      model: Option[operators.Similarity.AnnModel],
+                      codesPath: Option[String])
       : Map[String, Double] = {
     val spark = session(cpus)
     try {
       val vecs = spark.read.parquet(path)
-      jobs(vecs, model).filter(j => only.contains(j._1)).map { case (name, job) =>
+      val codes = codesPath.map(spark.read.parquet)
+      jobs(vecs, model, codes).filter(j => only.contains(j._1)).map { case (name, job) =>
         System.err.println(s"[ann-bench] local[$cpus] $name warmup...")
         val (_, w) = Bench.timeIt(job()) // warmup (codegen + page cache)
         System.err.println(f"[ann-bench] local[$cpus] $name warmup $w%.1fs")
@@ -176,7 +191,7 @@ object AnnScalingBench {
     val path =
       s"target/bench_vecs_${sfDir.replaceAll("[^0-9.]", "")}_${mult}_p${n4 * 4}"
     val prep = session(n4)
-    val (nVecs, model) =
+    val (nVecs, model, codesPath) =
       try {
         val count = materializeVecs(prep, sfDir, mult, path, n4 * 4)
         // train the e15 serving model ONCE (prep, untimed) on a capped
@@ -184,16 +199,25 @@ object AnnScalingBench {
         // training stays ~50k vectors at ANY mult, the fixed-cost-train
         // posture of SCALE.md. annModelFor persists + round-trips the
         // artifact, so N and 4N serve from the SAME persisted model.
-        val mdl = if (only.exists(Set("e15_ivfpq_model", "e26_sq8_model"))) {
+        val modelJobs = Set("e15_ivfpq_model", "e26_sq8_model",
+          "e28_ivfpq_codes")
+        val mdl = if (only.exists(modelJobs)) {
           val se = math.max(4, (count / 50000L).toInt)
           Some(operators.Similarity.annModelFor(prep.read.parquet(path),
             "target/ann_model", sampleEvery = se))
         } else None
-        (count, mdl)
+        // materialize the ingest-encoded codes table ONCE (prep,
+        // untimed — at 10⁹ vectors this runs at add() time, not per
+        // query); fingerprint-keyed like the model, so N and 4N read
+        // the SAME persisted codes.
+        val cp = for (m <- mdl if only.contains("e28_ivfpq_codes")) yield
+          operators.Similarity.codesPathFor(prep.read.parquet(path), m,
+            "target/ann_model_codes")
+        (count, mdl, cp)
       } finally prep.stop()
 
-    val tN = measure(n, path, reps, only, model)
-    val tN4 = measure(n4, path, reps, only, model)
+    val tN = measure(n, path, reps, only, model, codesPath)
+    val tN4 = measure(n4, path, reps, only, model, codesPath)
     val perJob = jobOrder.filter(only.contains).map { name =>
       val thN = nVecs / tN(name)
       val thN4 = nVecs / tN4(name)

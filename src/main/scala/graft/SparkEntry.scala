@@ -724,6 +724,20 @@ object SparkEntry {
       operators.Similarity.sq8ModelRecall(emb,
         operators.Similarity.annModelFor(emb, AnnModelDir))
     }),
+    // IVF-PQ served from the PERSISTED CODES table (the read side of
+    // encodeIvfPq's ingest write): codes materialize once per (corpus,
+    // model) next to the model artifact and every query batch serves
+    // from them — no per-query re-encode of the corpus, re-rank
+    // quantizes candidate rows only. Row-identical to e15 (the oracle
+    // is the same unrolled chain), so the gate proves the persisted
+    // codes round-trip bit-exactly.
+    "e28_knn_ivfpq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = operators.Similarity.annModelFor(emb, AnnModelDir)
+      operators.Similarity.knnIvfPqCodes(
+        operators.Similarity.codesFor(emb, model, AnnModelDir + "_codes"),
+        emb, model)
+    }),
     // SQ8 scalar quantization (FAISS QT_8bit): the compression rung
     // between exact float (e1) and PQ (e9) — 1 byte/dim, bounds trained
     // in ONE aggregate (no Lloyd's), encode/decode a pure in-row
@@ -1202,6 +1216,9 @@ object SparkEntry {
     "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
     "e26_knn_sq8_model" -> SimOracles.knnSq8ModelSql(),
     "e27_sq8_model_recall" -> SimOracles.sq8ModelRecallSql(),
+    // e28 serves from persisted codes but is row-identical to e15 by
+    // construction — the SAME unrolled training+serving chain oracles it
+    "e28_knn_ivfpq_codes" -> SimOracles.knnIvfPqModelSql(),
     "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
     "e19_knn_ivfsq8" -> SimOracles.knnIvfSq8Sql(),

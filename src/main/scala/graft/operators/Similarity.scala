@@ -874,6 +874,96 @@ object Similarity {
         array_min(col("dists")).getField("cell").as("cell"),
         pqCodes(model.books, model.dim / model.m).as("codes"))
 
+  /** Encode-if-absent / reuse-if-present persistence of the
+    * [[encodeIvfPq]] codes table — the codes-side sibling of
+    * [[annModelFor]]: the artifact directory is keyed by a SHA-256
+    * fingerprint of the corpus content signature + every model
+    * hyperparameter, so codes for different corpora (sf0.01 vs sf0.1 vs
+    * a bench-replicated table) and different models coexist, and a
+    * regenerated corpus or retrained model never serves stale codes.
+    * Returns the materialized path; [[codesFor]] reads it back. The
+    * int64/int32 columns round-trip parquet bit-exactly, so serving from
+    * the persisted table is code-identical to serving from the in-query
+    * encode (spec-asserted).
+    */
+  def codesPathFor(emb: DataFrame, model: AnnModel, baseDir: String): String = {
+    val contentSig = emb
+      .agg(coalesce(sum(hash(col("vec_id"), col("embedding"))), lit(0L)))
+      .collect()(0).getLong(0)
+    val key = s"anncodes-v1|$contentSig|${model.nCells}|${model.cIters}" +
+      s"|${model.m}|${model.kCb}|${model.pqIters}|${model.dim}" +
+      s"|${model.sampleEvery}"
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"$baseDir/$fp"
+    val marker = java.nio.file.Paths.get(path, "_encoded")
+    if (!java.nio.file.Files.exists(marker)) {
+      encodeIvfPq(emb, model).write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(marker, key)
+    }
+    path
+  }
+
+  /** The persisted codes relation for (corpus, model) — see
+    * [[codesPathFor]].
+    */
+  def codesFor(emb: DataFrame, model: AnnModel, baseDir: String): DataFrame =
+    emb.sparkSession.read.parquet(codesPathFor(emb, model, baseDir))
+
+  /** [[exactRerank]] with LATE materialization: join the KB-sized
+    * candidate relation on the raw scan FIRST, quantize only the
+    * surviving rows. [[exactRerank]] quantizes every corpus row and lets
+    * the broadcast join discard the misses — structurally fine (the scan
+    * still reads every embedding byte either way), but the per-row array
+    * transform is pure waste for the ~nQueries·k·refine rows that
+    * survive, and at serving bandwidth that waste is measurable (the
+    * e15-lane profile). Same pairs, same dots, same heap-merge ties —
+    * row-identical to [[exactRerank]] by construction.
+    */
+  private def exactRerankLate(emb: DataFrame, cand: DataFrame,
+                              nQueries: Int, k: Int): DataFrame = {
+    val nbr = emb.join(broadcast(cand), col("vec_id") === col("nid"))
+      .select(col("qid"), col("nid"), quantized(col("embedding")).as("nq"))
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qq"))
+    topKByDot(nbr.join(broadcast(qs), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        dotCols(col("qq"), col("nq")).as("dot")), k)
+  }
+
+  /** e28 — IVF-PQ served from the PRE-ENCODED codes table: the read
+    * side of [[encodeIvfPq]]'s write path, and the shape a 10⁹-vector
+    * deployment actually runs per query batch (FAISS stores codes at
+    * add() time; no production store re-encodes the corpus per query).
+    * The timed work drops from three heavy corpus passes
+    * ([[knnIvfPqModel]]: in-row re-encode, ADC over the re-encode, and a
+    * quantize-everything re-rank) to ONE light pass over 4-byte codes
+    * (+cell int) joined with the broadcast probe relation, ADC lookups,
+    * heap-merge, and a late-materialized exact re-rank that quantizes
+    * only candidate rows. Row-identical to [[knnIvfPqModel]] at the same
+    * (model, nProbe, refine) — spec-asserted, and the driver oracle is
+    * the same unrolled chain as e15's.
+    */
+  def knnIvfPqCodes(codes: DataFrame, emb: DataFrame, model: AnnModel,
+                    nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
+                    refine: Int = 10): DataFrame = {
+    val bd = model.dim / model.m
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .withColumn("dists", cellDists(model.centroids))
+      .select(col("vec_id").as("qid"), pqTabs(model.books, bd).as("tabs"),
+        explode(transform(slice(array_sort(col("dists")), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val cand = topKByDot(
+      codes.select(col("vec_id").as("nid"), col("cell"), col("codes"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), adcSum(model.m).as("dot")),
+      k * refine)
+      .select(col("qid"), col("nid"))
+    exactRerankLate(emb, cand, nQueries, k)
+  }
+
   // ———————————————————— e17/e18: SQ8 scalar quantization ————————————————————
 
   /** Per-dimension [min, max] of the quantized corpus — SQ8 "training"

@@ -428,6 +428,36 @@ class SimilaritySpec extends SparkSuite {
         "query — training leaked into the serving path?")
   }
 
+  test("persisted codes table: codesFor encodes once then reuses, and " +
+    "serving from codes is row-identical to the in-query-encode path") {
+    val dir = java.nio.file.Files.createTempDirectory("anncodes").toString
+    val model = Similarity.trainAnnModel(emb, sampleEvery = 2, nCells = 4,
+      cIters = 2, m = 2, kCb = 4, pqIters = 2, dim = 4)
+    val p1 = Similarity.codesPathFor(emb, model, dir)
+    val marker = new java.io.File(p1, "_encoded")
+    assert(marker.exists())
+    val stamp = marker.lastModified()
+    // second call must REUSE the artifact, not re-encode
+    val p2 = Similarity.codesPathFor(emb, model, dir)
+    assert(p2 == p1 && marker.lastModified() == stamp)
+    // the persisted table round-trips the in-row encode bit-exactly
+    val direct = Similarity.encodeIvfPq(emb, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val persisted = Similarity.codesFor(emb, model, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(persisted == direct && persisted.size == 20)
+    // e28 == e15: serving from the codes table reproduces the re-encode
+    // path row-for-row (dot AND rank — the heap-merge tie contract)
+    val fromCodes = Similarity.knnIvfPqCodes(
+      Similarity.codesFor(emb, model, dir), emb, model, nQueries = 2,
+      k = 3, nProbe = 2, refine = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val reEncode = Similarity.knnIvfPqModel(emb, model, nQueries = 2, k = 3,
+      nProbe = 2, refine = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(fromCodes == reEncode && fromCodes.nonEmpty)
+  }
+
   test("subsample training slice: re-id'd ids are contiguous so Lloyd's " +
     "seeds come from the sample (not original id space)") {
     // sampleEvery=2 on ids 0..19 keeps originals 0,2,..,18 re-id'd 0..9;
