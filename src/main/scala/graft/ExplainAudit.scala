@@ -102,13 +102,19 @@ object ExplainAudit {
     // 8-bit round trip is a literal-bounds pure projection on the corpus
     // side, so the served plan is e1's broadcast-queries single pass —
     // the same heap-merge ban applies
+    // e28: the ingest-encoded serving path — the codes-table scan joins
+    // the broadcast probe relation by cell, the late-materialized
+    // re-rank adds only broadcast joins of the KB candidate relation,
+    // both ranking tiers heap-merge; no re-encode of the corpus can
+    // appear because the plan reads (cell, codes) columns, not embedding
     Seq("e4_lsh_recall", "e5_ivf_recall", "e7_ivfk_recall", "e9_knn_pq",
       "e10_pq_recall", "e11_knn_pq_refine", "e12_pq_refine_recall",
       "e13_knn_ivfpq", "e14_ivfpq_recall", "e15_knn_ivfpq_model",
       "e16_ivfpq_model_recall", "e17_knn_sq8", "e18_sq8_recall",
       "e19_knn_ivfsq8", "e20_ivfsq8_recall", "e21_knn_filtered",
       "e23_filtered_recall", "e24_knn_graph", "e25_knn_graph_recall",
-      "e26_knn_sq8_model", "e27_sq8_model_recall").foreach { q =>
+      "e26_knn_sq8_model", "e27_sq8_model_recall",
+      "e28_knn_ivfpq_codes").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))
@@ -381,6 +387,15 @@ object ExplainAudit {
     // exchange-free contract as t26.
     audit("t27_gopher_repetition",
       SparkEntry.queries("t27_gopher_repetition")(spark, sfDir),
+      Seq("Project"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
+    // t34 C4 cleaning pass: line synthesis + line retention + page gates
+    // are one per-row projection chain (sequence/slice/filter HOFs) —
+    // the scan-stage ingest-bandwidth shape; same exchange-free contract
+    // as t26/t27
+    audit("t34_c4_rules",
+      SparkEntry.queries("t34_c4_rules")(spark, sfDir),
       Seq("Project"),
       forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
 

@@ -490,6 +490,13 @@ object SparkEntry {
     // attribution in a dense (doc x suite) grid
     "t33_multisuite_decon" -> ((s, dir) =>
       operators.TextOps.multiSuiteDecon(t(s, dir, "documents"))),
+    // C4 cleaning pass (Raffel et al. 2020 §2.2) over the deterministic
+    // line-structured rendering (synthesizeLines — the m-tier generator
+    // pattern: flat synthetic docs have no lines/punctuation, so the
+    // generator is what gives the line gate test power)
+    "t34_c4_rules" -> ((s, dir) =>
+      operators.TextOps.c4Rules(
+        operators.TextOps.synthesizeLines(t(s, dir, "documents")))),
     // FUZZY decontamination: MinHash-banded train-vs-eval collisions,
     // exact-Jaccard ≥ 1/2 verified on candidates only — length-robust
     // (fraction verdict, not t12's absolute hit count) and attributing
@@ -1143,6 +1150,7 @@ object SparkEntry {
     "t10_seq_pack" -> TextOracles.seqPackSql(),
     "t12_decontaminate" -> TextOracles.decontaminateSql(),
     "t33_multisuite_decon" -> TextOracles.multiSuiteDeconSql(),
+    "t34_c4_rules" -> TextOracles.c4RulesSql,
     "d14_fuzzy_decon" -> TextOracles.fuzzyDeconSql(),
     "t23_ngram_coverage" -> TextOracles.ngramCoverageSql(),
     "d15_dup_run" -> TextOracles.dupRunSql(),

@@ -1282,6 +1282,61 @@ SELECT d.doc_id, COALESCE(s.n_feat, 0) AS n_feat,
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
   }
 
+  /** t34: C4 cleaning pass — mirror of TextOps.c4Rules over
+    * TextOps.synthesizeLines' deterministic line rendering (k-word lines,
+    * k = doc_id % 7 + 3; terminal-punct cycle by (doc_id + line) % 4;
+    * '{x}' / 'javascript' / 'lorem ipsum' contaminants on the documented
+    * doc_id keys). Line retention = terminal punct AND ≥5 words AND no
+    * 'javascript' word; page gates = ≥3 sentence marks in retained text,
+    * no '{', no 'lorem ipsum'. All counts exact integers — replayed
+    * symbol-for-symbol from the generator arithmetic.
+    */
+  def c4RulesSql: String =
+    """WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(doc_id % 7 + 3 AS BIGINT) AS k
+  FROM documents),
+p AS (
+  SELECT doc_id, ws, k, (len(ws) + k - 1) // k AS nl FROM b),
+s AS (
+  SELECT doc_id,
+    list_transform(range(1, nl + 1), i ->
+      array_to_string(list_slice(ws, (i - 1) * k + 1, i * k), ' ')
+      || CASE WHEN (doc_id + i) % 13 = 0 THEN ' {x}' ELSE '' END
+      || CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END
+      || CASE CAST((doc_id + i) % 4 AS INT) WHEN 0 THEN '.' WHEN 1 THEN '?'
+              WHEN 2 THEN '!' ELSE '' END) AS lines
+  FROM p),
+f AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+      AND len(string_split(l, ' ')) >= 5
+      AND NOT regexp_matches(l, '\bjavascript\b')) AS kept,
+    array_to_string(lines, chr(10)) AS text
+  FROM s),
+m AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept,
+    COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+    contains(text, '{') AS has_brace,
+    contains(text, 'lorem ipsum') AS has_lorem
+  FROM f)
+SELECT doc_id, n_lines, n_kept,
+  CAST(length(kept_text)
+    - length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
+    AS n_sentences,
+  CAST(length(kept_text) AS BIGINT) AS kept_chars,
+  (length(kept_text)
+    - length(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3) AS r_sent,
+  NOT has_brace AS r_brace,
+  NOT has_lorem AS r_lorem,
+  (length(kept_text)
+    - length(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3
+    AND NOT has_brace AND NOT has_lorem) AS pass
+FROM m"""
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

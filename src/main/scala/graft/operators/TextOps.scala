@@ -2429,4 +2429,89 @@ object TextOps {
       .orderBy(col("score_x1000").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------ C4 cleaning pass
+
+  /** t34 generator — deterministic line-structured rendering of the flat
+    * synthetic corpus (the m-tier synthesizeMedia pattern: the engine
+    * consumes the STRUCTURE, the oracle replays the derivation). The
+    * driver's documents have no newlines or sentence punctuation, so a
+    * line-level gate over them would be vacuous; this renders each doc
+    * as k-word lines (k = doc_id % 7 + 3) with a terminal-punctuation
+    * cycle ('.', '?', '!', none — by (doc_id + line) % 4) and three
+    * deterministic contaminants the C4 rules exist to catch: a '{x}'
+    * code token on lines where (doc_id + line) % 13 == 0, a
+    * 'javascript' word where (doc_id + line) % 11 == 0, and
+    * ' lorem ipsum' appended to line 1 of every 17th doc. Pure per-row
+    * projection (sequence/slice HOFs) — no shuffle; line count is
+    * bounded by the longest document, never corpus size.
+    */
+  def synthesizeLines(docs: DataFrame): DataFrame = {
+    val ws = tokens
+    val k = (col("doc_id") % 7 + 3).cast("int")
+    // ceil(|ws| / k): double division is exact below 2^52 and truncates
+    // to floor on positives — mirrored by DuckDB's // operator
+    val nl = ((size(ws) + k - lit(1)).cast("long") / k).cast("int")
+    val lines = transform(sequence(lit(1), nl), i => {
+      val base = array_join(slice(ws, (i - lit(1)) * k + lit(1), k), " ")
+      val withBrace = when((col("doc_id") + i) % 13 === 0,
+        concat(base, lit(" {x}"))).otherwise(base)
+      val withJs = when((col("doc_id") + i) % 11 === 0,
+        concat(withBrace, lit(" javascript"))).otherwise(withBrace)
+      val withLorem = when(col("doc_id") % 17 === 0 && i === 1,
+        concat(withJs, lit(" lorem ipsum"))).otherwise(withJs)
+      val punct = element_at(array(lit("."), lit("?"), lit("!"), lit("")),
+        ((col("doc_id") + i) % 4 + 1).cast("int"))
+      concat(withLorem, punct)
+    })
+    docs.select(col("doc_id"), array_join(lines, "\n").as("text"),
+      col("lang"), col("source"))
+  }
+
+  /** C4 cleaning pass (Raffel et al. 2020, §2.2 — the line-level
+    * retention + page-level gates applied to Common Crawl before T5;
+    * after it the default first pass of most web-scale English corpora).
+    * One verdict row per document over line-structured text:
+    *
+    * Line retention (a line survives iff ALL hold):
+    *   - ends in a terminal punctuation mark ('.', '!', '?', '"')
+    *   - has at least 5 words
+    *   - does not contain the word 'javascript' (C4 drops the line,
+    *     not the page)
+    *
+    * Page-level gates (on the ORIGINAL text / retained lines):
+    *   r_sent   retained text contains ≥ 3 sentence marks ([.!?])
+    *   r_brace  page does not contain '{' (code marker)
+    *   r_lorem  page does not contain 'lorem ipsum' (boilerplate
+    *            marker — stands in for C4's parameterized blocklist)
+    *   pass = r_sent ∧ r_brace ∧ r_lorem
+    *
+    * Outputs exact integers (n_lines, n_kept, n_sentences, kept_chars =
+    * length of the retained text re-joined with '\n') so the gate is
+    * bit-identical cross-engine — no float ratios anywhere. Pure
+    * per-row projection: higher-order array functions only, NO shuffle,
+    * stream-transparent like the rest of the per-row text tier; at
+    * 100 TB this runs in the scan stage at ingest bandwidth.
+    */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 5 &&
+        !l.rlike("\\bjavascript\\b"))
+    val m = docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("kept_text"),
+      col("text").contains("{").as("has_brace"),
+      col("text").contains("lorem ipsum").as("has_lorem"))
+    val nSent = (length(col("kept_text")) -
+      length(regexp_replace(col("kept_text"), "[.!?]", ""))).cast("long")
+    m.select(col("doc_id"), col("n_lines"), col("n_kept"),
+      nSent.as("n_sentences"),
+      length(col("kept_text")).cast("long").as("kept_chars"),
+      (nSent >= 3L).as("r_sent"),
+      (!col("has_brace")).as("r_brace"),
+      (!col("has_lorem")).as("r_lorem"),
+      (nSent >= 3L && !col("has_brace") && !col("has_lorem")).as("pass"))
+  }
 }

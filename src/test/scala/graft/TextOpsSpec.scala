@@ -1459,4 +1459,46 @@ class TextOpsSpec extends SparkSuite {
     val maxDoc = bpeOf.values.max
     assert(total <= 30L + maxDoc, s"total=$total")
   }
+
+  test("c4Rules: line retention and page gates flip at their boundaries") {
+    def run(text: String): Map[String, Any] = {
+      val r = TextOps.c4Rules(docs(1L -> text)).collect()(0)
+      r.schema.fieldNames.map(n => n -> r.get(r.fieldIndex(n))).toMap
+    }
+    // 3 qualifying lines (5 words, terminal punct) -> all kept, pass
+    val good = Seq("a b c d e.", "f g h i j!", "k l m n o?").mkString("\n")
+    val g = run(good)
+    assert(g("n_lines") == 3L && g("n_kept") == 3L &&
+      g("n_sentences") == 3L && g("pass") == true)
+    assert(g("kept_chars") == good.length.toLong) // everything retained
+    // 4-word line dropped; no-terminal line dropped; quote terminal kept
+    val mixed = Seq("a b c d.", "a b c d e", "a b c d e\"",
+      "f g h i j.", "k l m n o.").mkString("\n")
+    val m = run(mixed)
+    assert(m("n_kept") == 3L)
+    // the '"' terminal line carries no [.!?], so sentences = 2 -> r_sent
+    // fails at 2, passes at 3 (boundary)
+    assert(m("n_sentences") == 2L && m("r_sent") == false)
+    // a 'javascript' line is dropped even when otherwise qualifying,
+    // and dropping it is line-level: the page still passes
+    val js = Seq("a b c d e.", "f g javascript h i.", "j k l m n.",
+      "o p q r s.").mkString("\n")
+    val j = run(js)
+    assert(j("n_kept") == 3L && j("pass") == true)
+    // page gates: '{' anywhere fails even on a dropped line; 'lorem
+    // ipsum' fails; bare 'lorem' does not
+    assert(run(good + "\nx {")("r_brace") == false)
+    assert(run(good + "\nx {")("pass") == false)
+    assert(run(good.replace("f g h", "lorem ipsum h"))("r_lorem") == false)
+    assert(run(good.replace("f g h", "lorem x h"))("r_lorem") == true)
+  }
+
+  test("synthesizeLines: deterministic k-word lines, punct cycle, contaminants") {
+    val out = TextOps.synthesizeLines(docs(
+        0L -> "w1 w2 w3 w4 w5 w6 w7",   // k=3, %17 lorem on line 1
+        10L -> "w1 w2 w3 w4 w5 w6 w7")) // k=6, (10+1)%11 js on line 1
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "w1 w2 w3 lorem ipsum?\nw4 w5 w6!\nw7")
+    assert(out(10L) == "w1 w2 w3 w4 w5 w6 javascript\nw7.")
+  }
 }
