@@ -114,7 +114,12 @@ object ExplainAudit {
       "e19_knn_ivfsq8", "e20_ivfsq8_recall", "e21_knn_filtered",
       "e23_filtered_recall", "e24_knn_graph", "e25_knn_graph_recall",
       "e26_knn_sq8_model", "e27_sq8_model_recall",
-      "e28_knn_ivfpq_codes").foreach { q =>
+      "e28_knn_ivfpq_codes",
+      // e29/e30: stage 1 is the e1 heap-merge serving pass; the MMR
+      // greedy runs inside a second ObjectHashAggregate (typed
+      // MmrAggregator) over the broadcast-late-materialized candidates —
+      // same prohibitions (no product join, no rank window anywhere)
+      "e29_mmr_rerank", "e30_mmr_diversity").foreach { q =>
       audit(q, SparkEntry.queries(q)(spark, sfDir),
         Seq("ObjectHashAggregate", "partial_topkaggregator"),
         forbid = Seq("CartesianProduct", "Window"))

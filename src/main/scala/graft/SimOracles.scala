@@ -721,4 +721,84 @@ scored AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id1, id2, qdot FROM scored WHERE qdot >= $threshold"""
+
+  /** Shared CTE chain for e29/e30: exact top-m candidates per query, the
+    * candidate-pair dot table, then the k greedy MMR selection steps
+    * UNROLLED (each step = exclude already-selected, penalty = max pair
+    * dot against the selected set, argmax of dot − penalty with the
+    * aggregator's (score desc, dot desc, nid) tie-break). Ends at
+    * sel$k(qid, nid, dot, penalty, mmr_rank).
+    */
+  private def mmrCtes(nQueries: Int, k: Int, m: Int): String = {
+    val steps = (2 to k).map { t =>
+      val prev = s"sel${t - 1}"
+      s""",
+s$t AS (
+  SELECT qid, nid, dot, pen AS penalty, CAST($t AS BIGINT) AS mmr_rank FROM (
+    SELECT c.qid, c.nid, c.dot, p.pen,
+      row_number() OVER (PARTITION BY c.qid
+        ORDER BY (c.dot - p.pen) DESC, c.dot DESC, c.nid) AS rn
+    FROM cand c
+    JOIN (SELECT pd.qid, pd.n1 AS nid, max(pd.pdot) AS pen
+          FROM pd JOIN $prev s ON s.qid = pd.qid AND s.nid = pd.n2
+          GROUP BY pd.qid, pd.n1) p
+      ON p.qid = c.qid AND p.nid = c.nid
+    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                      WHERE s.qid = c.qid AND s.nid = c.nid))
+  WHERE rn = 1),
+sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$t)"""
+    }.mkString
+    s""",
+cscored AS (
+  SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.q")} AS dot
+  FROM eq c CROSS JOIN eq p
+  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id),
+cand AS (
+  SELECT qid, nid, dot FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM cscored)
+  WHERE rn <= $m),
+cv AS (SELECT cand.qid, cand.nid, eq.q FROM cand JOIN eq ON eq.vec_id = cand.nid),
+pd AS (
+  SELECT a.qid, a.nid AS n1, b.nid AS n2, ${dotSql("a.q", "b.q")} AS pdot
+  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid != b.nid),
+sel1 AS (
+  SELECT qid, nid, dot, CAST(0 AS BIGINT) AS penalty,
+    CAST(1 AS BIGINT) AS mmr_rank FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM cand)
+  WHERE rn = 1)$steps"""
+  }
+
+  /** e29: MMR diversity re-rank (mirrors Similarity.mmrRerank). */
+  def mmrSql(nQueries: Int = 10, k: Int = 5, m: Int = 20): String =
+    s"""WITH $eqCte ${mmrCtes(nQueries, k, m)}
+SELECT qid, nid, mmr_rank, dot, penalty FROM sel$k"""
+
+  /** e30: per-query worst within-set redundancy, MMR k-set vs plain
+    * top-k (mirrors Similarity.mmrDiversity).
+    */
+  def mmrDiversitySql(nQueries: Int = 10, k: Int = 5, m: Int = 20): String =
+    s"""WITH $eqCte ${mmrCtes(nQueries, k, m)},
+topk AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM cscored)
+  WHERE rn <= $k),
+tpair AS (
+  SELECT a.qid, max(${dotSql("ea.q", "eb.q")}) AS mx
+  FROM topk a JOIN topk b ON a.qid = b.qid AND a.nid < b.nid
+  JOIN eq ea ON ea.vec_id = a.nid JOIN eq eb ON eb.vec_id = b.nid
+  GROUP BY a.qid),
+mpair AS (
+  SELECT a.qid, max(${dotSql("ea.q", "eb.q")}) AS mx
+  FROM sel$k a JOIN sel$k b ON a.qid = b.qid AND a.nid < b.nid
+  JOIN eq ea ON ea.vec_id = a.nid JOIN eq eb ON eb.vec_id = b.nid
+  GROUP BY a.qid)
+SELECT t.qid, t.mx AS topk_max_pairdot, m.mx AS mmr_max_pairdot,
+  (m.mx <= t.mx) AS diversified
+FROM tpair t JOIN mpair m ON m.qid = t.qid"""
 }

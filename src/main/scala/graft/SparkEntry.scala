@@ -745,6 +745,15 @@ object SparkEntry {
         operators.Similarity.codesFor(emb, model, AnnModelDir + "_codes"),
         emb, model)
     }),
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): the serving
+    // stack's LAST stage — greedy relevance-minus-redundancy selection
+    // over heap-merged top-m candidates, per-query greedy inside a typed
+    // MmrAggregator (zero driver iteration). e30 evidences the point:
+    // worst within-set redundancy, MMR k-set vs plain top-k.
+    "e29_mmr_rerank" -> ((s, dir) =>
+      operators.Similarity.mmrRerank(t(s, dir, "embeddings"))),
+    "e30_mmr_diversity" -> ((s, dir) =>
+      operators.Similarity.mmrDiversity(t(s, dir, "embeddings"))),
     // SQ8 scalar quantization (FAISS QT_8bit): the compression rung
     // between exact float (e1) and PQ (e9) — 1 byte/dim, bounds trained
     // in ONE aggregate (no Lloyd's), encode/decode a pure in-row
@@ -1227,6 +1236,8 @@ object SparkEntry {
     // e28 serves from persisted codes but is row-identical to e15 by
     // construction — the SAME unrolled training+serving chain oracles it
     "e28_knn_ivfpq_codes" -> SimOracles.knnIvfPqModelSql(),
+    "e29_mmr_rerank" -> SimOracles.mmrSql(),
+    "e30_mmr_diversity" -> SimOracles.mmrDiversitySql(),
     "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
     "e19_knn_ivfsq8" -> SimOracles.knnIvfSq8Sql(),

@@ -480,4 +480,33 @@ class SimilaritySpec extends SparkSuite {
     // the partial top-k we want) — NO per-vector assignment window
     assert("Window \\[".r.findAllIn(plan).length <= 1, plan)
   }
+
+  test("mmrRerank skips the redundant twin for the diverse candidate; " +
+      "partition-invariant; e30 diversity invariant holds") {
+    import spark.implicits._
+    // query 0; candidates: 1 and 2 are near-twins highly similar to the
+    // query, 3 is a different direction — plain top-2 = {1, 2}, MMR's
+    // second pick must be 3 (2's redundancy vs 1 wipes its relevance)
+    val d = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.14f, 0f, 0f), 0),
+      (2L, Array(0.98f, 0.19f, 0f, 0f), 0),
+      (3L, Array(0.70f, 0.0f, 0.71f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val res = Similarity.mmrRerank(d, nQueries = 1, k = 2, m = 3)
+      .collect().sortBy(_.getLong(2))
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L, 1L), (0L, 3L, 2L)), res.mkString(", "))
+    assert(res(0).getLong(4) == 0L)   // first pick: empty selected set
+    assert(res(1).getLong(4) > 0L)    // second pick paid a redundancy term
+    // the aggregator's merge path: result invariant under repartitioning
+    val res2 = Similarity.mmrRerank(d.repartition(5), nQueries = 1, k = 2,
+        m = 3).collect().sortBy(_.getLong(2))
+    assert(res.map(_.toSeq).toSeq == res2.map(_.toSeq).toSeq)
+    // e30 on the clustered corpus: MMR's worst within-set redundancy
+    // never exceeds plain top-k's, for every query
+    val div = Similarity.mmrDiversity(emb, nQueries = 2, k = 3, m = 6)
+      .collect()
+    assert(div.length == 2 && div.forall(_.getBoolean(3)),
+      div.mkString(", "))
+  }
 }
