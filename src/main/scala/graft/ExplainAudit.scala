@@ -489,6 +489,13 @@ object ExplainAudit {
       Seq("MapPartitions"),
       forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
 
+    // m6 audio energy windows: decode + window fan-out inside the same
+    // per-partition boundary — media bytes never cross an exchange
+    audit("m6_audio_energy",
+      SparkEntry.queries("m6_audio_energy")(spark, sfDir),
+      Seq("MapPartitions"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
     spark.stop()
   }
 }

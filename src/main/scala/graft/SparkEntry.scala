@@ -813,6 +813,12 @@ object SparkEntry {
       operators.Multimodal.perceptualHash(s,
         operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
         .toDF()),
+    // windowed audio energy segmentation (VAD first pass) over REAL
+    // decoded WAV PCM; oracle replays the generator's byte arithmetic
+    "m6_audio_energy" -> ((s, dir) =>
+      operators.Multimodal.audioEnergyWindows(s,
+        operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
+        .toDF()),
     // frame sampling: every ceil(n/4)th frame of each video row — the
     // explode fan-out a frame-level extractor consumes; n_frames comes
     // from the actual GIF image-descriptor walk
@@ -1457,6 +1463,25 @@ object SparkEntry {
       SELECT g.doc_id, CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
         ahash, shash
       FROM gs g JOIN ah USING (doc_id) JOIN sh USING (doc_id)""",
+    "m6_audio_energy" -> """
+      WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+      s AS (
+        SELECT doc_id, list_transform(range(1, length(text) + 1),
+          i -> CAST(ord(text[i]) AS BIGINT) - 128) AS v
+        FROM a),
+      w AS (
+        SELECT doc_id, unnest(range(0, (len(v) + 49) // 50)) AS win_idx, v
+        FROM s),
+      e AS (
+        SELECT doc_id, win_idx,
+          list_slice(v, win_idx * 50 + 1, (win_idx + 1) * 50) AS wv
+        FROM w)
+      SELECT doc_id, win_idx,
+        CAST(len(wv) AS BIGINT) AS win_len,
+        CAST(list_sum(list_transform(wv, x -> x * x)) AS BIGINT) AS energy,
+        (CAST(list_sum(list_transform(wv, x -> x * x)) AS BIGINT)
+          >= 2000 * len(wv)) AS active
+      FROM e""",
     "m4_frame_sample" -> """
       WITH v AS (
         SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames

@@ -249,6 +249,45 @@ object Multimodal {
       }
   }
 
+  case class AudioSpan(doc_id: Long, win_idx: Long, win_len: Long,
+                         energy: Long, active: Boolean)
+
+  /** m6 — windowed audio energy segmentation (the VAD-shaped first pass
+    * every speech-data pipeline runs before transcription: cut the
+    * stream into fixed windows, score each window's energy, keep the
+    * active spans). The engine round-trips REAL WAV bytes — the RIFF
+    * walk + 8-bit PCM extraction is the genuine parse — then computes
+    * per-window energy Σ(sample−128)² in-row; `active` is the
+    * cross-multiplied integer threshold energy ≥ thrPerSample·win_len
+    * (length-robust for the short tail window, no float ratios). A real
+    * VAD model replaces the energy formula inside the same
+    * per-partition boundary; everything around it — decode, window
+    * fan-out, schema, threshold gate — is the production plumbing.
+    *
+    * Scale shape: per-row mapPartitions over the decoded payload,
+    * embarrassingly parallel; media bytes never cross an exchange; the
+    * fan-out is bounded by samples/window per row.
+    */
+  def audioEnergyWindows(spark: SparkSession, media: DataFrame,
+                         window: Int = 50,
+                         thrPerSample: Long = 2000L): Dataset[AudioSpan] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("media_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val s = MediaCodecs.decodeWav(r.media).samples
+          s.grouped(window).zipWithIndex.map { case (w, i) =>
+            var e = 0L
+            w.foreach { b => val v = (b & 0xff) - 128L; e += v * v }
+            AudioSpan(r.doc_id, i.toLong, w.length.toLong, e,
+              e >= thrPerSample * w.length)
+          }
+        }
+      }
+  }
+
   /** Media near-dup pairs over the stream fingerprint: d3's SimHash
     * screen transplanted to decoded pixels — 4×16-bit bands of `shash`
     * bucket-join (ids + one long only), exact 64-bit hamming verify on

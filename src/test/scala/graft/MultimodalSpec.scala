@@ -164,4 +164,23 @@ class MultimodalSpec extends SparkSuite {
       assert(!s.contains("Exchange"), s"unexpected shuffle in:\n$s")
     }
   }
+
+  test("audioEnergyWindows: hand-computed energies over a real WAV " +
+      "round-trip; tail window length-robust; audio rows only") {
+    // doc 1 (audio): 5 chars — one window of 3, one tail of 2 at window=3
+    val media = Multimodal.synthesizeMedia(spark,
+      docs(0L -> "img", 1L -> "ab cd", 2L -> "vid")).toDF()
+    val out = Multimodal.audioEnergyWindows(spark, media, window = 3,
+        thrPerSample = 1000L)
+      .collect().sortBy(_.win_idx)
+    assert(out.forall(_.doc_id == 1L))       // image/video rows excluded
+    assert(out.map(w => (w.win_idx, w.win_len)).toSeq ==
+      Seq((0L, 3L), (1L, 2L)))
+    def e(cs: String) = cs.map { c => val v = c.toLong - 128; v * v }.sum
+    assert(out(0).energy == e("ab "))        // 31² + 30² + 96² = 11 077
+    assert(out(1).energy == e("cd"))         // 29² + 28² = 1 625
+    // threshold is per-sample cross-multiplied: 11077 >= 3000 active,
+    // 1625 < 2000 inactive — the short tail is judged on ITS length
+    assert(out(0).active && !out(1).active)
+  }
 }
