@@ -426,6 +426,11 @@ object SparkEntry {
     // machinery), rank-adjacency window, bounded-Levenshtein verify
     "d19_sorted_neighbors" -> ((s, dir) =>
       operators.TextOps.sortedNeighborPairs(t(s, dir, "documents"))),
+    // sub-document boilerplate dedup: content-defined chunk boundaries
+    // (rolling-hash ≡ 0 mod divisor), cross-doc duplicated chunks —
+    // insertion-robust where fixed-size blocks are not
+    "d20_cdc_chunks" -> ((s, dir) =>
+      operators.TextOps.cdcDupChunks(t(s, dir, "documents"))),
     // transitive dup clusters: iterative hash-to-min connected components
     // over the ladder's verified pairs — DuckDB checks the fixpoint with
     // an independent recursive-CTE transitive closure
@@ -1211,6 +1216,7 @@ object SparkEntry {
     "d17_source_dup_matrix" -> TextOracles.sourceDupMatrixSql(),
     "d18_editdist_clusters" -> TextOracles.editDistClustersSql(),
     "d19_sorted_neighbors" -> TextOracles.sortedNeighborSql(),
+    "d20_cdc_chunks" -> TextOracles.cdcDupChunksSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     // identical label contract (cluster_id = component min over the same
     // verified pairs), so the same independent transitive-closure oracle

@@ -1337,6 +1337,36 @@ SELECT doc_id, n_lines, n_kept,
     AND NOT has_brace AND NOT has_lorem) AS pass
 FROM m"""
 
+  /** d20: content-defined chunking dedup — the same boundary rule as
+    * TextOps.cdcDupChunks (rolling window-char PolyHash31 ≡ 0 mod divisor
+    * at 1-based end positions window..L-1; the document tail always
+    * closes the last chunk), chunks identified by sha256, cross-doc
+    * duplicated chunks with doc/occurrence counts.
+    */
+  def cdcDupChunksSql(window: Int = 8, divisor: Long = 64L): String =
+    s"""WITH bounds AS (
+  SELECT doc_id, text,
+    list_append(
+      list_filter(range($window, length(text)),
+        i -> ${ph(s"substr(text, i - ${window - 1}, $window)")} % $divisor = 0),
+      length(text)) AS ends
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ends) + 1),
+      j -> substr(text,
+        CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS INT),
+        CAST(ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1
+          AS INT)))) AS chunk
+  FROM bounds)
+SELECT sha256(chunk) AS chunk_hash,
+  CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+  count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_occ
+FROM chunks
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2"""
+
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).
     */

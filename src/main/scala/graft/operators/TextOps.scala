@@ -2430,6 +2430,57 @@ object TextOps {
       .limit(k)
   }
 
+  // ------------------------------------------- content-defined chunking
+
+  /** d20 — content-defined chunking (CDC) dedup: the Rabin-fingerprint /
+    * FastCDC posture every dedup STORE runs (backup systems, CAS blob
+    * stores, and sub-document web dedup à la Lee et al.'s exact
+    * substrings): chunk boundaries are set by CONTENT — a position ends
+    * a chunk when the rolling `window`-char PolyHash31 ≡ 0 (mod
+    * `divisor`) — so an insertion early in a page only reshuffles chunks
+    * up to the next boundary instead of shifting every fixed-size block
+    * (the failure mode that makes fixed-window dedup useless against
+    * boilerplate drift). Expected chunk length ≈ divisor chars; the
+    * document tail always closes the last chunk. Chunks are identified
+    * by sha256; output = chunks appearing in ≥ 2 distinct docs with
+    * their doc/occurrence counts — the duplicated-boilerplate relation a
+    * curation pass subtracts.
+    *
+    * Scale shape: boundary detection + chunk splitting is a pure per-row
+    * HOF projection (O(L·window) per doc, corpus-independent); the only
+    * exchange carries (32 B hash, id) pairs — never text — into a
+    * two-phase count aggregate, exactly d1's shuffle posture. At 100 TB
+    * the chunk-hash relation is the dedup STORE: key it, bucket it, and
+    * incremental recrawls (d12) probe it instead of re-pairing the
+    * corpus.
+    */
+  def cdcDupChunks(docs: DataFrame, window: Int = 8,
+                   divisor: Long = 64L): DataFrame = {
+    val L = length(col("text"))
+    // boundary candidates: 1-based end positions window..L-1 (the final
+    // position always terminates the last chunk; Spark's sequence(a, b)
+    // DESCENDS when b < a, so short docs need the explicit guard)
+    val ends0 = when(L >= window + 1,
+      filter(sequence(lit(window), L - 1), i =>
+        pmod(graft.functions.poly_hash31(
+          col("text").substr(i - (window - 1), lit(window))),
+          lit(divisor)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val ends = concat(ends0, array(L))
+    val chunks = transform(sequence(lit(1), size(ends)), j => {
+      val st = when(j === 1, lit(1)).otherwise(element_at(ends, j - 1) + 1)
+      col("text").substr(st, element_at(ends, j) - st + 1)
+    })
+    docs.select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("clen")).as("chunk_len"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+  }
+
   // ------------------------------------------------------ C4 cleaning pass
 
   /** t34 generator — deterministic line-structured rendering of the flat

@@ -1501,4 +1501,48 @@ class TextOpsSpec extends SparkSuite {
     assert(out(0L) == "w1 w2 w3 lorem ipsum?\nw4 w5 w6!\nw7")
     assert(out(10L) == "w1 w2 w3 w4 w5 w6 javascript\nw7.")
   }
+
+  test("cdcDupChunks: content-defined boundaries dedup a shared suffix " +
+    "across different-length prefixes (differential vs a driver chunker)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val window = 8; val divisor = 16L
+    // deterministic pseudo-prose; divisor 16 → ~16-char expected chunks
+    val rnd = new scala.util.Random(11)
+    def para(n: Int): String = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5)))
+      .mkString(" ")
+    val shared = para(80)
+    val t1 = "intro one " + shared
+    val t2 = "a different and much longer preamble " + shared
+    val t3 = para(80) // unrelated
+    // driver reference: same boundary rule (window-char polyHash31 of the
+    // window ENDING at 1-based position i, i in window..L-1, ≡ 0 mod
+    // divisor; tail always closes)
+    def chunksOf(t: String): Seq[String] = {
+      val ends = (window to t.length - 1).filter { i =>
+        TextHashes.polyHash31(
+          UTF8String.fromString(t.substring(i - window, i))) % divisor == 0
+      } :+ t.length
+      val starts = 1 +: ends.dropRight(1).map(_ + 1)
+      starts.zip(ends).map { case (s, e) => t.substring(s - 1, e) }
+    }
+    // invariant: chunks re-concatenate to the document
+    Seq(t1, t2, t3).foreach(t => assert(chunksOf(t).mkString == t))
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Seq(1L -> t1, 2L -> t2, 3L -> t3)
+      .flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+      .groupBy(_._2)
+      .collect { case (c, occ) if occ.map(_._1).distinct.size >= 2 =>
+        (sha(c), c.length.toLong,
+          occ.map(_._1).distinct.size.toLong, occ.size.toLong) }.toSet
+    assert(want.nonEmpty, "shared suffix produced no dup chunks — weak fixture")
+    val got = TextOps.cdcDupChunks(docs(1L -> t1, 2L -> t2, 3L -> t3),
+        window, divisor)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"got $got want $want")
+  }
 }
