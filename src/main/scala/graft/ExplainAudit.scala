@@ -496,6 +496,33 @@ object ExplainAudit {
       Seq("MapPartitions"),
       forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
 
+    // d20/d21 CDC: chunking is a pure per-row HOF projection; both
+    // queries reduce through two-phase hash aggregates over the 32-byte
+    // chunk hash (text never crosses an exchange), d21 adds a left-semi
+    // against the dup set and a corpus-keyed outer join of (id, len)
+    // pairs — no rank window, no product join anywhere
+    audit("d20_cdc_chunks",
+      SparkEntry.queries("d20_cdc_chunks")(spark, sfDir),
+      Seq("HashAggregate", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortAggregate"))
+    audit("d21_cdc_boilerplate",
+      SparkEntry.queries("d21_cdc_boilerplate")(spark, sfDir),
+      Seq("HashAggregate", "LeftSemi"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortAggregate"))
+
+    // e31 hybrid RRF: the dense list must come from the heap-merge
+    // serving pass (e-tier posture) and the final fused top-k from
+    // TakeOrdered — the ONE allowed Window ranks the lexical list AFTER
+    // its LIMIT (≤ kEach rows, driver-bounded by construction), which is
+    // why e31 sits outside the blanket e-tier Window ban above
+    audit("e31_hybrid_rrf",
+      SparkEntry.queries("e31_hybrid_rrf")(spark, sfDir),
+      Seq("ObjectHashAggregate", "partial_topkaggregator",
+        "TakeOrderedAndProject"),
+      forbid = Seq("CartesianProduct"))
+
     spark.stop()
   }
 }

@@ -801,4 +801,31 @@ mpair AS (
 SELECT t.qid, t.mx AS topk_max_pairdot, m.mx AS mmr_max_pairdot,
   (m.mx <= t.mx) AS diversified
 FROM tpair t JOIN mpair m ON m.qid = t.qid"""
+
+  /** e31: hybrid lexical+dense RRF fusion (mirrors Similarity.hybridRrf).
+    * Lexical list = the t16 BM25 oracle at kEach (embedded as a derived
+    * table, so both engines rank the SAME scorer); dense list = the e1
+    * brute chain for query vec_id 0 at kEach. Fusion replays the
+    * integer-exact Σ 1000000 // (c + rank) with absent ranks → 0.
+    */
+  def hybridRrfSql(queryTerms: Seq[String], kEach: Int = 20,
+                   kOut: Int = 10, c: Int = 60): String =
+    s"""WITH $eqCte,
+lexr AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY score_x1000 DESC, doc_id) AS INT) AS lex_rank
+  FROM (${TextOracles.bm25Sql(queryTerms, kEach)})),
+vecr AS (
+  SELECT nid AS doc_id, CAST(rnk AS INT) AS vec_rank FROM (
+    SELECT c.vec_id AS nid,
+      row_number() OVER (ORDER BY ${dotSql("p.q", "c.q")} DESC,
+                         c.vec_id) AS rnk
+    FROM eq c CROSS JOIN eq p
+    WHERE p.vec_id < 1 AND c.vec_id != p.vec_id)
+  WHERE rnk <= $kEach)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, lex_rank, vec_rank,
+  CAST(coalesce(1000000 // ($c + lex_rank), 0)
+     + coalesce(1000000 // ($c + vec_rank), 0) AS BIGINT) AS rrf_x1m
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf_x1m DESC, doc_id LIMIT $kOut"""
 }

@@ -431,6 +431,10 @@ object SparkEntry {
     // insertion-robust where fixed-size blocks are not
     "d20_cdc_chunks" -> ((s, dir) =>
       operators.TextOps.cdcDupChunks(t(s, dir, "documents"))),
+    // the gate a curation pass derives from d20: per-doc character mass
+    // in cross-doc duplicated chunks, keep iff boilerplate < 1/2
+    "d21_cdc_boilerplate" -> ((s, dir) =>
+      operators.TextOps.cdcBoilerplateGate(t(s, dir, "documents"))),
     // transitive dup clusters: iterative hash-to-min connected components
     // over the ladder's verified pairs — DuckDB checks the fixpoint with
     // an independent recursive-CTE transitive closure
@@ -759,6 +763,13 @@ object SparkEntry {
       operators.Similarity.mmrRerank(t(s, dir, "embeddings"))),
     "e30_mmr_diversity" -> ((s, dir) =>
       operators.Similarity.mmrDiversity(t(s, dir, "embeddings"))),
+    // hybrid lexical+dense retrieval: BM25 top-20 (t16's scorer) fused
+    // with the dense top-20 of the id-0 embedding query (e1's scorer)
+    // by reciprocal-rank fusion — rank-only, calibration-free, the
+    // Elasticsearch/Vespa hybrid default. Integer-exact Σ 1e6 div (60+r).
+    "e31_hybrid_rrf" -> ((s, dir) =>
+      operators.Similarity.hybridRrf(
+        t(s, dir, "documents"), t(s, dir, "embeddings"), Bm25Terms)),
     // SQ8 scalar quantization (FAISS QT_8bit): the compression rung
     // between exact float (e1) and PQ (e9) — 1 byte/dim, bounds trained
     // in ONE aggregate (no Lloyd's), encode/decode a pure in-row
@@ -1217,6 +1228,7 @@ object SparkEntry {
     "d18_editdist_clusters" -> TextOracles.editDistClustersSql(),
     "d19_sorted_neighbors" -> TextOracles.sortedNeighborSql(),
     "d20_cdc_chunks" -> TextOracles.cdcDupChunksSql(),
+    "d21_cdc_boilerplate" -> TextOracles.cdcBoilerplateGateSql(),
     "d11_dup_clusters" -> TextOracles.dupClustersSql(),
     // identical label contract (cluster_id = component min over the same
     // verified pairs), so the same independent transitive-closure oracle
@@ -1250,6 +1262,7 @@ object SparkEntry {
     "e28_knn_ivfpq_codes" -> SimOracles.knnIvfPqModelSql(),
     "e29_mmr_rerank" -> SimOracles.mmrSql(),
     "e30_mmr_diversity" -> SimOracles.mmrDiversitySql(),
+    "e31_hybrid_rrf" -> SimOracles.hybridRrfSql(Bm25Terms),
     "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),
     "e19_knn_ivfsq8" -> SimOracles.knnIvfSq8Sql(),

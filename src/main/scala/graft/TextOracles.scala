@@ -1344,7 +1344,20 @@ FROM m"""
     * duplicated chunks with doc/occurrence counts.
     */
   def cdcDupChunksSql(window: Int = 8, divisor: Long = 64L): String =
-    s"""WITH bounds AS (
+    s"""WITH ${cdcChunkCtes(window, divisor)}
+SELECT chunk_hash,
+  CAST(min(clen) AS BIGINT) AS chunk_len,
+  count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_occ
+FROM chrows
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2"""
+
+  /** The CDC chunk relation CTEs shared by d20/d21 — mirror of
+    * TextOps.cdcChunkRows.
+    */
+  private def cdcChunkCtes(window: Int, divisor: Long): String =
+    s"""bounds AS (
   SELECT doc_id, text,
     list_append(
       list_filter(range($window, length(text)),
@@ -1358,14 +1371,30 @@ chunks AS (
         CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS INT),
         CAST(ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1
           AS INT)))) AS chunk
-  FROM bounds)
-SELECT sha256(chunk) AS chunk_hash,
-  CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
-  count(DISTINCT doc_id) AS n_docs,
-  count(*) AS n_occ
-FROM chunks
-GROUP BY 1
-HAVING count(DISTINCT doc_id) >= 2"""
+  FROM bounds),
+chrows AS (
+  SELECT doc_id, sha256(chunk) AS chunk_hash,
+    CAST(length(chunk) AS BIGINT) AS clen
+  FROM chunks)"""
+
+  /** d21: boilerplate-fraction gate — per doc, character mass in chunks
+    * shared with ≥ 2 distinct docs, keep iff dup_chars·den < n_chars·num.
+    */
+  def cdcBoilerplateGateSql(window: Int = 8, divisor: Long = 64L,
+                            num: Int = 1, den: Int = 2): String =
+    s"""WITH ${cdcChunkCtes(window, divisor)},
+dup AS (
+  SELECT chunk_hash FROM chrows
+  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id, CAST(sum(clen) AS BIGINT) AS dc
+  FROM chrows JOIN dup USING (chunk_hash)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(length(d.text) AS BIGINT) AS n_chars,
+  COALESCE(dc, 0) AS dup_chars,
+  (COALESCE(dc, 0) * $den < length(d.text) * $num) AS keep
+FROM documents d LEFT JOIN per USING (doc_id)"""
 
   /** d5: per-doc content fingerprints (order-sensitive polynomial + 62-bit
     * SimHash).

@@ -1433,4 +1433,46 @@ object Similarity {
       .select(col("qid"), col("topk_max_pairdot"), col("mmr_max_pairdot"),
         (col("mmr_max_pairdot") <= col("topk_max_pairdot")).as("diversified"))
   }
+
+  // ------------------------------------------------ hybrid lexical + dense
+
+  /** e31 — hybrid retrieval by reciprocal-rank fusion (RRF, Cormack et
+    * al. 2009): fuse the BM25 lexical top-`kEach` (TextOps.bm25TopK over
+    * `documents`, t16's scorer) with the dense top-`kEach` of the id-0
+    * embedding query (the heap-merge knnBruteAgg, e1's scorer) —
+    * `documents.doc_id` and `embeddings.vec_id` share an id space, the
+    * doc↔its-embedding pairing every hybrid search index maintains.
+    * score = Σ_lists 1/(c + rank), the rank-only fusion that needs NO
+    * cross-list score calibration (why RRF beat CombSUM in TREC and is
+    * what Elasticsearch/Vespa/Weaviate ship as their hybrid default).
+    * Kept integer-exact for the oracle: rrf_x1m = Σ 1000000 div (c+rank)
+    * (positive quotients, so Spark `div` and DuckDB `//` agree), absent
+    * list membership contributes 0, ranks surface as nullable ints.
+    *
+    * Scale shape: both inputs are top-k serving paths (bm25TopK's
+    * broadcast df-join + TakeOrdered, knnBruteAgg's k-heap merge), so
+    * the fusion joins two ≤kEach-row lists — driver-trivial by
+    * construction no matter the corpus size; the global row_number
+    * ranking the lexical list runs AFTER its LIMIT (kEach rows, one
+    * partition, the t10 bounded-window argument). At 100 TB the only
+    * heavy work is inside the two retrieval tiers, which swap freely
+    * for their ANN/pruned forms (e15/e28, t16) without touching the
+    * fusion.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                kEach: Int = 20, kOut: Int = 10, c: Int = 60): DataFrame = {
+    val lex = graft.operators.TextOps.bm25TopK(docs, queryTerms, kEach)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_x1000").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = knnBruteAgg(emb, nQueries = 1, k = kEach)
+      .select(col("nid").as("doc_id"), col("rnk").cast("int").as("vec_rank"))
+    val term = (r: String) =>
+      coalesce(expr(s"1000000 div ($c + $r)").cast("long"), lit(0L))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (term("lex_rank") + term("vec_rank")).as("rrf_x1m"))
+      .orderBy(col("rrf_x1m").desc, col("doc_id"))
+      .limit(kOut)
+  }
 }

@@ -2455,7 +2455,20 @@ object TextOps {
     * corpus.
     */
   def cdcDupChunks(docs: DataFrame, window: Int = 8,
-                   divisor: Long = 64L): DataFrame = {
+                   divisor: Long = 64L): DataFrame =
+    cdcChunkRows(docs, window, divisor)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("clen")).as("chunk_len"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
+  /** The CDC chunk relation (doc_id, chunk_hash, clen) shared by d20/d21:
+    * one chunk row per content-defined chunk, text already reduced to its
+    * 32-byte sha256 before any exchange.
+    */
+  private def cdcChunkRows(docs: DataFrame, window: Int,
+                           divisor: Long): DataFrame = {
     val L = length(col("text"))
     // boundary candidates: 1-based end positions window..L-1 (the final
     // position always terminates the last chunk; Spark's sequence(a, b)
@@ -2474,11 +2487,42 @@ object TextOps {
     docs.select(col("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"), sha2(col("chunk"), 256).as("chunk_hash"),
         length(col("chunk")).cast("long").as("clen"))
-      .groupBy(col("chunk_hash"))
-      .agg(min(col("clen")).as("chunk_len"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= 2)
+  }
+
+  /** d21 — boilerplate-fraction gate over the CDC chunk relation: per doc,
+    * the character mass lying in chunks that also appear in ≥ 2 distinct
+    * docs (self-repeats alone don't count — a chunk repeated WITHIN one
+    * doc is d15/t23's territory), and a keep verdict
+    * `dup_chars · den < n_chars · num` (default < 1/2 boilerplate) in
+    * cross-multiplied integers so the oracle replays it exactly. This is
+    * the gate a curation pass derives FROM d20's relation: template-heavy
+    * pages (headers/footers/nav shared across a site) fail while pages
+    * that merely share a snippet survive.
+    *
+    * Scale shape: the chunk relation shuffles twice on the 32-byte hash
+    * (dup-flag aggregate, then a left-semi back onto the same relation —
+    * ids+lens only, never text), once on doc_id for the per-doc sum, and
+    * the doc-side join to recover every doc (zero-dup docs must appear
+    * with dup_chars = 0) carries (doc_id, n_chars) pairs. All d1-posture
+    * exchanges; nothing is corpus-quadratic.
+    */
+  def cdcBoilerplateGate(docs: DataFrame, window: Int = 8,
+                         divisor: Long = 64L, num: Int = 1,
+                         den: Int = 2): DataFrame = {
+    val ch = cdcChunkRows(docs, window, divisor)
+    val dup = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_hash"))
+    val perDoc = ch.join(dup, Seq("chunk_hash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("clen")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)) * den <
+          col("n_chars") * num).as("keep"))
   }
 
   // ------------------------------------------------------ C4 cleaning pass

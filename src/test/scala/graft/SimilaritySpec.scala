@@ -509,4 +509,50 @@ class SimilaritySpec extends SparkSuite {
     assert(div.length == 2 && div.forall(_.getBoolean(3)),
       div.mkString(", "))
   }
+
+  test("hybridRrf fuses lexical and dense ranks by integer RRF, " +
+      "differentially vs its two component retrievers") {
+    import spark.implicits._
+    val terms = Seq("vector", "hash")
+    // doc ids live in emb's id space (0..19); id 0 is the dense query.
+    // Term frequencies differ per doc so BM25 produces strict ranks;
+    // ids 18/19 are lexical-only hits way outside the dense top-k.
+    val docs = Seq(
+      (0L, "vector hash vector hash vector pad"),
+      (1L, "vector pad pad pad pad pad"),
+      (2L, "hash hash hash pad pad pad"),
+      (3L, "pad pad pad pad pad pad"),
+      (18L, "vector vector hash hash hash vector"),
+      (19L, "vector hash pad pad pad pad")).toDF("doc_id", "text")
+    val kEach = 4
+    val got = Similarity.hybridRrf(docs, emb, terms, kEach = kEach,
+        kOut = 10, c = 60)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getLong(3)))
+      .toSeq
+    // expected fusion from the two components' own outputs
+    val lexRank = graft.operators.TextOps.bm25TopK(docs, terms, kEach)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val vecRank = Similarity.knnBruteAgg(emb, nQueries = 1, k = kEach)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    def tm(r: Option[Int]): Long = r.map(x => 1000000L / (60 + x)).getOrElse(0L)
+    val want = (lexRank.keySet ++ vecRank.keySet).toSeq
+      .map { id =>
+        (id, lexRank.get(id), vecRank.get(id),
+          tm(lexRank.get(id)) + tm(vecRank.get(id)))
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(10)
+    assert(got == want, s"got $got want $want")
+    // both lists contributed: some fused row is lexical-only and the
+    // dense-only rows carry exactly one term
+    assert(got.exists(r => r._2.isDefined && r._3.isEmpty))
+    assert(got.exists(r => r._2.isEmpty && r._3.isDefined))
+    assert(got.exists(r => r._2.isDefined && r._3.isDefined),
+      "a doc in both lists must outrank single-list docs at equal ranks")
+  }
 }

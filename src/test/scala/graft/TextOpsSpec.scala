@@ -1544,5 +1544,23 @@ class TextOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == want, s"got $got want $want")
+
+    // d21: the boilerplate gate over the same chunk relation — dup_chars
+    // = char mass in cross-doc chunks; the near-copies (mostly shared
+    // suffix) fail the <1/2 gate, the unrelated doc passes with 0
+    val dupChunks = want.map(_._1)
+    def dupChars(t: String): Long =
+      chunksOf(t).filter(c => dupChunks.contains(sha(c))).map(_.length.toLong).sum
+    val gate = TextOps.cdcBoilerplateGate(
+        docs(1L -> t1, 2L -> t2, 3L -> t3), window, divisor)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    Seq(1L -> t1, 2L -> t2, 3L -> t3).foreach { case (id, t) =>
+      assert(gate(id) == ((t.length.toLong, dupChars(t),
+        dupChars(t) * 2 < t.length.toLong)), s"doc $id: ${gate(id)}")
+    }
+    assert(!gate(1L)._3 && !gate(2L)._3, "near-copies should fail the gate")
+    assert(gate(3L)._3 && gate(3L)._2 == 0L, "unrelated doc keeps, 0 dup chars")
   }
 }
