@@ -512,6 +512,16 @@ object ExplainAudit {
       forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
         "SortAggregate"))
 
+    // t35 curation funnel: t11's stage chain with a count per boundary —
+    // the assembly is a UNION of eight 1-row aggregates (zero joins of
+    // its own), stage boundaries read from the eager checkpoints
+    // (ExistingRDD) exactly like t11, and unlike t11 there is no pack
+    // window, so the WHOLE funnel plan must be Window-free
+    audit("t35_curation_funnel",
+      SparkEntry.queries("t35_curation_funnel")(spark, sfDir),
+      Seq("Union", "ExistingRDD", "HashAggregate"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
     // e31 hybrid RRF: the dense list must come from the heap-merge
     // serving pass (e-tier posture) and the final fused top-k from
     // TakeOrdered — the ONE allowed Window ranks the lexical list AFTER

@@ -660,6 +660,20 @@ object SparkEntry {
         // pipeline at sf0.1; a cluster run would use a parquet/Iceberg
         // boundary instead). Same rows, same hash — oracle unchanged.
         materialize = _.localCheckpoint())),
+    // the funnel view of the SAME chain: one row of per-stage survivor
+    // counts (input → gate → decon → dedup → mix → 8/1/1 split) — the
+    // retention dashboard a curation run reports; localizes a stage
+    // divergence even when t11's terminal packing happens to agree
+    "t35_curation_funnel" -> ((s, dir) =>
+      operators.TextOps.curationFunnel(t(s, dir, "documents"),
+        mixPct = when(regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int") % 2 === 0, lit(100)).otherwise(lit(25)),
+        augment = df => df.withColumn("text",
+          concat(col("text"), lit(" contact doc"),
+            col("doc_id").cast("string"),
+            lit("@corp.example.com call +1 (555) 123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))),
+        materialize = _.localCheckpoint())),
     // corpus carries no PII: append a deterministic contact line per row
     // (mirrored in TextOracles.redactSql) so the redaction regexes are
     // exercised for real in both engines
@@ -1177,6 +1191,7 @@ object SparkEntry {
     "t5_chunks" -> TextOracles.chunksSql(),
     "t6_redact" -> TextOracles.redactSql,
     "t11_corpus_pipeline" -> TextOracles.corpusPipelineSql(),
+    "t35_curation_funnel" -> TextOracles.curationFunnelSql(),
     "t9_data_mix" -> TextOracles.mixSql,
     "t10_seq_pack" -> TextOracles.seqPackSql(),
     "t12_decontaminate" -> TextOracles.decontaminateSql(),

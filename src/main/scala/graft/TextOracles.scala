@@ -483,11 +483,32 @@ FROM s2"""
   def corpusPipelineSql(minAvgChars: Long = 300L, k: Int = 32,
                         bands: Int = 8, minBandHits: Int = 2,
                         budget: Int = 512, nShards: Int = 4): String = {
+    val shardExpr = s"${ph("'pack|' || CAST(doc_id AS STRING)")} % $nShards"
+    s"""WITH ${pipelineChainCtes(minAvgChars, k, bands, minBandHits)},
+packed AS (
+  SELECT doc_id, source, split,
+    CAST($shardExpr AS INT) AS shard,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    sum(len(string_split(text, ' '))) OVER (
+      PARTITION BY split, source, $shardExpr
+      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM spl)
+SELECT doc_id, source, split, shard, n_tokens,
+  CAST((cum - n_tokens) // $budget AS INT) AS bin
+FROM packed"""
+  }
+
+  /** The t11 pipeline CTE chain (gate → augment → redact → decon →
+    * ladder dedup → mix → split), ending at `spl` — shared by
+    * [[corpusPipelineSql]] (which packs it) and [[curationFunnelSql]]
+    * (which counts every stage boundary). Caller opens with WITH.
+    */
+  private def pipelineChainCtes(minAvgChars: Long, k: Int, bands: Int,
+                                minBandHits: Int): String = {
     val url = graft.operators.TextOps.UrlPat
     val email = graft.operators.TextOps.EmailPat
     val phone = graft.operators.TextOps.PhonePat
-    val shardExpr = s"${ph("'pack|' || CAST(doc_id AS STRING)")} % $nShards"
-    s"""WITH gatesrc AS (
+    s"""gatesrc AS (
   SELECT source FROM documents GROUP BY source
   HAVING sum(CAST(length(text) AS BIGINT)) >= count(*) * $minAvgChars),
 gated AS (
@@ -546,19 +567,30 @@ spl AS (
   SELECT *, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
                  ELSE 'test' END AS split
   FROM (SELECT *, ${ph("'split|' || CAST(doc_id AS STRING)")} % 10 AS b
-        FROM mixed)),
-packed AS (
-  SELECT doc_id, source, split,
-    CAST($shardExpr AS INT) AS shard,
-    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-    sum(len(string_split(text, ' '))) OVER (
-      PARTITION BY split, source, $shardExpr
-      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-  FROM spl)
-SELECT doc_id, source, split, shard, n_tokens,
-  CAST((cum - n_tokens) // $budget AS INT) AS bin
-FROM packed"""
+        FROM mixed))"""
   }
+
+  /** t35: the curation funnel — one row of per-stage survivor counts
+    * over the SAME chain as t11 (input → source gate → decontaminate →
+    * near-dup dedup → weighted mix → split thirds), the retention
+    * dashboard every production curation pipeline reports. Counts are
+    * scalar subqueries over the shared CTE chain, so a stage-boundary
+    * divergence shows up as a count mismatch even when t11's final
+    * packing happens to agree.
+    */
+  def curationFunnelSql(minAvgChars: Long = 300L, k: Int = 32,
+                        bands: Int = 8, minBandHits: Int = 2): String =
+    s"""WITH ${pipelineChainCtes(minAvgChars, k, bands, minBandHits)}
+SELECT CAST(1 AS INT) AS stage, 'input' AS stage_name,
+  (SELECT count(*) FROM documents) AS n_docs
+UNION ALL SELECT 2, 'gated', (SELECT count(*) FROM gated)
+UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM decsurv)
+UNION ALL SELECT 4, 'deduped', (SELECT count(*) FROM surv)
+UNION ALL SELECT 5, 'mixed', (SELECT count(*) FROM mixed)
+UNION ALL SELECT 6, 'train',
+  (SELECT count(*) FROM spl WHERE split = 'train')
+UNION ALL SELECT 7, 'val', (SELECT count(*) FROM spl WHERE split = 'val')
+UNION ALL SELECT 8, 'test', (SELECT count(*) FROM spl WHERE split = 'test')"""
 
   /** t12: benchmark decontamination — eval set = doc_id ≡ 3 mod 29, a
     * training doc is contaminated when ≥ minHits of its distinct 3-gram

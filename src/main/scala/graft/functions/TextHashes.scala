@@ -119,6 +119,42 @@ case class SimHashPoly(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunk boundaries (d20/d21): 1-based end positions
+  * `window..len-1` whose trailing `window`-byte PolyHash31 ≡ 0 (mod
+  * `divisor`), computed with a true O(1)-per-byte ROLLING update of the
+  * same polynomial (remove b·131^(w−1), shift, add) — value-identical to
+  * hashing each window from scratch but O(L) instead of O(L·window) and
+  * allocation-free (the HOF substr form was measured 42 s → ~6 s on the
+  * sf0.1 d20 query). The final position is NOT emitted (it always
+  * terminates the last chunk; callers append it).
+  */
+case class CdcBoundaries(child: Expression, window: Int, divisor: Long)
+    extends UnaryExpression {
+
+  require(window >= 1 && window <= TextHashes.MaxPolyLen,
+    s"cdc window must be in [1, ${TextHashes.MaxPolyLen}]")
+  require(divisor >= 1, "cdc divisor must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.cdcBoundaries(input.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.cdcBoundaries($c, $window, ${divisor}L)")
+
+  override def prettyName: String = "cdc_boundaries"
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 object TextHashes {
   private final val FNV_OFFSET = 0xcbf29ce484222325L
   private final val FNV_PRIME = 0x100000001b3L
@@ -131,6 +167,36 @@ object TextHashes {
   final val B31 = 131L
   /** hash window: first 64 bytes (ASCII ⇒ 64 chars, mirrored in SQL) */
   final val MaxPolyLen = 64
+
+  /** Rolling-PolyHash31 chunk boundaries — see [[CdcBoundaries]]. Byte
+    * semantics like [[polyHash31]] (identical to character semantics on
+    * the documented ASCII corpus).
+    */
+  def cdcBoundaries(s: UTF8String, window: Int, divisor: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < window + 1)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray)
+    // B31^(window-1) mod P31 — the removal weight of the oldest byte
+    var powW1 = 1L
+    var k = 0
+    while (k < window - 1) { powW1 = (powW1 * B31) % P31; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * B31 + (bytes(i) & 0xffL)) % P31; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var end = window // 1-based end position of the current window
+    while (end < n) { // the final position (end == n) never emits
+      if (h % divisor == 0L) out += end
+      // roll: drop bytes(end - window), append bytes(end)
+      h = (h + P31 - ((bytes(end - window) & 0xffL) * powW1) % P31) % P31
+      h = (h * B31 + (bytes(end) & 0xffL)) % P31
+      end += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.result())
+  }
 
   def polyHash31(s: UTF8String): Long = {
     val bytes = s.getBytes

@@ -36,6 +36,12 @@ package object functions {
   /** Cross-engine 31-bit SimHash over a token array. */
   def simhash_poly(c: Column): Column = column(SimHashPoly(expression(c)))
 
+  /** Content-defined chunk boundaries via rolling PolyHash31 (codegen'd
+    * O(L) loop — value-identical to hashing each window from scratch).
+    */
+  def cdc_boundaries(c: Column, window: Int, divisor: Long): Column =
+    column(CdcBoundaries(expression(c), window, divisor))
+
   /** Integer dot product of two array<bigint> (codegen'd loop). */
   def dot_long(a: Column, b: Column): Column =
     column(DotLong(expression(a), expression(b)))

@@ -744,6 +744,50 @@ object TextOps {
       .select("doc_id", "source", "split", "shard", "n_tokens", "bin")
   }
 
+  /** t35 — the curation funnel: one row of per-stage survivor counts
+    * over the SAME stage chain as [[corpusPipeline]] (input → source
+    * gate → augment/redact → decontaminate → ladder dedup → weighted
+    * mix → split thirds). This is the retention dashboard every
+    * production curation run reports next to its output — "we ingested
+    * N, the gate kept G, decon kept C, dedup kept D, the mix sampled M,
+    * split 8/1/1" — and because each count sits on a stage BOUNDARY it
+    * localizes a divergence to the stage that caused it even when the
+    * terminal relation happens to agree.
+    *
+    * Scale shape: identical to t11's (each stage is the same operator),
+    * plus one single-row aggregate per boundary; `materialize`
+    * checkpoints each boundary exactly like t11 so the chain is computed
+    * once, and the count branches read the checkpointed relations. The
+    * final assembly UNIONs eight 1-row aggregates — eight rows, zero
+    * joins.
+    */
+  def curationFunnel(docs: DataFrame,
+                     mixPct: Column = lit(100),
+                     augment: DataFrame => DataFrame = identity,
+                     minAvgChars: Long = 300L,
+                     evalDocs: Option[DataFrame] = None,
+                     materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val gated = gateDocs(docs, minAvgChars)
+    val red = materialize(redactDocs(augment(gated)))
+    val decon = materialize(red.join(materialize(contaminatedIds(red, evalDocs)),
+      Seq("doc_id"), "left_anti"))
+    val deduped = materialize(dropNearDups(decon))
+    val mixed = materialize(mixDocs(deduped, mixPct))
+    val spl = splitDocs(mixed)
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"))
+    stage(docs, 1, "input")
+      .unionByName(stage(gated, 2, "gated"))
+      .unionByName(stage(decon, 3, "decontaminated"))
+      .unionByName(stage(deduped, 4, "deduped"))
+      .unionByName(stage(mixed, 5, "mixed"))
+      .unionByName(stage(spl.filter(col("split") === "train"), 6, "train"))
+      .unionByName(stage(spl.filter(col("split") === "val"), 7, "val"))
+      .unionByName(stage(spl.filter(col("split") === "test"), 8, "test"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 62-bit cross-engine fingerprint (custom
@@ -2471,15 +2515,13 @@ object TextOps {
                            divisor: Long): DataFrame = {
     val L = length(col("text"))
     // boundary candidates: 1-based end positions window..L-1 (the final
-    // position always terminates the last chunk; Spark's sequence(a, b)
-    // DESCENDS when b < a, so short docs need the explicit guard)
-    val ends0 = when(L >= window + 1,
-      filter(sequence(lit(window), L - 1), i =>
-        pmod(graft.functions.poly_hash31(
-          col("text").substr(i - (window - 1), lit(window))),
-          lit(divisor)) === 0))
-      .otherwise(array().cast("array<int>"))
-    val ends = concat(ends0, array(L))
+    // position always terminates the last chunk). Codegen'd ROLLING
+    // PolyHash31 — O(L) per doc and allocation-free where the HOF
+    // substr-per-position form was O(L·window) (measured 42 s → ~6 s on
+    // d20 at sf0.1); value-identical by the rolling-update identity, law-
+    // spec'd against the from-scratch form in HashPropertySpec
+    val ends = concat(
+      graft.functions.cdc_boundaries(col("text"), window, divisor), array(L))
     val chunks = transform(sequence(lit(1), size(ends)), j => {
       val st = when(j === 1, lit(1)).otherwise(element_at(ends, j - 1) + 1)
       col("text").substr(st, element_at(ends, j) - st + 1)

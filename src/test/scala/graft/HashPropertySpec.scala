@@ -78,6 +78,28 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cdcBoundaries: rolling update ≡ from-scratch window PolyHash31, " +
+      "boundaries in (window, len), short strings empty") {
+    val text = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'f') ++ Seq(' ', '.'))).map(_.mkString))
+    for (window <- Seq(2, 8); divisor <- Seq(4L, 16L)) {
+      sample(text, 300).foreach { s =>
+        val got = {
+          val a = TextHashes.cdcBoundaries(u8(s), window, divisor)
+          (0 until a.numElements()).map(a.getInt)
+        }
+        // brute form: hash every window substring from scratch
+        val want = (window to math.max(s.length - 1, 0)).filter { end =>
+          TextHashes.polyHash31(
+            u8(s.substring(end - window, end))) % divisor == 0L
+        }
+        assert(got == want, s"window=$window divisor=$divisor <$s>")
+        if (s.length < window + 1) assert(got.isEmpty)
+        got.foreach(e => assert(e >= window && e <= s.length - 1))
+      }
+    }
+  }
+
   test("ParseTurn.parse: grammar round-trip for op/ns/payload triples") {
     val ident = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val gen = for {

@@ -398,6 +398,21 @@ class TextOpsSpec extends SparkSuite {
     out.collect().foreach { r =>
       assert(r.getAs[String]("split") == want(r.getAs[Long]("doc_id")))
     }
+    // t35 funnel over the same fixture: stage counts match the stages
+    // computed directly — 15 in, gate drops src_bad (11 left), decon
+    // drops the eval carve-out doc 3 (10), dedup drops twin 11 (9), mix
+    // keeps all at 100%, splits partition the 9 survivors
+    val f = TextOps.curationFunnel(d, mixPct = lit(100)).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val splits = out.collect()
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length.toLong)
+    assert(f == Map(
+      "input" -> 15L, "gated" -> 11L, "decontaminated" -> 10L,
+      "deduped" -> 9L, "mixed" -> 9L,
+      "train" -> splits.getOrElse("train", 0L),
+      "val" -> splits.getOrElse("val", 0L),
+      "test" -> splits.getOrElse("test", 0L)), s"got $f")
+    assert(f("train") + f("val") + f("test") == f("mixed"))
     // bins are per-(split, source, shard) contiguous from 0 — packing
     // never crosses a split boundary
     out.collect().groupBy(r => (r.getAs[String]("split"),
