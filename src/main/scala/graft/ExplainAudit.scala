@@ -522,6 +522,17 @@ object ExplainAudit {
       Seq("Union", "ExistingRDD", "HashAggregate"),
       forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // e32 index cartography: cell assignment is in-row vs the model's
+    // LITERAL centroids (no training aggregate, no assignment join may
+    // appear), reduced by one two-phase count whose exchange carries
+    // nCells rows; the dead-cell recovery is an equi-join of two
+    // nCells-row relations — never a product
+    audit("e32_ivf_cell_stats",
+      SparkEntry.queries("e32_ivf_cell_stats")(spark, sfDir),
+      Seq("HashAggregate", "partial_count"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortAggregate"))
+
     // e31 hybrid RRF: the dense list must come from the heap-merge
     // serving pass (e-tier posture) and the final fused top-k from
     // TakeOrdered — the ONE allowed Window ranks the lexical list AFTER

@@ -802,6 +802,32 @@ SELECT t.qid, t.mx AS topk_max_pairdot, m.mx AS mmr_max_pairdot,
   (m.mx <= t.mx) AS diversified
 FROM tpair t JOIN mpair m ON m.qid = t.qid"""
 
+  /** e32: per-cell population of the model's coarse quantizer over the
+    * full corpus, dead cells included (mirrors Similarity.ivfCellStats).
+    * The centroids are reconstructed from the same deterministic
+    * subsample + exact-int64 Lloyd's as the e15/e16 oracles, so the
+    * model-derived stats stay hash-exact without reading the artifact.
+    */
+  def ivfCellStatsSql(nCells: Int = 16, cIters: Int = 4, dim: Int = 64,
+                      sampleEvery: Int = 4): String =
+    s"""WITH $eqCte,
+eqs AS (SELECT vec_id // $sampleEvery AS vec_id, q FROM eq
+        WHERE vec_id % $sampleEvery = 0)${kmeansCtes(nCells, cIters, dim, "eqs")},
+casn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${distSql("e.q", "c.cv")}, c.cell) AS rn
+    FROM eq e CROSS JOIN kc$cIters c)
+  WHERE rn = 1),
+ccnt AS (SELECT cell, count(*) AS n_vecs FROM casn GROUP BY cell),
+cells AS (SELECT CAST(unnest(range(0, $nCells)) AS INT) AS cell),
+tot AS (SELECT count(*) AS n FROM eq)
+SELECT cells.cell, COALESCE(n_vecs, 0) AS n_vecs,
+  CAST(COALESCE(n_vecs, 0) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+    AS share_x1m
+FROM cells LEFT JOIN ccnt USING (cell)"""
+
   /** e31: hybrid lexical+dense RRF fusion (mirrors Similarity.hybridRrf).
     * Lexical list = the t16 BM25 oracle at kEach (embedded as a derived
     * table, so both engines rank the SAME scorer); dense list = the e1

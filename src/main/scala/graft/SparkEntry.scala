@@ -736,6 +736,14 @@ object SparkEntry {
       operators.Similarity.knnIvfPqModel(emb,
         operators.Similarity.annModelFor(emb, AnnModelDir))
     }),
+    // index cartography from the SAME persisted model: per-cell corpus
+    // population incl. dead cells — the imbalance/index-health table an
+    // ANN deployment monitors for retrain-on-drift decisions
+    "e32_ivf_cell_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfCellStats(emb,
+        operators.Similarity.annModelFor(emb, AnnModelDir))
+    }),
     "e16_ivfpq_model_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.ivfPqModelRecall(emb,
@@ -1270,6 +1278,7 @@ object SparkEntry {
     // artifact file
     "e15_knn_ivfpq_model" -> SimOracles.knnIvfPqModelSql(),
     "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
+    "e32_ivf_cell_stats" -> SimOracles.ivfCellStatsSql(),
     "e26_knn_sq8_model" -> SimOracles.knnSq8ModelSql(),
     "e27_sq8_model_recall" -> SimOracles.sq8ModelRecallSql(),
     // e28 serves from persisted codes but is row-identical to e15 by

@@ -856,6 +856,39 @@ object Similarity {
     recallVsBrute(emb, knnIvfPqModel(emb, model, nQueries, k, nProbe, refine),
       nQueries, k)
 
+  /** e32 — index cartography: per-cell population of the persisted
+    * model's coarse quantizer over the FULL corpus, INCLUDING dead cells
+    * (n_vecs = 0) — the index-health report every ANN deployment
+    * monitors (FAISS's imbalance_factor reads off this table): a hot
+    * cell means every probe that lands there scans far more than
+    * N·nProbe/nCells candidates, a dead cell means wasted quantizer
+    * capacity — both are re-train-the-model signals under corpus drift.
+    * share_x1m = n_vecs·10⁶ div N (positive integer division, engine-
+    * exact).
+    *
+    * Scale shape: cell assignment is in-row vs the model's LITERAL
+    * centroids (zero training, zero join for assignment — the e15
+    * serving posture), reduced by ONE two-phase count aggregate whose
+    * exchange carries nCells rows; the dead-cell recovery joins the
+    * nCells-row range relation against the nCells-row counts. The corpus
+    * count feeding the share denominator is one driver-sized aggregate
+    * (the bm25TopK stats pattern).
+    */
+  def ivfCellStats(emb: DataFrame, model: AnnModel): DataFrame = {
+    val n = emb.count()
+    require(n > 0, "ivfCellStats: empty corpus")
+    val counts = emb
+      .select(array_min(cellDists(model.centroids,
+        quantized(col("embedding")))).getField("cell").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    emb.sparkSession.range(model.nCells)
+      .select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        expr(s"coalesce(n_vecs, 0) * 1000000 div $n").as("share_x1m"))
+  }
+
   /** INGEST-side IVF-PQ encode from a persisted [[AnnModel]]:
     * (vec_id, cell, codes) per arriving vector — cell assignment and
     * per-block code assignment run in-row against LITERAL centroids and

@@ -510,6 +510,29 @@ class SimilaritySpec extends SparkSuite {
       div.mkString(", "))
   }
 
+  test("ivfCellStats: every model cell appears, populations sum to the " +
+      "corpus, shares are exact integer millionths, clusters separate") {
+    val model = Similarity.trainAnnModel(emb, sampleEvery = 1, nCells = 2,
+      cIters = 3, m = 2, kCb = 4, pqIters = 1, dim = 4)
+    val rows = Similarity.ivfCellStats(emb, model).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(0, 1))
+    assert(rows.values.map(_._1).sum == 20L)
+    rows.foreach { case (cell, (n, share)) =>
+      assert(share == n * 1000000L / 20L, s"cell $cell share mismatch")
+    }
+    // seeds are vec 0 (cluster A) and vec 1 (cluster B): Lloyd's on the
+    // two orthogonal clusters must balance them 10/10
+    assert(rows(0)._1 == 10L && rows(1)._1 == 10L, rows.toString)
+    // dead-cell recovery: a 3-cell model over 2 real clusters leaves at
+    // most one cell starved but ALL THREE cells must be reported
+    val m3 = Similarity.trainAnnModel(emb, sampleEvery = 1, nCells = 3,
+      cIters = 3, m = 2, kCb = 4, pqIters = 1, dim = 4)
+    val r3 = Similarity.ivfCellStats(emb, m3).collect()
+    assert(r3.map(_.getInt(0)).toSet == Set(0, 1, 2))
+    assert(r3.map(_.getLong(1)).sum == 20L)
+  }
+
   test("hybridRrf fuses lexical and dense ranks by integer RRF, " +
       "differentially vs its two component retrievers") {
     import spark.implicits._
