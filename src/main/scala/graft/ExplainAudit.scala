@@ -115,6 +115,9 @@ object ExplainAudit {
       "e23_filtered_recall", "e24_knn_graph", "e25_knn_graph_recall",
       "e26_knn_sq8_model", "e27_sq8_model_recall",
       "e28_knn_ivfpq_codes",
+      // e33: the nProbe sweep UNIONs four audited e3-serving + e5-recall
+      // passes — the whole operating curve inherits the heap-merge ban
+      "e33_nprobe_sweep",
       // e29/e30: stage 1 is the e1 heap-merge serving pass; the MMR
       // greedy runs inside a second ObjectHashAggregate (typed
       // MmrAggregator) over the broadcast-late-materialized candidates —

@@ -802,6 +802,17 @@ SELECT t.qid, t.mx AS topk_max_pairdot, m.mx AS mmr_max_pairdot,
   (m.mx <= t.mx) AS diversified
 FROM tpair t JOIN mpair m ON m.qid = t.qid"""
 
+  /** e33: the nProbe operating curve — one e5-style recall chain per
+    * probe width, UNIONed (mirrors Similarity.nprobeSweep; each
+    * parenthesized subquery scopes its own CTE chain).
+    */
+  def nprobeSweepSql(probes: Seq[Int] = Seq(1, 2, 4, 8), nQueries: Int = 10,
+                     k: Int = 5, nCells: Int = 16): String =
+    probes.map(p =>
+      s"SELECT CAST($p AS INT) AS n_probe, hits, total FROM (\n" +
+        s"${ivfRecallSql(nQueries, k, nCells, p)})")
+      .mkString("\nUNION ALL\n")
+
   /** e32: per-cell population of the model's coarse quantizer over the
     * full corpus, dead cells included (mirrors Similarity.ivfCellStats).
     * The centroids are reconstructed from the same deterministic

@@ -736,6 +736,10 @@ object SparkEntry {
       operators.Similarity.knnIvfPqModel(emb,
         operators.Similarity.annModelFor(emb, AnnModelDir))
     }),
+    // the nProbe operating curve: recall@k per probe width in one table
+    // — the scan-fraction-vs-recall tuning artifact (FAISS nprobe sweep)
+    "e33_nprobe_sweep" -> ((s, dir) =>
+      operators.Similarity.nprobeSweep(t(s, dir, "embeddings"))),
     // index cartography from the SAME persisted model: per-cell corpus
     // population incl. dead cells — the imbalance/index-health table an
     // ANN deployment monitors for retrain-on-drift decisions
@@ -1279,6 +1283,7 @@ object SparkEntry {
     "e15_knn_ivfpq_model" -> SimOracles.knnIvfPqModelSql(),
     "e16_ivfpq_model_recall" -> SimOracles.ivfPqModelRecallSql(),
     "e32_ivf_cell_stats" -> SimOracles.ivfCellStatsSql(),
+    "e33_nprobe_sweep" -> SimOracles.nprobeSweepSql(),
     "e26_knn_sq8_model" -> SimOracles.knnSq8ModelSql(),
     "e27_sq8_model_recall" -> SimOracles.sq8ModelRecallSql(),
     // e28 serves from persisted codes but is row-identical to e15 by

@@ -244,6 +244,27 @@ object Similarity {
       .select(col("qid"), col("nid"),
         dotCols(col("qe_q"), col("qe_n")).as("dot")), k)
 
+  /** e33 — the nProbe operating curve: recall@k of the IVF tier at each
+    * probe width, in one table — (n_probe, hits, total) per sweep point.
+    * This is THE tuning artifact of an ANN deployment: nProbe/nCells is
+    * the scan fraction you pay, recall is what it buys, and the curve's
+    * knee is where you operate (FAISS's standard nprobe sweep). Each
+    * point is the audited e3 serving pass + the e5 recall harness —
+    * heap-merge top-k, broadcast probes, Window-free — UNIONed; the
+    * sweep is offline tuning, so recomputing the corpus cell assignment
+    * per point (4 linear scans here) is the intended cost model, not a
+    * serving-path concern.
+    */
+  def nprobeSweep(emb: DataFrame, probes: Seq[Int] = Seq(1, 2, 4, 8),
+                  nQueries: Int = 10, k: Int = 5,
+                  nCells: Int = 16): DataFrame = {
+    require(probes.nonEmpty, "nprobeSweep needs at least one probe width")
+    probes.map { p =>
+      recallVsBrute(emb, knnIvf(emb, nQueries, k, nCells, p), nQueries, k)
+        .select(lit(p).as("n_probe"), col("hits"), col("total"))
+    }.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------ filtered (attribute-
   // constrained) search — the vector-DB "metadata filter" capability
 

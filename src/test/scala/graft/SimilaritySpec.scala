@@ -510,6 +510,20 @@ class SimilaritySpec extends SparkSuite {
       div.mkString(", "))
   }
 
+  test("nprobeSweep: one row per probe width, recall non-decreasing in " +
+      "nProbe, full-width probe reaches brute-force recall 1") {
+    val sweep = Similarity.nprobeSweep(emb, probes = Seq(1, 2, 4),
+        nQueries = 2, k = 3, nCells = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(sweep.forall(_._3 == 6L), s"total must be nQueries*k: $sweep")
+    val hits = sweep.map(_._2).toSeq
+    assert(hits == hits.sorted, s"recall must be monotone in nProbe: $sweep")
+    // probing EVERY cell makes IVF exhaustive — recall must be 1
+    assert(hits.last == 6L, s"full-width probe must match brute: $sweep")
+  }
+
   test("ivfCellStats: every model cell appears, populations sum to the " +
       "corpus, shares are exact integer millionths, clusters separate") {
     val model = Similarity.trainAnnModel(emb, sampleEvery = 1, nCells = 2,
