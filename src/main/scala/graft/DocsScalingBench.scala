@@ -93,7 +93,7 @@ object DocsScalingBench {
 
   val jobOrder: Seq[String] =
     Seq("d7_ladder", "t15_segment_dedup", "t11_corpus_pipeline",
-      "t20_global_shuffle", "t23_ngram_coverage")
+      "t20_global_shuffle", "t23_ngram_coverage", "d20_cdc_chunks")
 
   /** The measured text-tier jobs — the same operator entry points the
     * oracle-checked driver queries call. Each job's action is an
@@ -143,7 +143,14 @@ object DocsScalingBench {
     // long-keyed join); replica token-suffixing preserves within-replica
     // duplication exactly, so dup_sh volume scales linearly with mult
     "t23_ngram_coverage" -> (() => operators.TextOps.ngramCoverage(docs)
-      .agg(sum(col("n_sh")), sum(col("dup_sh")), count(lit(1))).collect())
+      .agg(sum(col("n_sh")), sum(col("dup_sh")), count(lit(1))).collect()),
+    // content-defined chunking dedup — the rolling-kernel scan (pure
+    // per-row O(L)) plus d1-posture hash-keyed count aggregates. The
+    // replica token-suffixing shifts every chunk's bytes, so chunk
+    // hashes never collide across replicas and the dup-chunk relation
+    // scales linearly with mult, like t23's shingles
+    "d20_cdc_chunks" -> (() => operators.TextOps.cdcDupChunks(docs)
+      .agg(sum(col("n_occ")), sum(col("chunk_len")), count(lit(1))).collect())
   )
 
   private def measure(cpus: Int, path: String, reps: Int, mult: Int,
