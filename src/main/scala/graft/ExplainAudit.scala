@@ -499,6 +499,14 @@ object ExplainAudit {
       Seq("MapPartitions"),
       forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
 
+    // m7 scene cuts: LZW decode + per-frame luma + IN-ROW frame lag all
+    // inside the partition boundary — no window ranks the frames, media
+    // bytes never cross an exchange
+    audit("m7_scene_cuts",
+      SparkEntry.queries("m7_scene_cuts")(spark, sfDir),
+      Seq("MapPartitions"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
     // d20/d21 CDC: chunking is a pure per-row HOF projection; both
     // queries reduce through two-phase hash aggregates over the 32-byte
     // chunk hash (text never crosses an exchange), d21 adds a left-semi

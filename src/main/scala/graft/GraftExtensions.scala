@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("sign_projections", classOf[SignProjections],
       exprs => SignProjections(exprs(0),
         litNum(exprs(1)).toInt, litNum(exprs(2)))))
+    ext.injectFunction(fn("cdc_boundaries", classOf[CdcBoundaries],
+      exprs => CdcBoundaries(exprs(0),
+        litNum(exprs(1)).toInt, litNum(exprs(2)))))
   }
 
   // literal-argument handling is shared with the registry path:

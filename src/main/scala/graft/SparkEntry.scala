@@ -869,6 +869,14 @@ object SparkEntry {
         operators.Multimodal.decodeMeta(s,
           operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents"))
             .toDF()).toDF())),
+    // scene-cut detection: per-frame luma sums from REAL LZW-decoded GIF
+    // frames, in-row lag, cross-multiplied mean-delta threshold — the
+    // shot-boundary screen that makes m4's keyframes land on content
+    // changes; oracle replays the generator's (d+f)%256 pixel arithmetic
+    "m7_scene_cuts" -> ((s, dir) =>
+      operators.Multimodal.sceneCuts(s,
+        operators.Multimodal.synthesizeMedia(s, t(s, dir, "documents")).toDF())
+        .toDF()),
   )
 
   /** DuckDB equivalents over the same parquet tables (events-derived
@@ -1538,5 +1546,27 @@ object SparkEntry {
         CAST(unnest(range(0, n_frames, greatest(n_frames // 4, 1))) AS INT)
           AS frame_idx
       FROM v""",
+    // m7 replays the video generator's pixel arithmetic: frame f of doc
+    // d is 16 bytes of (d+f)%256 ⇒ luma_sum = 16·((d+f)%256); the only
+    // deltas ≥ 1024 (thr 64/pixel × 16 pixels) are the 255→0 wraps
+    "m7_scene_cuts" -> """
+      WITH v AS (
+        SELECT doc_id, CAST(length(text) % 30 + 1 AS INT) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2),
+      fr AS (
+        SELECT doc_id, CAST(unnest(range(0, n_frames)) AS BIGINT)
+          AS frame_idx
+        FROM v),
+      lum AS (
+        SELECT doc_id, frame_idx,
+          CAST(16 * ((doc_id + frame_idx) % 256) AS BIGINT) AS luma_sum,
+          CAST(CASE WHEN frame_idx = 0 THEN 0
+            ELSE abs(16 * ((doc_id + frame_idx) % 256)
+                   - 16 * ((doc_id + frame_idx - 1) % 256)) END AS BIGINT)
+            AS delta
+        FROM fr)
+      SELECT doc_id, frame_idx, luma_sum, delta,
+        (frame_idx > 0 AND delta >= 64 * 16) AS is_cut
+      FROM lum""",
   )
 }

@@ -106,6 +106,9 @@ package object functions {
     reg.createOrReplaceTempFunction("sign_projections",
       exprs => SignProjections(exprs(0), litNum(exprs(1)).toInt,
         litNum(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("cdc_boundaries",
+      exprs => CdcBoundaries(exprs(0), litNum(exprs(1)).toInt,
+        litNum(exprs(2))), "scala_udf")
   }
 
   /** Foldable numeric argument of a SQL call (n/salt of sign_projections).

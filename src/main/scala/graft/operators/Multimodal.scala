@@ -288,6 +288,54 @@ object Multimodal {
       }
   }
 
+  case class FrameCut(doc_id: Long, frame_idx: Long, luma_sum: Long,
+                      delta: Long, is_cut: Boolean)
+
+  /** m7 — scene-cut detection over decoded video frames: per frame, the
+    * exact luma sum (Σ of the frame's pixel bytes), the absolute delta
+    * vs the PREVIOUS frame, and a cut verdict
+    * `delta ≥ thrPerPixel · n_pixels` (cross-multiplied integers — a
+    * per-pixel mean-luma threshold that's frame-size-robust). Mean-luma
+    * frame difference is the classic cheap first pass of scene-cut /
+    * keyframe detection (the shot-boundary screen a video curation
+    * pipeline runs before sampling m4's frames, so keyframes land on
+    * content changes instead of a blind stride); a histogram or SSIM
+    * detector replaces the delta formula inside the same per-partition
+    * boundary. Frame 0 reports delta 0, never a cut.
+    *
+    * The engine round-trips REAL GIF bytes — genuine LZW decode — and
+    * the frame lag runs IN-ROW over the decoded frame sequence (a
+    * video's frames live in one row; no window function, no shuffle).
+    * The oracle replays the generator's pixel arithmetic (frame f of
+    * doc d is 16 bytes of (d+f)%256, so luma_sum = 16·((d+f)%256) and
+    * the only big deltas are the 255→0 wraps — real cuts, replayable).
+    *
+    * Scale shape: per-row mapPartitions, embarrassingly parallel, media
+    * bytes never cross an exchange; fan-out bounded by frames/row.
+    */
+  def sceneCuts(spark: SparkSession, media: DataFrame,
+                thrPerPixel: Long = 64L): Dataset[FrameCut] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val g = MediaCodecs.decodeGif(r.media)
+          var prev = 0L
+          g.frames.zipWithIndex.map { case (px, f) =>
+            var s = 0L
+            var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            val d = if (f == 0) 0L else math.abs(s - prev)
+            prev = s
+            FrameCut(r.doc_id, f.toLong, s, d,
+              f > 0 && d >= thrPerPixel * px.length)
+          }
+        }
+      }
+  }
+
   /** Media near-dup pairs over the stream fingerprint: d3's SimHash
     * screen transplanted to decoded pixels — 4×16-bit bands of `shash`
     * bucket-join (ids + one long only), exact 64-bit hamming verify on

@@ -19,7 +19,7 @@ class GraftExtensionsSpec extends SparkSuite {
     val expected = Set("parse_turn", "valid_turn", "json_kv_raw",
       "json_unquote", "json_arr_raw", "simhash64", "simhash_poly",
       "rolling_hash", "poly_hash31", "shingles3", "dot_long",
-      "sign_projections")
+      "sign_projections", "cdc_boundaries")
     expected.foreach { name =>
       assert(reg.functionExists(FunctionIdentifier(name)), s"missing $name")
     }

@@ -183,4 +183,32 @@ class MultimodalSpec extends SparkSuite {
     // 1625 < 2000 inactive — the short tail is judged on ITS length
     assert(out(0).active && !out(1).active)
   }
+
+  test("sceneCuts: hand-built GIF — luma sums from decoded frames, " +
+      "in-row lag, per-pixel threshold flags only the real cut") {
+    import spark.implicits._
+    // four 2x2 frames: two near-identical dark shots, a hard cut to a
+    // bright shot, then a near-identical bright frame
+    val frames = Seq(
+      Array.fill(4)(10.toByte), Array.fill(4)(12.toByte),
+      Array.fill(4)(200.toByte), Array.fill(4)(195.toByte))
+    val gif = graft.functions.MediaCodecs.encodeGif(frames, 2, 2)
+    val media = Seq((7L, "video", gif), (8L, "audio", gif))
+      .toDF("doc_id", "media_type", "media")
+    val out = Multimodal.sceneCuts(spark, media, thrPerPixel = 64L)
+      .collect().sortBy(_.frame_idx)
+    assert(out.forall(_.doc_id == 7L))       // non-video rows excluded
+    assert(out.map(_.luma_sum).toSeq == Seq(40L, 48L, 800L, 780L))
+    assert(out.map(_.delta).toSeq == Seq(0L, 8L, 752L, 20L))
+    // only the 12→200 transition clears 64/pixel × 4 pixels = 256
+    assert(out.map(_.is_cut).toSeq == Seq(false, false, true, false))
+    // the generator's videos: every cut is a 255→0 wrap of (d+f)%256
+    val gen = Multimodal.synthesizeMedia(spark,
+      docs(250L -> ("x " * 6), 251L -> ("y " * 6))).toDF()
+    // doc 251 % 3 == 2 is the video row: 13 frames, lumas 16·((251+f)%256)
+    // wrap at f=5 (255→0): delta 16·255 = 4080 — the single cut
+    val cuts = Multimodal.sceneCuts(spark, gen).collect()
+      .filter(_.is_cut).map(c => (c.doc_id, c.frame_idx, c.delta)).toSeq
+    assert(cuts == Seq((251L, 5L, 4080L)), cuts.toString)
+  }
 }
