@@ -389,6 +389,15 @@ object ExplainAudit {
       Seq("Project"),
       forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
 
+    // t36 fertility gate: training + the corpus-mean collect run eagerly
+    // while the closure builds; the SERVED plan is t26's pure in-row
+    // projection with two literal thresholds folded in — same
+    // zero-exchange contract
+    audit("t36_bpe_fertility",
+      SparkEntry.queries("t36_bpe_fertility")(spark, sfDir),
+      Seq("Project"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
     // t27 Gopher repetition suite: dup-line/paragraph fractions and
     // top-n-gram char shares are per-row higher-order-function math —
     // O(doc²) bounded by ONE document, never the corpus. Same

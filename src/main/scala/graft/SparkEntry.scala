@@ -552,6 +552,15 @@ object SparkEntry {
       operators.TextOps.bpeTokenCounts(d,
         operators.TextOps.bpeTrainMerges(d))
     }),
+    // tokenizer-fertility gate: trained-BPE tokens per 1000 chars, kept
+    // within ±25% of the corpus mean — the tokenizer-fit junk screen
+    // (base64/wrong-script text explodes, degenerate repetition
+    // collapses); corpus-relative so no tokenizer-specific constant
+    "t36_bpe_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.TextOps.bpeFertilityGate(d,
+        operators.TextOps.bpeTrainMerges(d))
+    }),
     // KMV distinct-count sketch: the ESTIMATE is integer-exact
     // cross-engine, so even the approximation is hash-checked
     "d9_kmv_distinct" -> ((s, dir) =>
@@ -1225,6 +1234,7 @@ object SparkEntry {
     "t31_perplexity_buckets" -> TextOracles.perplexityBucketsSql(),
     "t29_bigram_pruned" -> TextOracles.bigramLmSql(minCount = 3L),
     "t26_bpe_tokens" -> TextOracles.bpeSql(),
+    "t36_bpe_fertility" -> TextOracles.bpeFertilitySql(),
     "q25_gap_fill" -> """
       SELECT event_id, user_id, ts,
         CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id

@@ -1134,12 +1134,19 @@ FROM lmscored s JOIN th ON s.lang = th.lang"""
     * CTEs up to r`nMerges`) — shared by t26's count dump and t30's
     * budget consumer.
     */
+  // Every round CTE is MATERIALIZED: DuckDB inlines CTEs by default and
+  // each round references its predecessor TWICE (pair counts + replace),
+  // so inlining re-evaluates r_{t-1} per reference — 2^nMerges copies of
+  // the round-0 work (measured: the 12-merge chain fell from ~5.5 min to
+  // seconds once pinned). Spark's side has no analog problem (each round
+  // is a driver-collected 1-row aggregate over a cached count table).
   private def bpeCtes(nMerges: Int): String = {
-    val sb = new StringBuilder(s"""bw AS (
+    val sb = new StringBuilder(s"""bw AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
   FROM documents),
 wc AS (SELECT w, count(*) AS cnt FROM bw GROUP BY w),
-r0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS repr FROM wc)""")
+r0 AS MATERIALIZED (
+  SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS repr FROM wc)""")
     for (t <- 1 to nMerges) {
       val prev = s"r${t - 1}"
       sb.append(s""",
@@ -1153,7 +1160,7 @@ p$t AS (
           FROM $prev))
   GROUP BY a, b),
 m$t AS (SELECT a, b FROM p$t ORDER BY c DESC, a, b LIMIT 1),
-r$t AS (
+r$t AS MATERIALIZED (
   SELECT w, cnt,
     replace(repr, '|' || a || '||' || b || '|', '|' || a || b || '|') AS repr
   FROM $prev CROSS JOIN m$t)""")
@@ -1170,6 +1177,34 @@ FROM documents d LEFT JOIN (
     CAST(sum((length(repr) - length(replace(repr, '|', ''))) // 2)
       AS BIGINT) AS bpe_tokens
   FROM bw JOIN r$nMerges USING (w) GROUP BY doc_id) t USING (doc_id)"""
+
+  /** t36: tokenizer-fertility gate — t26's per-doc BPE token replay per
+    * 1000 chars, kept iff within ±25% of the corpus mean fertility
+    * (mirrors TextOps.bpeFertilityGate's cross-multiplied integers).
+    */
+  def bpeFertilitySql(nMerges: Int = 12): String =
+    // sc is MATERIALIZED: DuckDB inlines CTEs by default, and sc sits on
+    // the whole nMerges-round merge chain — referenced twice (mean +
+    // scoring) it would re-run the chain per reference; mn joins in ONCE
+    // (a 1-row cross join) instead of per-row scalar subqueries
+    s"""WITH ${bpeCtes(nMerges)},
+sc AS MATERIALIZED (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+    COALESCE(t.bpe_tokens, 0) AS bpe_tokens
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+      CAST(sum((length(repr) - length(replace(repr, '|', ''))) // 2)
+        AS BIGINT) AS bpe_tokens
+    FROM bw JOIN r$nMerges USING (w) GROUP BY doc_id) t USING (doc_id)),
+mn AS (
+  SELECT CAST(sum(bpe_tokens) * 1000 // sum(n_chars) AS BIGINT) AS m
+  FROM sc)
+SELECT doc_id, n_chars, bpe_tokens, fert_x1k,
+  (abs(fert_x1k - m) * 4 <= m) AS keep
+FROM (
+  SELECT doc_id, n_chars, bpe_tokens,
+    CAST(bpe_tokens * 1000 // greatest(n_chars, 1) AS BIGINT) AS fert_x1k, m
+  FROM sc CROSS JOIN mn)"""
 
   /** t30: per-source token-budget sampling under the trained tokenizer —
     * t18's hash/window chain with the count column swapped for the

@@ -953,6 +953,38 @@ object TextOps {
       bpeTokenCountCol(merges).as("bpe_tokens"))
   }
 
+  /** t36 — tokenizer-fertility gate under the TRAINED tokenizer: per doc
+    * the exact subword count ([[bpeTokenCountCol]], t26's replay) per
+    * 1000 chars (`fert_x1k = bpe_tokens·1000 div max(n_chars,1)`), kept
+    * iff within ±25% of the CORPUS mean fertility
+    * (`|fert − mean|·4 ≤ mean`, cross-multiplied integers). Fertility is
+    * the standard tokenizer-fit signal (tokens/byte): text far ABOVE the
+    * corpus mean is the tokenizer's worst case (non-language junk,
+    * wrong-script text, base64 — every char becomes a token), far BELOW
+    * it is degenerate repetition (a handful of fully-merged symbols
+    * looping); the corpus-relative band makes the gate data-adaptive
+    * instead of hardcoding a tokenizer-specific constant.
+    *
+    * Scale shape: the mean is ONE driver-sized aggregate (two longs —
+    * the bm25TopK stats pattern) folded back as literals; scoring is the
+    * same per-row projection that already scans `text` (the t26 merge
+    * replay), zero additional exchanges.
+    */
+  def bpeFertilityGate(docs: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      bpeTokenCountCol(merges).as("bpe_tokens"))
+    val s = scored.agg(sum(col("bpe_tokens")), sum(col("n_chars"))).collect()(0)
+    require(!s.isNullAt(1) && s.getLong(1) > 0, "bpeFertilityGate: empty corpus")
+    val meanX1k = s.getLong(0) * 1000L / s.getLong(1)
+    scored
+      .withColumn("fert_x1k",
+        expr("bpe_tokens * 1000 div greatest(n_chars, 1)"))
+      .withColumn("keep",
+        abs(col("fert_x1k") - lit(meanX1k)) * 4 <= lit(meanX1k))
+  }
+
   /** t30 — per-source token-budget sampling under the TRAINED tokenizer:
     * the composition the t26 artifact exists for. [[bpeTrainMerges]]
     * learns the merge table (vocab-sized work, corpus-independent per

@@ -908,6 +908,34 @@ class TextOpsSpec extends SparkSuite {
       !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bpeFertilityGate: fertility is exact tokens-per-1000-chars, the " +
+      "±25%-of-corpus-mean band keeps normal text and drops both tails") {
+    // normal docs share merge-heavy words; the junk doc's distinct rare
+    // string stays fully split (high fertility); the degenerate doc is
+    // one fully-merged word amid long spaces padding (low fertility)
+    val normal = (1L to 8L).map(i => i -> ("the cat sat on the mat " * 4))
+    val d = docs(normal ++ Seq(
+      90L -> "zqxjkvbwpf zqxjkvbwpf qzjxkwvbfp xjqzkvwbpf",
+      91L -> ("the" + " " * 120)): _*)
+    val merges = TextOps.bpeTrainMerges(d, 8)
+    val toks = TextOps.bpeTokenCounts(d, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val chars = d.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").length.toLong).toMap
+    val mean = toks.values.sum * 1000L / chars.values.sum
+    val got = TextOps.bpeFertilityGate(d, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    got.foreach { case (id, (nc, bt, fert, keep)) =>
+      assert(nc == chars(id) && bt == toks(id), s"doc $id inputs")
+      assert(fert == bt * 1000L / math.max(nc, 1L), s"doc $id fert")
+      assert(keep == (math.abs(fert - mean) * 4 <= mean), s"doc $id keep")
+    }
+    assert((1L to 8L).forall(got(_)._4), "normal docs must pass")
+    assert(!got(90L)._4 && got(90L)._3 > mean, "junk tail must fail high")
+    assert(!got(91L)._4 && got(91L)._3 < mean, "degenerate must fail low")
+  }
+
   test("bpeBudgetSample: admission is the hash-order prefix under " +
     "TRAINED-BPE counts, and the count column matches bpeTokenCounts") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
