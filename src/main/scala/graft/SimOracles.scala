@@ -19,7 +19,7 @@ object SimOracles {
 
   /** Quantized int64 vectors (round(x*10000)) — matches Similarity.quantized. */
   val eqCte: String = """
-eq AS (
+eq AS MATERIALIZED (
   SELECT vec_id, list_transform(range(1, len(embedding) + 1),
     i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS q
   FROM embeddings)"""
@@ -135,7 +135,7 @@ ivftop AS (
                          src: String = "eq", pfx: String = "k"): String = {
     val sb = new StringBuilder
     sb.append(s""",
-${pfx}c0 AS (
+${pfx}c0 AS MATERIALIZED (
   SELECT CAST(vec_id AS INT) AS cell, q AS cv FROM $src WHERE vec_id < $nCells)""")
     for (t <- 1 to iters) {
       val prev = s"${pfx}c${t - 1}"
@@ -151,7 +151,7 @@ ${pfx}s$t AS (
   SELECT cell, i, CAST(sum(q[i + 1]) AS BIGINT) AS s, count(*) AS n
   FROM ${pfx}a$t CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) d
   GROUP BY cell, i),
-${pfx}c$t AS (
+${pfx}c$t AS MATERIALIZED (
   SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
   FROM $prev p LEFT JOIN (
     SELECT cell, list(s // n ORDER BY i) AS cv FROM ${pfx}s$t GROUP BY cell) u
@@ -351,15 +351,15 @@ FROM brute b LEFT JOIN gk l ON b.qid = l.u AND b.nid = l.w"""
     for (b <- 0 until m) {
       val lo = b * bd + 1; val hi = (b + 1) * bd
       sb.append(s""",
-eqb$b AS (SELECT vec_id, q[$lo:$hi] AS q FROM eq)""")
+eqb$b AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM eq)""")
       trainSrc.foreach { s =>
         sb.append(s""",
-${s}b$b AS (SELECT vec_id, q[$lo:$hi] AS q FROM $s)""")
+${s}b$b AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM $s)""")
       }
       sb.append(kmeansCtes(kCb, iters, bd,
         trainSrc.map(s => s"${s}b$b").getOrElse(s"eqb$b"), s"pq$b"))
       sb.append(s""",
-pqcode$b AS (
+pqcode$b AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
@@ -446,14 +446,14 @@ rtop AS (
     val sb = new StringBuilder
     sampleEvery.foreach { s =>
       sb.append(s""",
-eqs AS (SELECT vec_id // $s AS vec_id, q FROM eq WHERE vec_id % $s = 0)""")
+eqs AS MATERIALIZED (SELECT vec_id // $s AS vec_id, q FROM eq WHERE vec_id % $s = 0)""")
     }
     sb.append(kmeansCtes(nCells, cIters, dim,
       sampleEvery.map(_ => "eqs").getOrElse("eq")))
     sb.append(pqCodeCtes(m, kCb, pqIters, dim,
       sampleEvery.map(_ => "eqs")))
     sb.append(s""",
-ipassign AS (
+ipassign AS MATERIALIZED (
   SELECT vec_id AS nid, cell FROM (
     SELECT e.vec_id, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
@@ -468,7 +468,7 @@ ipprobe AS (
     FROM eq e CROSS JOIN kc$cIters c
     WHERE e.vec_id < $nQueries)
   WHERE rn <= $nProbe),
-ipcand AS (
+ipcand AS MATERIALIZED (
   SELECT p.qid, a.nid FROM ipassign a JOIN ipprobe p USING (cell)
   WHERE a.nid != p.qid)""")
     for (b <- 0 until m) {
@@ -571,7 +571,7 @@ FROM brute b LEFT JOIN rk l ON b.qid = l.qid AND b.nid = l.nid"""
   def semanticDedupSql(nCells: Int = 16, iters: Int = 4, dim: Int = 64,
                        threshold: Long = 40000000L): String =
     s"""WITH $eqCte ${kmeansCtes(nCells, iters, dim)},
-sdassigned AS (
+sdassigned AS MATERIALIZED (
   SELECT vec_id, q, cell FROM (
     SELECT e.vec_id, e.q, c.cell,
       row_number() OVER (PARTITION BY e.vec_id
