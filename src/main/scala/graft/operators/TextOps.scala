@@ -972,18 +972,28 @@ object TextOps {
     */
   def bpeFertilityGate(docs: DataFrame,
                        merges: Seq[(String, String)]): DataFrame = {
-    val scored = docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      bpeTokenCountCol(merges).as("bpe_tokens"))
-    val s = scored.agg(sum(col("bpe_tokens")), sum(col("n_chars"))).collect()(0)
+    val s = docs.select(bpeTokenCountCol(merges).as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .agg(sum(col("bpe_tokens")), sum(col("n_chars"))).collect()(0)
     require(!s.isNullAt(1) && s.getLong(1) > 0, "bpeFertilityGate: empty corpus")
-    val meanX1k = s.getLong(0) * 1000L / s.getLong(1)
-    scored
+    bpeFertilityScoreInRow(docs, merges, s.getLong(0) * 1000L / s.getLong(1))
+  }
+
+  /** The fixed-model serving form of [[bpeFertilityGate]]: merges + the
+    * corpus-mean fertility arrive as LITERALS (the trained artifact), so
+    * scoring is a stateless pure projection — a tailing ingest gates
+    * exactly like the batch pass (batch/stream row parity spec'd in
+    * StreamingSpec, the t17/t28 in-row-scorer contract).
+    */
+  def bpeFertilityScoreInRow(docs: DataFrame, merges: Seq[(String, String)],
+                             meanX1k: Long): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        bpeTokenCountCol(merges).as("bpe_tokens"))
       .withColumn("fert_x1k",
         expr("bpe_tokens * 1000 div greatest(n_chars, 1)"))
       .withColumn("keep",
         abs(col("fert_x1k") - lit(meanX1k)) * 4 <= lit(meanX1k))
-  }
 
   /** t30 — per-source token-budget sampling under the TRAINED tokenizer:
     * the composition the t26 artifact exists for. [[bpeTrainMerges]]

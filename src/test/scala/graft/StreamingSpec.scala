@@ -334,6 +334,11 @@ class StreamingSpec extends SparkSuite {
     // explode is stateless, so stream copies == batch copies
     check("upsample", TextOps.upsample(_, Map("src0" -> 2500L,
       "src1" -> 500L, "src2" -> 0L)))
+    // the fertility gate's serving form: merge table + corpus-mean both
+    // literals (the trained artifact), scoring a pure projection
+    val fertMerges = TextOps.bpeTrainMerges(batch, 4)
+    check("fertility",
+      TextOps.bpeFertilityScoreInRow(_, fertMerges, 700L))
   }
 
   test("vector-ingest encode from a persisted AnnModel is stream-transparent: " +
