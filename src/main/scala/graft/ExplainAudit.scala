@@ -398,6 +398,15 @@ object ExplainAudit {
       Seq("Project"),
       forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
 
+    // t37: serving from the PERSISTED tokenizer artifact — the audited
+    // plan must be the same zero-exchange projection (loading the model
+    // happens while the closure builds; no training aggregate and no
+    // model-table join may appear in the served plan)
+    audit("t37_fertility_model",
+      SparkEntry.queries("t37_fertility_model")(spark, sfDir),
+      Seq("Project"),
+      forbid = Seq("Exchange", "Join", "Window", "CartesianProduct"))
+
     // t27 Gopher repetition suite: dup-line/paragraph fractions and
     // top-n-gram char shares are per-row higher-order-function math —
     // O(doc²) bounded by ONE document, never the corpus. Same

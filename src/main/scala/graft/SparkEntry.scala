@@ -29,6 +29,9 @@ object SparkEntry {
   private val AnnModelDir =
     sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR", "target/ann_model")
 
+  private val BpeModelDir =
+    sys.env.getOrElse("SPARK_GRAFT_BPE_MODEL_DIR", "target/bpe_model")
+
   /** Parsed+filtered transcript turns — the pipeline front half. text is
     * dropped so query outputs keep the oracle-matched column set.
     */
@@ -560,6 +563,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       operators.TextOps.bpeFertilityGate(d,
         operators.TextOps.bpeTrainMerges(d))
+    }),
+    // the same gate served from the PERSISTED tokenizer artifact with
+    // ZERO training jobs (train-once/serve-many, the e15 posture for
+    // the tokenizer tier): first call trains + persists merges + the
+    // corpus-mean fertility, every later call (and RUN) loads ~KBs.
+    // Oracle is t36's verbatim — the artifact reconstructs the same
+    // deterministic merges, so model-served stays hash-exact
+    "t37_fertility_model" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = operators.TextOps.bpeModelFor(d, BpeModelDir)
+      operators.TextOps.bpeFertilityScoreInRow(d, m.merges, m.meanFertX1k)
     }),
     // KMV distinct-count sketch: the ESTIMATE is integer-exact
     // cross-engine, so even the approximation is hash-checked
@@ -1235,6 +1249,9 @@ object SparkEntry {
     "t29_bigram_pruned" -> TextOracles.bigramLmSql(minCount = 3L),
     "t26_bpe_tokens" -> TextOracles.bpeSql(),
     "t36_bpe_fertility" -> TextOracles.bpeFertilitySql(),
+    // the artifact reconstructs the same deterministic merges + mean,
+    // so the model-served gate shares t36's oracle verbatim
+    "t37_fertility_model" -> TextOracles.bpeFertilitySql(),
     "q25_gap_fill" -> """
       SELECT event_id, user_id, ts,
         CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id

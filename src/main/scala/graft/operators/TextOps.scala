@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHashes.P31
@@ -994,6 +994,75 @@ object TextOps {
         expr("bpe_tokens * 1000 div greatest(n_chars, 1)"))
       .withColumn("keep",
         abs(col("fert_x1k") - lit(meanX1k)) * 4 <= lit(meanX1k))
+
+  // --------------------------------- train-once / serve-many BPE tokenizer
+
+  /** The persisted tokenizer artifact: the ordered merge table plus the
+    * corpus-mean fertility — the ANN tier's train-once posture
+    * (AnnModel) applied to the TOKENIZER: at 100 TB you train merges on
+    * one pass, persist ~KBs, and every downstream consumer (token
+    * budgets, fertility gates, packing) serves from the artifact with
+    * ZERO training jobs until the corpus drifts. Long-format parquet so
+    * any engine reads it with a plain scan.
+    */
+  case class BpeModel(nMerges: Int, merges: Seq[(String, String)],
+                      meanFertX1k: Long)
+
+  def saveBpeModel(spark: SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      Seq(("param", 0, "", "", model.nMerges.toLong),
+        ("param", 1, "", "", model.meanFertX1k)) ++
+        model.merges.zipWithIndex.map { case ((a, b), i) =>
+          ("merge", i, a, b, 0L)
+        }
+    rows.toDF("kind", "i", "a", "b", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Exact inverse of [[saveBpeModel]]. */
+  def loadBpeModel(spark: SparkSession, path: String): BpeModel = {
+    val rows = spark.read.parquet(path).collect()
+    def param(i: Int): Long = rows
+      .find(r => r.getString(0) == "param" && r.getInt(1) == i)
+      .getOrElse(sys.error(s"loadBpeModel: missing param $i in $path"))
+      .getLong(4)
+    val merges = rows.filter(_.getString(0) == "merge")
+      .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3))).toSeq
+    require(merges.length == param(0).toInt,
+      s"loadBpeModel: merge count ${merges.length} != param ${param(0)}")
+    BpeModel(merges.length, merges, param(1))
+  }
+
+  /** Train-if-absent / load-if-present (the annModelFor composition):
+    * the artifact directory is keyed by a SHA-256 of the corpus content
+    * signature + nMerges, so models for different corpora/settings
+    * coexist and a regenerated corpus never reuses a stale tokenizer.
+    */
+  def bpeModelFor(docs: DataFrame, baseDir: String,
+                  nMerges: Int = 12): BpeModel = {
+    val spark = docs.sparkSession
+    val contentSig = docs
+      .agg(coalesce(sum(hash(col("doc_id"), col("text"))), lit(0L)))
+      .collect()(0).getLong(0)
+    val key = s"bpemodel-v1|$contentSig|$nMerges"
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"$baseDir/$fp"
+    val marker = java.nio.file.Paths.get(path, "_trained")
+    if (java.nio.file.Files.exists(marker)) loadBpeModel(spark, path)
+    else {
+      val merges = bpeTrainMerges(docs, nMerges)
+      val s = docs.select(bpeTokenCountCol(merges).as("bt"),
+          length(col("text")).cast("long").as("nc"))
+        .agg(sum(col("bt")), sum(col("nc"))).collect()(0)
+      require(!s.isNullAt(1) && s.getLong(1) > 0, "bpeModelFor: empty corpus")
+      val model = BpeModel(nMerges, merges, s.getLong(0) * 1000L / s.getLong(1))
+      saveBpeModel(spark, model, path)
+      java.nio.file.Files.writeString(marker, key): Unit
+      model
+    }
+  }
 
   /** t30 — per-source token-budget sampling under the TRAINED tokenizer:
     * the composition the t26 artifact exists for. [[bpeTrainMerges]]

@@ -936,6 +936,33 @@ class TextOpsSpec extends SparkSuite {
     assert(!got(91L)._4 && got(91L)._3 < mean, "degenerate must fail low")
   }
 
+  test("bpeModelFor: artifact round-trips merges + mean exactly; the " +
+      "model-served gate is row-identical to the in-query gate; the " +
+      "second call LOADS (no retrain) and a changed corpus re-keys") {
+    val d = docs((1L to 12L).map(i =>
+      i -> ("the cat sat on the mat row " + i)): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_model_spec").toString
+    val m1 = TextOps.bpeModelFor(d, dir, nMerges = 6)
+    // round-trip: the persisted artifact equals the in-memory model
+    assert(m1.merges == TextOps.bpeTrainMerges(d, 6))
+    val onDisk = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(onDisk.length == 1)
+    assert(TextOps.loadBpeModel(spark, onDisk(0).getPath) == m1)
+    // served output == the in-query gate's output
+    val served = TextOps.bpeFertilityScoreInRow(d, m1.merges, m1.meanFertX1k)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val inQuery = TextOps.bpeFertilityGate(d, TextOps.bpeTrainMerges(d, 6))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(served.toSeq == inQuery.toSeq)
+    // second call loads the SAME model (marker hit — identical values)
+    assert(TextOps.bpeModelFor(d, dir, nMerges = 6) == m1)
+    assert(new java.io.File(dir).listFiles().count(_.isDirectory) == 1)
+    // a different corpus (or nMerges) keys a NEW artifact directory
+    TextOps.bpeModelFor(d, dir, nMerges = 4)
+    assert(new java.io.File(dir).listFiles().count(_.isDirectory) == 2)
+  }
+
   test("bpeBudgetSample: admission is the hash-order prefix under " +
     "TRAINED-BPE counts, and the count column matches bpeTokenCounts") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
