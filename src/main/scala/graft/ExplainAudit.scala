@@ -494,6 +494,16 @@ object ExplainAudit {
       forbid = Seq("CartesianProduct", "SortMergeJoin",
         "BroadcastNestedLoopJoin"))
 
+    // t38: the same budget contract served from the persisted tokenizer
+    // artifact — identical plan shape, and no training aggregate or
+    // model-table join may appear (the model loads while the closure
+    // builds, exactly t37's claim)
+    audit("t38_budget_model",
+      SparkEntry.queries("t38_budget_model")(spark, sfDir),
+      Seq("BroadcastHashJoin"),
+      forbid = Seq("CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin"))
+
     // t31 perplexity terciles: downstream of the localCheckpointed LM
     // scores, the threshold table must come back BROADCAST as a per-row
     // CASE — no ntile/rank window over the corpus

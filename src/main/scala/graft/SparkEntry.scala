@@ -598,6 +598,16 @@ object SparkEntry {
     // splits each word into ~4-5 surviving symbols
     "t30_bpe_budget" -> ((s, dir) =>
       operators.TextOps.bpeBudgetSample(t(s, dir, "documents"))),
+    // t30 served from the PERSISTED tokenizer artifact (zero training
+    // jobs — the second consumer of the t37 model, proving the artifact
+    // is a shared asset, not a per-query convenience); t30's oracle
+    // verbatim since the artifact reconstructs the same merges
+    "t38_budget_model" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = operators.TextOps.bpeModelFor(d, BpeModelDir)
+      operators.TextOps.tokenBudgetSample(d, budget = 3000L,
+        tokenCount = operators.TextOps.bpeTokenCountCol(m.merges))
+    }),
     // Gopher rule filter over a synthetically-structured corpus (t6
     // pattern): deterministic bullet/ellipsis/symbol augmentations keyed
     // on doc_id make every rule non-vacuous (the %97 docs are bullet-
@@ -1268,6 +1278,7 @@ object SparkEntry {
     // directly; the operator reaches the same row set bucket-wise
     "t18_token_budget" -> TextOracles.tokenBudgetSql(),
     "t30_bpe_budget" -> TextOracles.bpeBudgetSql(),
+    "t38_budget_model" -> TextOracles.bpeBudgetSql(),
     "t19_gopher_rules" -> TextOracles.gopherRulesSql,
     "t27_gopher_repetition" -> TextOracles.gopherRepetitionSql,
     "t20_global_shuffle" -> TextOracles.globalShuffleSql,
