@@ -307,6 +307,14 @@ object ExplainAudit {
       Seq("partial_min"),
       forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // d22: d12 through the PERSISTED band index — the probed side must
+    // be a parquet SCAN of the artifact (no re-signature of the corpus
+    // on the banding path), same min-aggregate/equi-join contract
+    audit("d22_incremental_indexed",
+      SparkEntry.queries("d22_incremental_indexed")(spark, sfDir),
+      Seq("partial_min", "dedup_index"),
+      forbid = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+
     // t16 BM25: the token explode prunes to query terms in-scan (literal
     // in-filter), tf/df aggregate two-phase, the |terms|-row df table
     // joins back broadcast, and top-k is TakeOrderedAndProject — a

@@ -32,6 +32,9 @@ object SparkEntry {
   private val BpeModelDir =
     sys.env.getOrElse("SPARK_GRAFT_BPE_MODEL_DIR", "target/bpe_model")
 
+  private val DedupIndexDir =
+    sys.env.getOrElse("SPARK_GRAFT_DEDUP_INDEX_DIR", "target/dedup_index")
+
   /** Parsed+filtered transcript turns — the pipeline front half. text is
     * dropped so query outputs keep the oracle-matched column set.
     */
@@ -463,6 +466,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       operators.TextOps.incrementalDedup(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
+    // d12 probing the PERSISTED band-index artifact (index once per
+    // crawl, probe every batch — the dedup STORE posture): first call
+    // builds + persists (doc_id, band, bucket), later calls (and runs)
+    // probe the parquet relation; verify point-reads corpus text for
+    // candidates only. Oracle = d12's verbatim (identical semantics)
+    "d22_incremental_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      operators.TextOps.incrementalDedupIndexed(corpus,
+        operators.TextOps.dedupIndexFor(corpus, DedupIndexDir),
+        d.filter(col("doc_id") % 5 === 0))
     }),
     "d5_fingerprint" -> ((s, dir) =>
       // the cross-engine fingerprint tier (poly_hash31 / simhash_poly);
@@ -1309,6 +1324,8 @@ object SparkEntry {
     "d13_dup_clusters_star" -> TextOracles.dupClustersSql(),
     "t16_bm25" -> TextOracles.bm25Sql(Bm25Terms),
     "d12_incremental_dedup" -> TextOracles.incrementalDedupSql(),
+    // identical semantics through the persisted index — same oracle
+    "d22_incremental_indexed" -> TextOracles.incrementalDedupSql(),
     "e2_knn_lsh" -> SimOracles.knnLshSql(),
     "e3_knn_ivf" -> SimOracles.knnIvfSql(),
     "e4_lsh_recall" -> SimOracles.lshRecallSql(),

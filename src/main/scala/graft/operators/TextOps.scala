@@ -589,14 +589,61 @@ object TextOps {
     * their members always win.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, k: Int = 32,
-                       bands: Int = 8, minBandHits: Int = 2): DataFrame = {
+                       bands: Int = 8, minBandHits: Int = 2): DataFrame =
+    incrementalDedupIndexed(corpus, bandedIndex(corpus, k, bands), batch,
+      k, bands, minBandHits)
+
+  /** The banded-MinHash index relation (doc_id, band, bucket) — the
+    * per-crawl artifact [[incrementalDedupIndexed]] probes. bands ×
+    * one long per doc; at 100 TB this is the dedup STORE's key table.
+    */
+  private def bandedIndex(d: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    def banded(d: DataFrame): DataFrame =
-      minhashSignatures(d, k).select(col("doc_id"),
-        posexplode(array((0 until bands).map(b => bandBucket(b, r)): _*))
-          .as(Seq("band", "bucket")))
-    val corpusIdx = banded(corpus) // the per-crawl index, built once
-    val batchBands = banded(batch)
+    minhashSignatures(d, k).select(col("doc_id"),
+      posexplode(array((0 until bands).map(b => bandBucket(b, r)): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Build-if-absent / load-if-present banded index artifact (the
+    * bpeModelFor/annModelFor composition for the DEDUP tier): the index
+    * is written ONCE per crawl (content-addressed by corpus signature +
+    * k/bands, so crawls and settings coexist and a regenerated corpus
+    * never probes a stale index) and every subsequent batch probes the
+    * parquet relation instead of re-signaturing the corpus — d12's
+    * docstring shape made real. The artifact stores ONLY (doc_id, band,
+    * bucket); exact verify point-reads the corpus text for the few
+    * colliding candidates, like any CAS store.
+    */
+  def dedupIndexFor(corpus: DataFrame, baseDir: String, k: Int = 32,
+                    bands: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val contentSig = corpus
+      .agg(coalesce(sum(hash(col("doc_id"), col("text"))), lit(0L)))
+      .collect()(0).getLong(0)
+    val key = s"dedupindex-v1|$contentSig|$k|$bands"
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"$baseDir/$fp"
+    val marker = java.nio.file.Paths.get(path, "_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      bandedIndex(corpus, k, bands).write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(marker, key): Unit
+    }
+    spark.read.parquet(path)
+  }
+
+  /** d22 — [[incrementalDedup]] probing a PREBUILT index relation
+    * (typically [[dedupIndexFor]]'s parquet artifact): identical
+    * semantics and output, but the corpus is never re-shingled or
+    * re-signatured on the banding path — per-batch cost is
+    * O(batch + candidates + index probe), the true recrawl cadence at
+    * 100 TB where the index is a persisted table and only verify
+    * touches corpus text (candidates only, ids-first semi join).
+    */
+  def incrementalDedupIndexed(corpus: DataFrame, corpusIdx: DataFrame,
+                              batch: DataFrame, k: Int = 32,
+                              bands: Int = 8, minBandHits: Int = 2): DataFrame = {
+    val batchBands = bandedIndex(batch, k, bands)
     // batch vs corpus: no id-order constraint (old ids can be larger);
     // batch vs batch: strictly lower-id partners (keep-first in-batch)
     val candOld = batchBands.as("n").join(corpusIdx.as("o"),

@@ -1138,6 +1138,21 @@ class TextOpsSpec extends SparkSuite {
         ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
     assert(got == Map(10L -> ((true, 1L)), 15L -> ((true, 1L)),
       20L -> ((false, -1L))))
+    // d22: probing the PERSISTED index artifact is row-identical; the
+    // second dedupIndexFor call LOADS (one artifact dir, no rebuild);
+    // a different corpus keys a NEW artifact
+    val dir = java.nio.file.Files
+      .createTempDirectory("dedup_index_spec").toString
+    val idx = TextOps.dedupIndexFor(corpus, dir)
+    val gotIdx = TextOps.incrementalDedupIndexed(corpus, idx, batch)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(gotIdx == got, s"indexed path diverged: $gotIdx vs $got")
+    TextOps.dedupIndexFor(corpus, dir)
+    assert(new java.io.File(dir).listFiles().count(_.isDirectory) == 1)
+    TextOps.dedupIndexFor(batch, dir)
+    assert(new java.io.File(dir).listFiles().count(_.isDirectory) == 2)
   }
 
   test("bm25TopK: exact integer kernel on a hand-computed corpus; tf saturation and idf ordering") {
