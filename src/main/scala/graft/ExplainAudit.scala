@@ -118,6 +118,11 @@ object ExplainAudit {
       // e33: the nProbe sweep UNIONs four audited e3-serving + e5-recall
       // passes — the whole operating curve inherits the heap-merge ban
       "e33_nprobe_sweep",
+      // e34: the composed stack (model-served IVF-PQ candidates → MMR)
+      // — candidate reduction heap-merges, the greedy runs inside the
+      // typed MmrAggregator, and NO stage may reintroduce a rank window
+      // or a product join across the composition boundary
+      "e34_mmr_ivfpq_model",
       // e29/e30: stage 1 is the e1 heap-merge serving pass; the MMR
       // greedy runs inside a second ObjectHashAggregate (typed
       // MmrAggregator) over the broadcast-late-materialized candidates —

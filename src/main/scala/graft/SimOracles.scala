@@ -729,7 +729,25 @@ SELECT id1, id2, qdot FROM scored WHERE qdot >= $threshold"""
     * aggregator's (score desc, dot desc, nid) tie-break). Ends at
     * sel$k(qid, nid, dot, penalty, mmr_rank).
     */
-  private def mmrCtes(nQueries: Int, k: Int, m: Int): String = {
+  private def mmrCtes(nQueries: Int, k: Int, m: Int): String =
+    s""",
+cscored AS (
+  SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.q")} AS dot
+  FROM eq c CROSS JOIN eq p
+  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id),
+cand AS (
+  SELECT qid, nid, dot FROM (
+    SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+    FROM cscored)
+  WHERE rn <= $m)${mmrStepsCtes(k)}"""
+
+  /** The greedy-MMR CTE unroll over a `cand(qid, nid, dot)` relation the
+    * caller defines upstream — shared by [[mmrCtes]] (brute candidates,
+    * e29/e30) and [[mmrOverIvfPqModelSql]] (model-served IVF-PQ
+    * candidates, e34). Ends at sel$k.
+    */
+  private def mmrStepsCtes(k: Int): String = {
     val steps = (2 to k).map { t =>
       val prev = s"sel${t - 1}"
       s""",
@@ -749,16 +767,6 @@ s$t AS (
 sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$t)"""
     }.mkString
     s""",
-cscored AS (
-  SELECT p.vec_id AS qid, c.vec_id AS nid, ${dotSql("p.q", "c.q")} AS dot
-  FROM eq c CROSS JOIN eq p
-  WHERE p.vec_id < $nQueries AND c.vec_id != p.vec_id),
-cand AS (
-  SELECT qid, nid, dot FROM (
-    SELECT qid, nid, dot,
-      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
-    FROM cscored)
-  WHERE rn <= $m),
 cv AS (SELECT cand.qid, cand.nid, eq.q FROM cand JOIN eq ON eq.vec_id = cand.nid),
 pd AS (
   SELECT a.qid, a.nid AS n1, b.nid AS n2, ${dotSql("a.q", "b.q")} AS pdot
@@ -771,6 +779,20 @@ sel1 AS (
     FROM cand)
   WHERE rn = 1)$steps"""
   }
+
+  /** e34: MMR over the model-served IVF-PQ stack's exact-reranked top-m
+    * (mirrors Similarity.mmrOverIvfPqModel) — the e15 chain builds
+    * `cand`, the shared greedy unroll re-ranks it.
+    */
+  def mmrOverIvfPqModelSql(nQueries: Int = 10, k: Int = 5, m: Int = 20,
+                           sampleEvery: Int = 4, nCells: Int = 16,
+                           nProbe: Int = 4, cIters: Int = 4, mPq: Int = 8,
+                           kCb: Int = 16, pqIters: Int = 2, dim: Int = 64,
+                           refine: Int = 10): String =
+    s"""WITH $eqCte ${ivfPqChain(nQueries, m, refine, nCells, nProbe,
+      cIters, mPq, kCb, pqIters, dim, Some(sampleEvery))},
+cand AS (SELECT qid, nid, dot FROM ipfinal WHERE rnk <= $m)${mmrStepsCtes(k)}
+SELECT qid, nid, mmr_rank, dot, penalty FROM sel$k"""
 
   /** e29: MMR diversity re-rank (mirrors Similarity.mmrRerank). */
   def mmrSql(nQueries: Int = 10, k: Int = 5, m: Int = 20): String =

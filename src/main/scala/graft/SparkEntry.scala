@@ -837,6 +837,15 @@ object SparkEntry {
       operators.Similarity.mmrRerank(t(s, dir, "embeddings"))),
     "e30_mmr_diversity" -> ((s, dir) =>
       operators.Similarity.mmrDiversity(t(s, dir, "embeddings"))),
+    // the COMPOSED production serving stack: persisted-model IVF-PQ
+    // candidates (e15, zero training) -> exact re-rank -> MMR diversity
+    // (e29) in one query — every stage individually audited, here
+    // proven to compose end-to-end and stay oracle-exact
+    "e34_mmr_ivfpq_model" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.mmrOverIvfPqModel(emb,
+        operators.Similarity.annModelFor(emb, AnnModelDir))
+    }),
     // hybrid lexical+dense retrieval: BM25 top-20 (t16's scorer) fused
     // with the dense top-20 of the id-0 embedding query (e1's scorer)
     // by reciprocal-rank fusion — rank-only, calibration-free, the
@@ -1354,6 +1363,7 @@ object SparkEntry {
     "e28_knn_ivfpq_codes" -> SimOracles.knnIvfPqModelSql(),
     "e29_mmr_rerank" -> SimOracles.mmrSql(),
     "e30_mmr_diversity" -> SimOracles.mmrDiversitySql(),
+    "e34_mmr_ivfpq_model" -> SimOracles.mmrOverIvfPqModelSql(),
     "e31_hybrid_rrf" -> SimOracles.hybridRrfSql(Bm25Terms),
     "e17_knn_sq8" -> SimOracles.knnSq8Sql(),
     "e18_sq8_recall" -> SimOracles.sq8RecallSql(),

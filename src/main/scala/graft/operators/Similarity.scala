@@ -1436,8 +1436,6 @@ object Similarity {
     */
   def mmrRerank(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                 m: Int = 20): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val corpus = emb.select(col("vec_id").as("nid"),
       quantized(col("embedding")).as("nq"))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -1447,6 +1445,22 @@ object Similarity {
       .select(col("qid"), col("nid"),
         dotCols(col("qq"), col("nq")).as("dot")), m)
       .select(col("qid"), col("nid"), col("dot"))
+    mmrRerankFrom(emb, cand, k)
+  }
+
+  /** The MMR stage over an EXTERNAL candidate relation (qid, nid, dot) —
+    * what lets the greedy diversity pass sit on top of ANY retrieval
+    * tier: [[mmrRerank]] feeds it brute top-m (the e29 oracle posture),
+    * e34 feeds it the model-served IVF-PQ stack's exact-reranked top-m
+    * (the full production serving composition). Candidates are KB-sized
+    * by construction, so the vector late-materialization join broadcasts
+    * and the greedy runs inside the typed per-query aggregator.
+    */
+  def mmrRerankFrom(emb: DataFrame, cand: DataFrame, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select(col("vec_id").as("nid"),
+      quantized(col("embedding")).as("nq"))
     val withVec = corpus.join(broadcast(cand), Seq("nid"))
     val mmr = new graft.functions.MmrAggregator(k).toColumn
     withVec.select(col("qid"), col("nid"), col("dot"), col("nq"))
@@ -1458,6 +1472,24 @@ object Similarity {
         sel.map { case (n, d, p, r) => (qid, n, r, d, p) } }
       .toDF("qid", "nid", "mmr_rank", "dot", "penalty")
   }
+
+  /** e34 — the COMPOSED production serving stack in one query: the
+    * persisted-model IVF-PQ path (e15: in-row cells + codes vs literal
+    * model, ADC inside probed cells, exact re-rank — ZERO training jobs)
+    * produces the top-`m` candidates, and the MMR diversity stage (e29)
+    * greedily re-ranks them to `k`. This is the end-to-end shape a
+    * retrieval deployment actually serves: artifact-backed ANN
+    * candidates → exact scores → diversity — every stage individually
+    * audited, here proven to compose (and to stay inside the e-tier
+    * bans: heap-merge candidate reduction, broadcast late-materialized
+    * vectors, aggregator-internal greedy, no rank window anywhere).
+    */
+  def mmrOverIvfPqModel(emb: DataFrame, model: AnnModel, nQueries: Int = 10,
+                        k: Int = 5, m: Int = 20, nProbe: Int = 4,
+                        refine: Int = 10): DataFrame =
+    mmrRerankFrom(emb,
+      knnIvfPqModel(emb, model, nQueries, m, nProbe, refine)
+        .select(col("qid"), col("nid"), col("dot")), k)
 
   /** e30 — the diversity evidence for e29: per query, the worst (max)
     * pairwise redundancy inside the MMR-selected k-set vs inside the

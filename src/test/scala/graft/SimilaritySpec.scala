@@ -510,6 +510,31 @@ class SimilaritySpec extends SparkSuite {
       div.mkString(", "))
   }
 
+  test("mmrOverIvfPqModel: the composed serving stack selects only from " +
+      "the model-served candidates, first pick is the top candidate, " +
+      "ranks are 1..k per query") {
+    val model = Similarity.trainAnnModel(emb, sampleEvery = 1, nCells = 2,
+      cIters = 2, m = 2, kCb = 4, pqIters = 1, dim = 4)
+    val cand = Similarity.knnIvfPqModel(emb, model, nQueries = 2, k = 6,
+        nProbe = 2, refine = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val out = Similarity.mmrOverIvfPqModel(emb, model, nQueries = 2, k = 3,
+        m = 6, nProbe = 2, refine = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    (0L to 1L).foreach { q =>
+      val cq = cand.filter(_._1 == q)
+      val oq = out.filter(_._1 == q).sortBy(_._3)
+      assert(oq.map(_._3).toSeq == Seq(1L, 2L, 3L), s"q$q ranks")
+      val candIds = cq.map(_._2).toSet
+      assert(oq.forall(r => candIds.contains(r._2)),
+        s"q$q selected outside the candidate set")
+      // greedy's first pick is pure relevance: the rank-1 candidate
+      val top = cq.minBy(_._4)
+      assert(oq.head._2 == top._2 && oq.head._4 == top._3,
+        s"q$q first pick ${oq.head} != top candidate $top")
+    }
+  }
+
   test("nprobeSweep: one row per probe width, recall non-decreasing in " +
       "nProbe, full-width probe reaches brute-force recall 1") {
     val sweep = Similarity.nprobeSweep(emb, probes = Seq(1, 2, 4),
