@@ -1,7 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -81,6 +84,105 @@ case class SignProjections(child: Expression, n: Int, salt: Long)
     copy(child = newChild)
 }
 
+/** Per-row array of (dist, cell) structs of a quantized vector against a
+  * LITERAL centroid matrix — one expression node replacing the
+  * nCells × dim inlined-literal tree `Similarity.cellDists` built with
+  * `array(struct(lit(c2) - 2·dot_long(typedLit(cv), q), lit(ci)))`.
+  * The arithmetic is IDENTICAL (dist = ||c||² − 2·x·c in exact int64,
+  * struct order (dist, cell) so min/sort tie-breaks lexicographically);
+  * what changes is plan size: Catalyst walked ~nCells·dim literal leaves
+  * per optimizer rule per e-tier query, which dominated the tier's
+  * driver time at bench scale. Null contract matches the tree form: a
+  * null input array or a length-mismatched/null-element vector yields
+  * null DISTS (dot_long's contract) inside non-null structs — the
+  * expression itself never returns null.
+  */
+case class CellDists(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_dists expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("dist", LongType, nullable = true),
+      StructField("cell", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    VectorOps.cellDists(
+      if (v == null) null else v.asInstanceOf[ArrayData], cents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("cents", cents, "long[][]")
+    ev.copy(
+      code = childGen.code +
+        code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.VectorOps.cellDists(
+            ${childGen.isNull} ? null : ${childGen.value}, $ref);""",
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "cell_dists"
+
+  override protected def withNewChildInternal(newChild: Expression): CellDists =
+    copy(child = newChild)
+}
+
+/** Dot products of a quantized vector (block) against every row of a
+  * LITERAL codebook — the PQ ADC-table kernel, one node per block where
+  * the tree form inlined kCb × blockDim literal leaves
+  * (`array(dot_long(typedLit(cv), slice(qe, …)))`). Entries follow
+  * dot_long's null contract (null on length mismatch or null element);
+  * a null input array yields an all-null entry array, like the tree
+  * form's per-entry null dots.
+  */
+case class BlockDots(child: Expression, book: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"block_dots expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    VectorOps.blockDots(
+      if (v == null) null else v.asInstanceOf[ArrayData], book)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("book", book, "long[][]")
+    ev.copy(
+      code = childGen.code +
+        code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.VectorOps.blockDots(
+            ${childGen.isNull} ? null : ${childGen.value}, $ref);""",
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "block_dots"
+
+  override protected def withNewChildInternal(newChild: Expression): BlockDots =
+    copy(child = newChild)
+}
+
 object VectorOps {
 
   /** Knuth multiplicative hash constants — the single source of truth for
@@ -101,6 +203,47 @@ object VectorOps {
       i += 1
     }
     java.lang.Long.valueOf(acc)
+  }
+
+  /** dot of an ArrayData vector against a plain long[] — null on length
+    * mismatch or a null element, the [[dotLong]] contract.
+    */
+  private def dotRef(q: ArrayData, cv: Array[Long]): java.lang.Long = {
+    if (q.numElements() != cv.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < cv.length) {
+      if (q.isNullAt(i)) return null
+      acc += q.getLong(i) * cv(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  def cellDists(q: ArrayData, cents: Array[Array[Long]]): ArrayData = {
+    val out = new Array[Any](cents.length)
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      var c2 = 0L
+      var i = 0
+      while (i < cv.length) { c2 += cv(i) * cv(i); i += 1 }
+      val dot = if (q == null) null else dotRef(q, cv)
+      val dist: Any = if (dot == null) null else c2 - 2L * dot.longValue()
+      out(ci) = new GenericInternalRow(Array[Any](dist, ci))
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def blockDots(q: ArrayData, book: Array[Array[Long]]): ArrayData = {
+    val out = new Array[Any](book.length)
+    var ci = 0
+    while (ci < book.length) {
+      out(ci) = if (q == null) null else dotRef(q, book(ci))
+      ci += 1
+    }
+    new GenericArrayData(out)
   }
 
   def signProjections(q: ArrayData, n: Int, salt: Long): ArrayData = {

@@ -50,6 +50,18 @@ package object functions {
   def sign_projections(c: Column, n: Int, salt: Long): Column =
     column(SignProjections(expression(c), n, salt))
 
+  /** (dist, cell) structs of a quantized vector vs a literal centroid
+    * matrix (codegen'd loop — replaces the nCells×dim literal tree).
+    */
+  def cell_dists(c: Column, cents: Array[Array[Long]]): Column =
+    column(CellDists(expression(c), cents))
+
+  /** Dots of a vector (block) vs every row of a literal codebook
+    * (codegen'd loop — the PQ ADC-table kernel).
+    */
+  def block_dots(c: Column, book: Array[Array[Long]]): Column =
+    column(BlockDots(expression(c), book))
+
   /** Single-pass op-whitelist + db-blacklist admission predicate. */
   def valid_turn(c: Column): Column = column(ValidTurn(expression(c)))
 

@@ -338,11 +338,12 @@ object Similarity {
     */
   private def cellDists(cents: Array[Array[Long]],
                         q: Column = col("qe")): Column =
-    array(cents.zipWithIndex.map { case (cv, ci) =>
-      val c2 = cv.map(x => x * x).sum
-      struct((lit(c2) - lit(2L) * dotCols(typedLit(cv.toSeq), q))
-        .as("dist"), lit(ci).as("cell"))
-    }: _*)
+    // one codegen'd kernel node (functions.CellDists) instead of the
+    // nCells × dim inlined-literal array(struct(lit(c2) − 2·dot(...)))
+    // tree: identical exact-int64 arithmetic and (dist, cell) struct
+    // order, but Catalyst no longer walks ~1k literal leaves per rule
+    // per e-tier query (measured as the tier's dominant driver cost)
+    graft.functions.cell_dists(q, cents)
 
   /** Deterministic seeded Lloyd's k-means over the quantized vectors —
     * the LEARNED coarse quantizer (vs [[knnIvf]]'s arithmetic sign
@@ -531,11 +532,13 @@ object Similarity {
       array_min(cellDists(books(b), pqBlockOf(b, bd))).getField("cell")
     }: _*)
 
-  /** Per-query m×kCb lookup tables of block-dots (ADC tables). */
+  /** Per-query m×kCb lookup tables of block-dots (ADC tables) — one
+    * codegen'd BlockDots kernel per block (same dot_long null contract)
+    * instead of m×kCb inlined literal dot trees.
+    */
   private def pqTabs(books: Array[Array[Array[Long]]], bd: Int): Column =
     array(books.indices.map { b =>
-      array(books(b).map(cv =>
-        dotCols(typedLit(cv.toSeq), pqBlockOf(b, bd))): _*)
+      graft.functions.block_dots(pqBlockOf(b, bd), books(b))
     }: _*)
 
   /** The ADC estimator: m lookups `tabs[b][codes[b]]` summed. */

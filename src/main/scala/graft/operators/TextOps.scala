@@ -190,8 +190,13 @@ object TextOps {
     // (only candidate docs' sizes are ever read by the output).
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id"))).distinct()
-    val sh = shingleRows(docs).drop("lang", "lb")
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    // semi-join BELOW the explode (Spark won't push a join through a
+    // generator itself): only candidate docs are ever shingled, instead
+    // of shingling the whole corpus and filtering the explode after —
+    // and since `sh` has three consumers (sizes + both verify joins),
+    // the un-pushed form ran the full corpus explode three times
+    val sh = shingleRows(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      .drop("lang", "lb")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // join shingles to candidate pairs only — the exact compare never goes
     // quadratic in the corpus, only in the (tiny) candidate set
@@ -480,7 +485,14 @@ object TextOps {
     */
   def starContractComponents(pairs: DataFrame,
                              maxIters: Int = 64): DataFrame = {
-    val p2 = pairs.toDF("a", "b")
+    // materialize the incoming pair list ONCE: `nodes` and the initial
+    // `edges` both consume it, and when the caller hands over a raw
+    // ladder relation (d13 plugs this engine into dupClusters directly,
+    // without componentsAuto's up-front checkpoint) each consumer
+    // re-executed the ENTIRE candidate+verify ladder — measured as ~2×
+    // the ladder's executor time inside d13. Ids-only, KBs; a second
+    // checkpoint over componentsAuto's is a no-op-cheap cache scan.
+    val p2 = pairs.toDF("a", "b").localCheckpoint()
     val nodes = p2.select(col("a").as("id"))
       .union(p2.select(col("b").as("id"))).distinct().localCheckpoint()
     var edges = p2.filter(col("a") =!= col("b"))
@@ -497,9 +509,12 @@ object TextOps {
         .union(edges.select(col("v").as("x"), col("u").as("n")))
       val mins = bi.groupBy(col("x")).agg(min(col("n")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
+      // no distinct here: ls only feeds a min-aggregate (duplicates are
+      // idempotent under min) and the join-back, whose duplicates the
+      // terminal distinct below removes — dropping it removes one full
+      // exchange per round for an identical `next`
       val ls = bi.join(mins, "x").filter(col("n") > col("x"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
       // small-star on the oriented result: every smaller neighbor of u
       // (and u itself) attaches to u's minimum neighbor
       val sm = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -510,8 +525,19 @@ object TextOps {
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct().localCheckpoint()
-      val nextCount = next.count()
-      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      // fixpoint = edge set unchanged. Both sides are distinct, so
+      // |next| == |edges| plus next ⊆ edges is equality — and one
+      // left-join aggregate reads off |next| AND |next ∩ edges| together
+      // (was a count() plus an exceptAll().isEmpty: two actions per
+      // round; the probe side is the just-checkpointed ids-only
+      // relation, so the fused check costs one small job)
+      val probe = next.join(
+          edges.select(col("u"), col("v"), lit(1).as("hit")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("matched"))
+        .collect()(0)
+      val nextCount = probe.getLong(0)
+      converged = nextCount == edgeCount && probe.getLong(1) == nextCount
       edges = next
       edgeCount = nextCount
       it += 1
@@ -663,8 +689,12 @@ object TextOps {
     // join's sorted side — the measured 2.56M-doc cliff)
     val candDocs = cand.select(col("new_id").as("doc_id"))
       .union(cand.select(col("other_id").as("doc_id"))).distinct()
-    val sh = shingleRows(corpus.unionByName(batch)).drop("lang", "lb")
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    // semi-join below the explode (the nearDupLadder push): only
+    // candidate docs are shingled, and the three consumers each re-run
+    // a candidate-sized explode instead of a corpus+batch-sized one
+    val sh = shingleRows(corpus.unionByName(batch)
+        .join(candDocs, Seq("doc_id"), "left_semi"))
+      .drop("lang", "lb")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "new_id")
@@ -816,23 +846,55 @@ object TextOps {
                      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val gated = gateDocs(docs, minAvgChars)
     val red = materialize(redactDocs(augment(gated)))
-    val decon = materialize(red.join(materialize(contaminatedIds(red, evalDocs)),
-      Seq("doc_id"), "left_anti"))
-    val deduped = materialize(dropNearDups(decon))
-    val mixed = materialize(mixDocs(deduped, mixPct))
-    val spl = splitDocs(mixed)
-    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(idx).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"))
-    stage(docs, 1, "input")
-      .unionByName(stage(gated, 2, "gated"))
-      .unionByName(stage(decon, 3, "decontaminated"))
-      .unionByName(stage(deduped, 4, "deduped"))
-      .unionByName(stage(mixed, 5, "mixed"))
-      .unionByName(stage(spl.filter(col("split") === "train"), 6, "train"))
-      .unionByName(stage(spl.filter(col("split") === "val"), 7, "val"))
-      .unionByName(stage(spl.filter(col("split") === "test"), 8, "test"))
+    // the mid-chain stages collapse to per-row FLAGS over the one
+    // checkpointed redacted relation (was: a corpus-sized localCheckpoint
+    // per boundary — decon, deduped, mixed — plus eight separate
+    // single-row aggregate jobs): only the two ID SETS that genuinely
+    // need upstream jobs materialize (contamination verdicts, ladder
+    // victims — KBs, the t11 victim-ids-only discipline), and every
+    // later stage predicate (mix ticket, split bucket) is a pure
+    // projection. Counts come out of ONE conditional aggregate + stack.
+    // Stage semantics are untouched: redact/augment preserve row counts
+    // (so n_gated = count(red)); contam ⊆ red and the ladder runs over
+    // the SAME decon relation (red ∖ contam) as the staged form; each
+    // later stage is the conjunction of the per-row rules the standalone
+    // operators apply — same counts, same oracle.
+    val contam = materialize(contaminatedIds(red, evalDocs))
+    val decon = red.join(contam, Seq("doc_id"), "left_anti")
+    val dupVict = materialize(nearDupLadder(decon)
+      .select(col("doc2").as("doc_id")).distinct())
+    // verbatim mixDocs / splitDocs expressions (keep them literally in
+    // sync with the standalone stage operators)
+    val ticket = coalesce(poly_hash31(
+      concat(lit("mix|"), col("doc_id").cast("string"))), lit(0L)) % 100
+    val bucket = (coalesce(poly_hash31(concat(lit("split|"),
+      col("doc_id").cast("string"))), lit(0L)) % 10).cast("int")
+    val flagged = red
+      .join(contam.select(col("doc_id"), lit(1).as("c")),
+        Seq("doc_id"), "left")
+      .join(dupVict.select(col("doc_id"), lit(1).as("dv")),
+        Seq("doc_id"), "left")
+      .select(
+        col("c").isNull.as("deconKeep"),
+        (col("c").isNull && col("dv").isNull).as("dedupKeep"),
+        (col("c").isNull && col("dv").isNull && (ticket < mixPct))
+          .as("mixKeep"),
+        bucket.as("bucket"))
+    val stats = flagged.agg(
+      count(lit(1)).as("n_gated"),
+      count(when(col("deconKeep"), 1)).as("n_decon"),
+      count(when(col("dedupKeep"), 1)).as("n_dedup"),
+      count(when(col("mixKeep"), 1)).as("n_mixed"),
+      count(when(col("mixKeep") && col("bucket") < 8, 1)).as("n_train"),
+      count(when(col("mixKeep") && col("bucket") === 8, 1)).as("n_val"),
+      count(when(col("mixKeep") && col("bucket") >= 9, 1)).as("n_test"))
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(stats)
+      .select(expr(
+        "stack(8, 1, 'input', n_input, 2, 'gated', n_gated, " +
+          "3, 'decontaminated', n_decon, 4, 'deduped', n_dedup, " +
+          "5, 'mixed', n_mixed, 6, 'train', n_train, 7, 'val', n_val, " +
+          "8, 'test', n_test) as (stage, stage_name, n_docs)"))
   }
 
   // --------------------------------------------------------------- SimHash
@@ -938,10 +1000,17 @@ object TextOps {
   def bpeTrainMerges(docs: DataFrame, nMerges: Int = 12)
       : Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    // the vocab table is orders of magnitude smaller than the corpus and
+    // capped in practice (the design point above) — coalesce the cached
+    // relation to ONE partition so each of the nMerges round jobs runs a
+    // single scan task instead of shuffle.partitions near-empty ones
+    // (measured at sf0.1: the 12 rounds were 400+ tiny tasks, ~3 s of
+    // pure per-task overhead on a KB-sized table)
     val wordCounts = docs
       .select(explode(regexp_extract_all(col("text"), lit(BpeWordPat),
         lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
       .cache()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -1656,9 +1725,14 @@ object TextOps {
     */
   def ngramCoverage(docs: DataFrame, minDf: Int = 2,
                     dropPct: Int = 50): DataFrame = {
+    // one shingle explode: both the document-frequency aggregate and the
+    // per-doc join consume the checkpointed (doc_id, ph) relation (text
+    // already never crossed an exchange; now it is also only ever
+    // shingled once)
     val sh = docs.select(col("doc_id"),
         explode(shingles3(tokens)).as("shingle"))
       .select(col("doc_id"), poly_hash31(col("shingle")).as("ph"))
+      .localCheckpoint()
     // shingles3 is distinct per doc → count(*) per ph IS document frequency
     val dfreq = sh.groupBy(col("ph")).agg(count(lit(1)).as("ndocs"))
     sh.join(dfreq, Seq("ph"))
@@ -1989,10 +2063,19 @@ object TextOps {
     import spark.implicits._
     val nTok = Option(tokenCount).getOrElse(size(tokens).cast("long"))
     val bw = (P31 + buckets - 1) / buckets
+    // `hashed` feeds THREE consumers (the histogram collect, the
+    // fully-kept semi join, the boundary window): an eager local
+    // checkpoint computes the narrow (id, source, h, n_tok, b) relation
+    // ONCE — crucially the `tokenCount` column, which for the trained-BPE
+    // callers (t30/t38) replays the full merge chain over `text`, runs a
+    // single corpus scan instead of three (the t31 discipline; at 100 TB
+    // this is ~tens of bytes per doc of executor storage vs two extra
+    // full-text passes)
     val hashed = docs.select(col("doc_id"), col("source"),
       finalizedHash("tbs|", col("doc_id").cast("string")).as("h"),
       nTok.cast("long").as("n_tok"))
       .withColumn("b", expr(s"CAST(h DIV $bw AS INT)"))
+      .localCheckpoint()
     val hist = hashed.groupBy(col("source"), col("b"))
       .agg(sum(col("n_tok")).as("btok"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -2091,8 +2174,12 @@ object TextOps {
   def qualityBuckets(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // scored feeds TWO actions (threshold histogram + the bucket join):
+    // localCheckpoint so the unigram scoring chain runs once — the same
+    // discipline as t31's bigram chain
     val scored = unigramScores(docs, vocabSize, Seq("lang"))
       .select(col("doc_id"), col("lang"), col("score_x100"))
+      .localCheckpoint()
     val hist = scored.groupBy(col("lang"), col("score_x100"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -2273,17 +2360,30 @@ object TextOps {
   private def unigramScores(docs: DataFrame, vocabSize: Int,
                             keyCols: Seq[String]): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    // ONE token explode (the t25 docPair discipline): the corpus token
+    // stream rolls up to per-(doc, token) multiplicities once, and both
+    // the frequency table (Σ m per token — the same multiset total the
+    // flat count took) and the scoring join consume the checkpointed
+    // rollup; per-occurrence sums come back as m-weighted sums, so every
+    // count and quantized logprob is bit-identical to the two-explode
+    // form and the oracle SQL is untouched.
     val toks = docs.select(
       (col("doc_id") +: keyCols.map(col)) :+ explode(tokens).as("tok"): _*)
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val docTok = toks
+      .groupBy((col("doc_id") +: keyCols.map(col)) :+ col("tok"): _*)
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("m")).as("cnt"))
     val vocab = freq
       .orderBy(col("cnt").desc, poly_hash31(col("tok")).asc, col("tok").asc)
       .limit(vocabSize)
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    docTok.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id") +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_tok"),
-        count(col("cnt")).as("n_invocab"),
-        coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("logprob_sum"))
+      .agg(sum(col("m")).as("n_tok"),
+        sum(when(col("cnt").isNotNull, col("m")).otherwise(0L))
+          .as("n_invocab"),
+        coalesce(sum(col("m") * length(bin(col("cnt")))), lit(0L))
+          .as("logprob_sum"))
       .withColumn("score_x100", expr("(100 * logprob_sum) div n_tok"))
   }
 
@@ -2333,23 +2433,65 @@ object TextOps {
     val big = docs.select(col("doc_id"), explode(dsirBigrams).as("bg"))
       .select(col("doc_id"), poly_hash31(col("bg")).as("f2"),
         poly_hash31(substring_index(col("bg"), " ", 1)).as("f1"))
-    val c2 = big.groupBy(col("f2")).agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy(col("f1")).agg(count(lit(1)).as("c1"))
-    val scored =
-      if (minCount == 1L) big.join(c2, Seq("f2")).join(c1, Seq("f1"))
-      else big
+    // ONE corpus explode (was three: each model aggregate and the score
+    // join-back re-ran the tokenize+concat+hash explode from scratch —
+    // the exchanges don't line up, so Catalyst can't share the subtree).
+    // The per-(doc, bigram) multiplicity rollup is checkpointed once;
+    // BOTH model tables derive from its distinct-pair rollup by pure
+    // re-aggregation — c(f2) = Σ_pairs m and c(f1) = Σ_pairs m are the
+    // same multiset totals the flat counts took, so every count (and
+    // therefore every quantized nll term) is bit-identical and the
+    // oracle SQL is untouched. Scoring then joins the pair-level model
+    // onto the ALREADY-AGGREGATED docPair relation and weights each
+    // term by its multiplicity: n_bg = Σ m and nll_sum = Σ m·term
+    // reproduce the per-occurrence sums exactly.
+    if (minCount == 1L) {
+      // unpruned: the model tables are corpus-vocabulary-sized and the
+      // score join must shuffle SOMETHING corpus-shaped — so shuffle the
+      // aggregated docPair rollup once and derive both model tables from
+      // its distinct-pair rollup, never re-running the explode.
+      val docPair = big.groupBy(col("doc_id"), col("f2"), col("f1"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val pair = docPair.groupBy(col("f2"), col("f1"))
+        .agg(sum(col("m")).as("pc"))
+        .localCheckpoint()
+      val c2 = pair.groupBy(col("f2")).agg(sum(col("pc")).as("c2"))
+      val c1 = pair.groupBy(col("f1")).agg(sum(col("pc")).as("c1"))
+      docPair.join(pair.join(c2, Seq("f2")).join(c1, Seq("f1"))
+          .select(col("f2"), col("f1"), col("c2"), col("c1")),
+          Seq("f2", "f1"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_bg"),
+          sum(col("m") * greatest(lit(0L),
+            length(bin(col("c1"))) - length(bin(col("c2")))))
+            .cast("long").as("nll_sum"))
+        .select(col("doc_id"), col("n_bg"), col("nll_sum"),
+          expr("(100 * nll_sum) div n_bg").as("nll_x100"))
+    } else {
+      // pruned (t29): the heavy-head model BROADCASTS, so the
+      // per-occurrence stream never shuffles at all — keep the r5 shape
+      // verbatim: score on the raw explode, model aggregates straight
+      // off it. (Two rewrites were measured and REJECTED here: deriving
+      // c2/c1 via a (f2, f1) pair rollup assumes the rollup collapses
+      // map-side to the bigram vocabulary, but the corpus's bigram set
+      // is high-cardinality at bench scale, so the rollup + checkpoint
+      // cost ~2× the explodes they replaced — 3.2 s → 5.5-6 s warm.)
+      val c2 = big.groupBy(col("f2")).agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy(col("f1")).agg(count(lit(1)).as("c1"))
+      big
         .join(broadcast(c2.filter(col("c2") >= minCount)), Seq("f2"), "left")
         .join(broadcast(c1.filter(col("c1") >= minCount)), Seq("f1"), "left")
         .withColumn("c2", coalesce(col("c2"), lit(1L)))
         .withColumn("c1", coalesce(col("c1"), lit(1L)))
-    scored
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bg"),
-        sum(greatest(lit(0L),
-          length(bin(col("c1"))) - length(bin(col("c2")))))
-          .cast("long").as("nll_sum"))
-      .select(col("doc_id"), col("n_bg"), col("nll_sum"),
-        expr("(100 * nll_sum) div n_bg").as("nll_x100"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(greatest(lit(0L),
+            length(bin(col("c1"))) - length(bin(col("c2")))))
+            .cast("long").as("nll_sum"))
+        .select(col("doc_id"), col("n_bg"), col("nll_sum"),
+          expr("(100 * nll_sum) div n_bg").as("nll_x100"))
+    }
   }
 
   /** t31 — CCNet buckets under the BIGRAM LM (the composition CCNet
@@ -2616,9 +2758,14 @@ object TextOps {
     require(n > 0, "bm25TopK: empty corpus")
     val a1 = tot / n
     val dl = docs.select(col("doc_id"), size(tokens).cast("long").as("dl"))
+    // tf feeds TWO consumers (the df rollup and the score join), and its
+    // subtree is a full corpus token explode (the isin prune can't move
+    // below the generator) — checkpoint the tiny (doc, term, tf)
+    // relation so the explode runs once
     val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("idfq",
         length(bin(expr(s"(($n - df) * 1024) div (df + 1) + 1"))).cast("long"))
