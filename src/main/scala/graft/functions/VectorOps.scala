@@ -183,6 +183,47 @@ case class BlockDots(child: Expression, book: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** `transform(e, x => round(cast(x as double) * 10000).cast("long"))` as
+  * one codegen'd loop — the e-tier's quantization projection ran through
+  * interpreted HOF lambdas on every corpus scan. Semantics replicated
+  * exactly: widening float→double cast, ×10000 double multiply, Spark
+  * `round` = decimal HALF_UP at scale 0 (away-from-zero midpoints —
+  * NOT Math.round), integral double → long cast; null elements stay
+  * null, a null array stays null. Differential-checked bit-identical
+  * against the HOF form over the corpus + midpoint/edge values
+  * (tools.QuantizeKernelCheck).
+  */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_vec expects array<float|double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  // lazy: the expression is constructed over unresolved attributes, whose
+  // dataType is only available after analysis
+  private lazy val fromDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.quantizeVec(input.asInstanceOf[ArrayData], fromDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.quantizeVec($c, $fromDouble)")
+
+  override def prettyName: String = "quantize_vec"
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
 object VectorOps {
 
   /** Knuth multiplicative hash constants — the single source of truth for
@@ -232,6 +273,30 @@ object VectorOps {
       val dist: Any = if (dot == null) null else c2 - 2L * dot.longValue()
       out(ci) = new GenericInternalRow(Array[Any](dist, ci))
       ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def quantizeVec(a: ArrayData, fromDouble: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (a.isNullAt(i)) null
+        else {
+          val d = (if (fromDouble) a.getDouble(i)
+                   else a.getFloat(i).toDouble) * 10000.0
+          // Spark round(double) = decimal HALF_UP at scale 0 (midpoints
+          // away from zero) — Math.round would differ at negative .5s.
+          // NaN/±Inf pass through round and the long cast saturates,
+          // matching the non-ANSI double→long cast
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+            java.lang.Long.valueOf(d.toLong)
+          else java.lang.Long.valueOf(java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
+        }
+      i += 1
     }
     new GenericArrayData(out)
   }

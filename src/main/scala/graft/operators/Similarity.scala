@@ -32,7 +32,11 @@ object Similarity {
   val AnchorSalt = 2463534242L
 
   private def quantized(e: Column): Column =
-    transform(e, x => round(x.cast("double") * 10000).cast("long"))
+    // codegen'd loop (functions.QuantizeVec) — the HOF transform ran an
+    // interpreted round/cast lambda per element on every corpus scan of
+    // every e-tier query; values are bit-identical (differential-checked
+    // incl. ±midpoints, tools.QuantizeKernelCheck)
+    graft.functions.quantize_vec(e)
 
   /** ±1 hyperplane sign-bit array (one per plane) for a quantized vector —
     * a codegen'd SignProjections loop (the HOF form ran n interpreted
@@ -156,8 +160,13 @@ object Similarity {
                              threshold: Long = 40000000L): DataFrame = {
     val base = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       // one materialized bit array per row (an inline expression would be
-      // re-inlined per consumer by projection collapse — the r1 trap)
+      // re-inlined per consumer by projection collapse — the r1 trap);
+      // checkpointed because FOUR consumers read it (both sides of the
+      // band self-join, both sides of the vector join-back) and none of
+      // the occurrences reuses another's exchange — the quantize +
+      // sign-projection scan otherwise runs once per consumer
       .withColumn("bits", planeBits(col("qe"), bands * rowsPerBand))
+      .localCheckpoint()
     // band join moves ONLY (id, band, bucket) — never the vectors: bucket
     // skew (label clusters) makes collision volume ≫ candidate count, and
     // carrying two 64-long arrays per collision row was measured 20s vs 4s
@@ -1351,6 +1360,11 @@ object Similarity {
              bands: Int = 28, rowsPerBand: Int = 3): DataFrame = {
     val base = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .withColumn("bits", planeBits(col("qe"), bands * rowsPerBand))
+      // four consumers (band self-join sides + both vector join-backs),
+      // no exchange reuse between them — checkpoint so quantize +
+      // 84 sign projections run one corpus pass (the
+      // embeddingNearDupLadder discipline)
+      .localCheckpoint()
     // the band join moves only (id, band, bucket); vectors join back after
     // the (qid, nid) dedup (same reasoning as embeddingNearDupLadder)
     val banded = base.select(col("vec_id"),

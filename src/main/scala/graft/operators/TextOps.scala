@@ -75,11 +75,12 @@ object TextOps {
     * pass only inside LSH candidate buckets.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    // no .cache(): a cache owned by a lazily-returned DataFrame can never
-    // be unpersisted by this function and leaks executor memory across a
-    // long session (VERDICT r1); recomputing the shingle explode for the
-    // 3 consumers is cheaper than the leak
-    val sh = shingleRows(docs)
+    // localCheckpoint, not .cache() (VERDICT r1 flagged the leak of a
+    // cache owned by a lazily-returned DataFrame): checkpoint blocks are
+    // reclaimed with the RDD by the context cleaner, and the 3 consumers
+    // (sizes + both sides of the shingle self-join) otherwise re-run the
+    // corpus explode each
+    val sh = shingleRows(docs).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -146,9 +147,18 @@ object TextOps {
                              minBandHits: Int): DataFrame = {
     val r = k / bands
     val sigs = minhashSignatures(docs, k)
+    // the self-join consumes `banded` on BOTH sides and Spark does not
+    // recognise the two occurrences as a reusable exchange (the probe
+    // side is a broadcast build of a differently-projected subtree), so
+    // without the checkpoint the full shingle-explode + k-min signature
+    // aggregate ran twice per ladder call. (doc_id, band, bucket) is
+    // bands × one long per doc — exactly the relation d22 persists as
+    // the dedup index artifact, so materializing it is the documented
+    // store posture, not a new cost.
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b => bandBucket(b, r)): _*))
         .as(Seq("band", "bucket")))
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -176,7 +186,11 @@ object TextOps {
     // exact-verify join to 93 s at sf0.1); requiring 2 of 8 band hits
     // keeps recall for jaccard ≥ 0.7 (expected hits 8·s⁴ ≈ 1.9–8) while
     // cutting candidates ~50×.
+    // candidate pairs feed the doc-id restriction AND the verify join —
+    // checkpoint the KB-sized pair list so candidate generation (band
+    // join + vote aggregate) runs once, not once per consumer
     val cand = minhashCandidatesVoted(docs, k, bands, minBandHits)
+      .localCheckpoint()
     // restrict the shingle relation to docs that appear in some candidate
     // pair BEFORE any verify join: without this, the (shingle, doc2)
     // equi-join sort-merge-sorts the ENTIRE corpus shingle relation —
@@ -272,7 +286,10 @@ object TextOps {
     */
   def editDistancePairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
                         minBandHits: Int = 2, maxDist: Int = 24): DataFrame = {
+    // three consumers (id restriction + both verify joins) — checkpoint
+    // the KB-sized candidate list, the nearDupLadder discipline
     val cand = minhashCandidatesVoted(docs, k, bands, minBandHits)
+      .localCheckpoint()
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2").as("doc_id"))).distinct()
     val txt = docs.select(col("doc_id"), col("text"))
@@ -669,7 +686,11 @@ object TextOps {
   def incrementalDedupIndexed(corpus: DataFrame, corpusIdx: DataFrame,
                               batch: DataFrame, k: Int = 32,
                               bands: Int = 8, minBandHits: Int = 2): DataFrame = {
-    val batchBands = bandedIndex(batch, k, bands)
+    // the batch-side band relation feeds the corpus probe AND both sides
+    // of the in-batch self-join — checkpoint it (bands × one long per
+    // batch doc) so the batch is signatured once, the nearDupLadder
+    // discipline
+    val batchBands = bandedIndex(batch, k, bands).localCheckpoint()
     // batch vs corpus: no id-order constraint (old ids can be larger);
     // batch vs batch: strictly lower-id partners (keep-first in-batch)
     val candOld = batchBands.as("n").join(corpusIdx.as("o"),
@@ -684,6 +705,7 @@ object TextOps {
     val cand = candOld.unionByName(candNew)
       .filter(col("band_hits") >= minBandHits)
       .select(col("new_id"), col("other_id"))
+      .localCheckpoint()
     // exact verify restricted to candidate docs only (see nearDupLadder:
     // without the semi join the corpus shingle relation would be the
     // join's sorted side — the measured 2.56M-doc cliff)
@@ -910,10 +932,15 @@ object TextOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val fp = docs.select(col("doc_id"),
       simhash_poly(split(col("text"), " ")).as("fp"))
+    // both sides of the self-join consume `banded` and neither occurrence
+    // reuses the other's work — checkpoint the (doc_id, fp, band, key)
+    // relation so the corpus is fingerprinted once (the
+    // minhashCandidatesVoted discipline)
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7fffL))
       }: _*)).as(Seq("band", "key")))
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -974,8 +1001,12 @@ object TextOps {
   private def bpeWrap(w: Column): Column =
     regexp_replace(w, "(.)", "|$1|")
 
-  /** Symbol count of a wrapped representation: pipes / 2. */
-  private def bpeSymCount(repr: Column): Column =
+  /** Symbol count of a wrapped representation: pipes / 2. (The serving
+    * replay now runs through the BpeTokenCount kernel; this stays as the
+    * single-column form the training loop's docs reference and specs
+    * exercise.)
+    */
+  private[graft] def bpeSymCount(repr: Column): Column =
     ((length(repr) - length(translate(repr, "|", ""))) / 2).cast("long")
 
   /** Train `nMerges` BPE merges on the corpus (Sennrich et al. 2016,
@@ -1052,14 +1083,14 @@ object TextOps {
     * replay the merges as a literal chain, sum surviving symbol counts.
     * No join, no shuffle, stream-transparent.
     */
-  def bpeTokenCountCol(merges: Seq[(String, String)]): Column = {
-    val applied = (w: Column) => merges.foldLeft(bpeWrap(w)) {
-      case (r, (a, b)) =>
-        call_function("replace", r, lit(s"|$a||$b|"), lit(s"|${a + b}|"))
-    }
-    val words = regexp_extract_all(col("text"), lit(BpeWordPat), lit(0))
-    aggregate(words, lit(0L), (acc, w) => acc + bpeSymCount(applied(w)))
-  }
+  def bpeTokenCountCol(merges: Seq[(String, String)]): Column =
+    // codegen'd merge-replay kernel (functions.BpeTokenCount): the
+    // aggregate-HOF form ran an interpreted lambda per word with one
+    // Catalyst replace call per merge per word — same wrap / replace /
+    // pipes-per-2 arithmetic, same null poisoning, bit-identical counts
+    // (BpeKernelCheck differential + the t26/t30/t36-38 oracles)
+    graft.functions.bpe_token_count(
+      regexp_extract_all(col("text"), lit(BpeWordPat), lit(0)), merges)
 
   def bpeTokenCounts(docs: DataFrame,
                      merges: Seq[(String, String)]): DataFrame = {
@@ -2430,9 +2461,15 @@ object TextOps {
     */
   def bigramLmQuality(docs: DataFrame, minCount: Long = 1L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val big = docs.select(col("doc_id"), explode(dsirBigrams).as("bg"))
-      .select(col("doc_id"), poly_hash31(col("bg")).as("f2"),
-        poly_hash31(substring_index(col("bg"), " ", 1)).as("f1"))
+    // codegen'd bigram kernel: one byte-level pass per row emits the
+    // (f2, f1) hash pairs directly — the HOF form built every bigram as
+    // an intermediate string through interpreted lambdas and then ran
+    // two separate hash expressions over it (hash values bit-identical:
+    // same 64-byte window, same concat_ws/substring_index byte rules —
+    // BigramHashPairs scaladoc)
+    val big = docs.select(col("doc_id"),
+        explode(graft.functions.bigram_hash_pairs(tokens)).as("bg"))
+      .select(col("doc_id"), col("bg.f2").as("f2"), col("bg.f1").as("f1"))
     // ONE corpus explode (was three: each model aggregate and the score
     // join-back re-ran the tokenize+concat+hash explode from scratch —
     // the exchanges don't line up, so Catalyst can't share the subtree).
