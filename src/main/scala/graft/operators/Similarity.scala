@@ -634,7 +634,10 @@ object Similarity {
                   iters: Int = 2, dim: Int = 64): DataFrame = {
     val cand = knnPq(emb, nQueries, k * refine, m, kCb, iters, dim)
       .select(col("qid"), col("nid"))
-    exactRerank(emb, cand, nQueries, k)
+    // late-materialized rerank (row-identical to exactRerank by
+    // construction — same pairs, same dots, same ties): quantize only
+    // the ~nQueries·k·refine surviving rows instead of the whole corpus
+    exactRerankLate(emb, cand, nQueries, k)
   }
 
   /** Recall@k of refined PQ vs exact brute force (e12) — with re-rank the
@@ -710,7 +713,13 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), adcSum(m).as("dot")), k * refine)
       .select(col("qid"), col("nid"))
-    exactRerank(emb, cand, nQueries, k)
+    // late-materialized rerank (row-identical to exactRerank by
+    // construction): the refine tier reads raw embeddings for candidate
+    // ids only instead of re-quantizing the full corpus a third time —
+    // the refine-path bytes the e15 scaling lane was short on (r5
+    // verdict item 2); serving from the persisted model now touches
+    // nQueries·k·refine vectors in its exact stage, like e28
+    exactRerankLate(emb, cand, nQueries, k)
   }
 
   /** Recall@k of the composed IVF-PQ stack vs exact brute force (e14):
