@@ -224,6 +224,51 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The SQ8 encode→decode round trip of a quantized vector against LITERAL
+  * per-dimension bounds — one codegen'd loop replacing the interpreted
+  * `transform((x, i) -> CASE …)` HOF of `Similarity.sq8ReconSql` /
+  * `sq8ReconClampedSql`, whose per-element lambda ran two `element_at`
+  * probes into 64-entry literal arrays plus the arithmetic, interpreted,
+  * on every corpus row of e17/e19/e26. Semantics replicated exactly:
+  *   rg_i = 0      → mn_i (even for null x — the CASE guards first)
+  *   null x        → null element
+  *   i ≥ |bounds|  → null element (benign extension: no real vector is
+  *                   longer than the bounds arrays; the HOF form would
+  *                   error there under ANSI element_at)
+  *   else code = ((x − mn_i)·255) div rg_i, clamped to [0,255] when
+  *   `clamped` (the model-trained-bounds variant), recon = mn_i +
+  *   (code·rg_i) div 255 — Java `/` IS Spark `div` (truncate toward
+  *   zero) on longs, so the integers agree unconditionally.
+  * Differential-checked bit-identical vs the HOF form over the corpus +
+  * adversarial rows (tools.Sq8KernelCheck).
+  */
+case class Sq8Recon(child: Expression, mn: Array[Long], rg: Array[Long],
+                    clamped: Boolean) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_recon expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.sq8Recon(input.asInstanceOf[ArrayData], mn, rg, clamped)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mn, "long[]")
+    val rgRef = ctx.addReferenceObj("rg", rg, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.sq8Recon($c, $mnRef, $rgRef, $clamped)")
+  }
+
+  override def prettyName: String = "sq8_recon"
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Recon =
+    copy(child = newChild)
+}
+
 object VectorOps {
 
   /** Knuth multiplicative hash constants — the single source of truth for
@@ -295,6 +340,31 @@ object VectorOps {
             java.lang.Long.valueOf(d.toLong)
           else java.lang.Long.valueOf(java.math.BigDecimal.valueOf(d)
             .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def sq8Recon(q: ArrayData, mn: Array[Long], rg: Array[Long],
+               clamped: Boolean): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i >= mn.length) null
+        else if (rg(i) == 0L) java.lang.Long.valueOf(mn(i))
+        else if (q.isNullAt(i)) {
+          // clamped: greatest(null, 0L) SKIPS the null (Spark semantics),
+          // so a null element clamps to code 0 and reconstructs to mn_i;
+          // unclamped: the null poisons the arithmetic
+          if (clamped) java.lang.Long.valueOf(mn(i)) else null
+        } else {
+          val x = q.getLong(i)
+          var c = ((x - mn(i)) * 255L) / rg(i)
+          if (clamped) { if (c < 0L) c = 0L else if (c > 255L) c = 255L }
+          java.lang.Long.valueOf(mn(i) + (c * rg(i)) / 255L)
         }
       i += 1
     }

@@ -67,6 +67,14 @@ package object functions {
     */
   def quantize_vec(c: Column): Column = column(QuantizeVec(expression(c)))
 
+  /** SQ8 encode→decode round trip vs literal per-dim bounds (codegen'd
+    * loop — replaces the interpreted transform-CASE of sq8ReconSql;
+    * `clamped` = the model-trained-bounds variant).
+    */
+  def sq8_recon(c: Column, mn: Array[Long], rg: Array[Long],
+                clamped: Boolean): Column =
+    column(Sq8Recon(expression(c), mn, rg, clamped))
+
   /** Adjacent-token bigram (f2, f1) hash-pair structs in one codegen'd
     * pass (byte-identical to poly_hash31 over concat_ws / its
     * substring_index prefix — the t25/t31 explode kernel).

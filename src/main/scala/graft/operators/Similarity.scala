@@ -1122,7 +1122,7 @@ object Similarity {
     val (mn, mx) = sq8Bounds(emb, dim)
     val corpus = emb.select(col("vec_id").as("nid"),
       quantized(col("embedding")).as("qe"))
-      .withColumn("re", expr(sq8ReconSql("qe", mn, mx)))
+      .withColumn("re", sq8ReconCol(col("qe"), mn, mx, clamped = false))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
     topKByDot(corpus.crossJoin(broadcast(queries))
@@ -1130,6 +1130,17 @@ object Similarity {
       .select(col("qid"), col("nid"),
         dotCols(col("qe_q"), col("re")).as("dot")), k)
   }
+
+  /** The codegen'd kernel form of [[sq8ReconSql]]/[[sq8ReconClampedSql]]
+    * (functions.Sq8Recon) — the interpreted transform-CASE ran two
+    * element_at probes into 64-entry literal arrays per element per
+    * corpus row on e17/e19/e26's scan side; integers are identical
+    * (differential-checked, tools.Sq8KernelCheck; Sq8KernelSpec).
+    */
+  private def sq8ReconCol(qe: Column, mn: Array[Long], mx: Array[Long],
+                          clamped: Boolean): Column =
+    graft.functions.sq8_recon(qe, mn,
+      mn.indices.map(i => mx(i) - mn(i)).toArray, clamped)
 
   /** e18 — recall@k of SQ8 vs exact brute force (hits/total, integer-
     * exact): quantifies what the 8-bit rung costs vs e10/e14's coarser
@@ -1173,8 +1184,8 @@ object Similarity {
                   k: Int = 5): DataFrame = {
     val corpus = emb.select(col("vec_id").as("nid"),
       quantized(col("embedding")).as("qe"))
-      .withColumn("re", expr(sq8ReconClampedSql("qe", model.sq8Mn,
-        model.sq8Mx)))
+      .withColumn("re", sq8ReconCol(col("qe"), model.sq8Mn, model.sq8Mx,
+        clamped = true))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
     topKByDot(corpus.crossJoin(broadcast(queries))
@@ -1210,7 +1221,7 @@ object Similarity {
     val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
       .withColumn("dists", cellDists(cents))
     val corpus = q.select(col("vec_id").as("nid"),
-      expr(sq8ReconSql("qe", mn, mx)).as("re"),
+      sq8ReconCol(col("qe"), mn, mx, clamped = false).as("re"),
       array_min(col("dists")).getField("cell").as("cell"))
     val probes = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qe").as("qe_q"),
@@ -1283,8 +1294,15 @@ object Similarity {
         .join(eq.select(col("vec_id").as("w"), col("qe").as("qw")), Seq("w"))
         .select(col("u").as("qid"), col("w").as("nid"),
           dotCols(col("qu"), col("qw")).as("dot"))
-      top = topKByDot(scored, k)
-      g = top.select(col("qid").as("u"), col("nid").as("w")).localCheckpoint()
+      // checkpoint the scored top-k itself (not just its ids-projection):
+      // g's checkpoint already materialized the round's scoring, but the
+      // RETURNED `top` kept the un-checkpointed lineage, so the final
+      // round's candidate join + heap-merge re-executed at action time
+      // (measured on e24: warm 2.7→2.1 s, jobs 26→20, taskSec 1.7→1.2).
+      // Same rows (a materialization barrier, no reordering); g becomes
+      // a narrow projection of the checkpoint.
+      top = topKByDot(scored, k).localCheckpoint()
+      g = top.select(col("qid").as("u"), col("nid").as("w"))
     }
     top.select(col("qid").as("u"), col("nid").as("w"), col("dot"),
       col("rnk"))

@@ -254,6 +254,41 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("Sq8Recon kernel is bit-identical to the transform-CASE HOF forms " +
+    "(incl. null elements and the clamped greatest-skips-null rule)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (mn, mx) = Similarity.sq8Bounds(emb, dim = 4)
+    val rg = mn.indices.map(i => mx(i) - mn(i)).toArray
+    val q = emb.select(col("vec_id"),
+      graft.functions.quantize_vec(col("embedding")).as("qe"))
+    // adversarial: a null element, an exact-bound value, values outside
+    // the bounds on both sides (the clamp's reason to exist)
+    val adv = Seq(
+      (9001L, Seq[Option[Long]](None, Some(0L), Some(mn(2) - 77L),
+        Some(mx(3) + 99L))),
+      (9002L, Seq[Option[Long]](Some(mn(0)), Some(mx(1)), Some(-5L),
+        Some(5L)))).toDF("vec_id", "qe")
+    val docs = q.unionByName(adv)
+    for (clamped <- Seq(false, true)) {
+      val hof = expr(if (clamped) Similarity.sq8ReconClampedSql("qe", mn, mx)
+                     else Similarity.sq8ReconSql("qe", mn, mx))
+      val bad = docs.select(hof.as("a"),
+          graft.functions.sq8_recon(col("qe"), mn, rg, clamped).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(bad == 0L, s"kernel diverges from HOF at clamped=$clamped")
+    }
+    // the subtle rule the first kernel draft got wrong: under the clamped
+    // form greatest(null, 0L) SKIPS the null, so a null element encodes
+    // as code 0 and reconstructs to mn_i (not null)
+    val r = Seq((1L, Seq[Option[Long]](None, None, None, None)))
+      .toDF("vec_id", "qe")
+      .select(graft.functions.sq8_recon(col("qe"), mn, rg,
+        clamped = true).as("b"))
+      .head.getSeq[Long](0)
+    assert(r.toArray.sameElements(mn))
+  }
+
   test("SQ8 recall@5 on the real corpus: 8 bits/dim keeps near-exact " +
     "ranking (>= 0.9) and beats PQ's 4-bit blocks (sf0.01)") {
     val embReal = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
