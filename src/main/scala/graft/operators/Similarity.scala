@@ -112,11 +112,19 @@ object Similarity {
     * (query, partition) instead of shuffling every candidate row. Same
     * results as [[knnBrute]] (asserted in SimilaritySpec).
     */
-  def knnBruteAgg(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val corpus = emb.select(col("vec_id").as("nid"),
-      quantized(col("embedding")).as("qe_n"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), quantized(col("embedding")).as("qe_q"))
+  def knnBruteAgg(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    knnBruteAggQ(
+      emb.select(col("vec_id"), quantized(col("embedding")).as("qe")),
+      nQueries, k)
+
+  /** [[knnBruteAgg]] over an already-quantized (vec_id, qe) relation —
+    * split out so composite queries (e25's truth side) can share one
+    * quantize pass with the structure they evaluate.
+    */
+  private def knnBruteAggQ(eq: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val corpus = eq.select(col("vec_id").as("nid"), col("qe").as("qe_n"))
+    val queries = eq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qe").as("qe_q"))
     topKByDot(corpus.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -1269,11 +1277,20 @@ object Similarity {
     * lineage stays flat (the d11 lesson). Output: (u, w, dot, rnk) for
     * every node — the adjacency a downstream HNSW/NSG builder consumes.
     */
-  def knnGraph(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
+  def knnGraph(emb: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame =
+    knnGraphQ(
+      emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+        .localCheckpoint(), k, rounds)
+
+  /** Core NN-descent over an ALREADY-CHECKPOINTED (vec_id, qe) relation —
+    * split out (the kmeansCentroidsQ discipline) so [[knnGraphRecall]]
+    * can score the graph AND its brute-force truth off ONE quantize pass
+    * instead of two, and so n comes off the checkpoint instead of a
+    * second source scan.
+    */
+  private def knnGraphQ(eq: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k,rounds >= 1, got $k,$rounds")
-    val n = emb.count()
-    val eq = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
-      .localCheckpoint()
+    val n = eq.count()
     // deterministic init: node u proposes (u*131 + j*97) mod n for
     // j < k — self-loops dropped, collisions dedup'd (a node may start
     // with < k neighbors; expansion refills)
@@ -1316,8 +1333,14 @@ object Similarity {
     */
   def knnGraphRecall(emb: DataFrame, k: Int = 8, rounds: Int = 2,
                      nSample: Int = 50): DataFrame = {
-    val truth = knnBruteAgg(emb, nSample, k).select(col("qid"), col("nid"))
-    val g = knnGraph(emb, k, rounds).filter(col("u") < nSample)
+    // one quantize pass for both sides: the truth's brute-force scoring
+    // and the graph build read the same checkpointed (vec_id, qe)
+    // relation (values identical to each side quantizing on its own —
+    // quantize is per-row deterministic)
+    val eq = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .localCheckpoint()
+    val truth = knnBruteAggQ(eq, nSample, k).select(col("qid"), col("nid"))
+    val g = knnGraphQ(eq, k, rounds).filter(col("u") < nSample)
       .select(col("u").as("q2"), col("w").as("n2"))
     truth.join(g, col("qid") === col("q2") && col("nid") === col("n2"),
         "left")
